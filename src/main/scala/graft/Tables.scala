@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Each scale-factor directory holds one parquet file per table. At cluster
+  * scale these would be partitioned directories; `spark.read.parquet` handles
+  * both transparently, and all downstream code goes through here so the
+  * storage layout can change without touching operators.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy conf) and floor-divide
+    * to microseconds — integer division, since an epoch-nanos value exceeds
+    * 2^53 and would lose precision through a double. DuckDB's TIMESTAMP_NS →
+    * TIMESTAMP cast truncates identically. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

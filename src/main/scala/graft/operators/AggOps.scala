@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Aggregation operators (SURVEY.md §2.4) + data-quality checks (§2.10).
+  *
+  * All grouped aggregation maps to Spark's partial+final hash aggregate
+  * (map-side combine is automatic for these algebraic aggregates — no extra
+  * shuffle beyond the single group-key exchange). Percentiles use Spark's
+  * exact `percentile` (reference uses DuckDB PERCENTILE_CONT, an exact
+  * interpolated ordered-set aggregate — aggregations.py:33–50); approximate
+  * percentile would not hash-match the oracle.
+  */
+object AggOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1: plain grouped agg — the flagship pricing-summary shape
+    // (quality_checks.py:27–36; analytics 01:7–13).
+    "a1_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A2: exact interpolated percentiles (aggregations.py:33–50; 04:8–10).
+    "a2_percentiles" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A3: sample stddev (aggregations.py:95; 13:18).
+    "a3_stddev" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(stddev(col("value")), 4).as("sd_value"),
+          davg(col("value")).as("avg_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // A4: conditional (pivot-style) aggregates — SUM/AVG over CASE
+    // (aggregations.py:137–157; 01:11–13).
+    "a4_conditional_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_finished"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_open"),
+          davg(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("avg_open_price"),
+          davg(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("avg_finished_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A5: conditional COUNT — nulls skipped (11:17,24).
+    "a5_conditional_count" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(when(col("value") > 100, lit(1))).as("n_large"),
+          count(when(col("value") <= 100, lit(1))).as("n_small"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // A6: filtered-ratio aggregates with NULLIF zero guard
+    // (aggregations.py:142–144,155–157).
+    "a6_ratio_share" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          (sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("high_value_share"),
+          (sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("open_share"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A7: HAVING — post-aggregation filter (aggregations.py:113,162).
+    "a7_having" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") >= 5)
+        .orderBy("l_suppkey", "l_returnflag")
+    },
+
+    // A8: exact COUNT(DISTINCT) (14:84).
+    "a8_count_distinct" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A9: group on a CASE bucket expression (13:82–110).
+    "a9_bucket_group" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("qty_bucket",
+          when(col("l_quantity") < 10, "short")
+            .when(col("l_quantity") < 25, "medium")
+            .otherwise("long"))
+        .groupBy("qty_bucket")
+        .agg(count(lit(1)).as("n"), davg(col("l_extendedprice")).as("avg_price"))
+        .orderBy("qty_bucket")
+    },
+
+    // A10: global (no-group) aggregate (quality_checks.py:27–36).
+    "a10_global_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          davg(col("o_totalprice")).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
+    // A11: multi-level re-aggregation (03_market_share_trends.sql:19–35):
+    // per-customer totals, then a distribution over those totals.
+    "a11_reagg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .withColumn("order_bucket",
+          when(col("n_orders") < 5, "low").when(col("n_orders") < 15, "mid")
+            .otherwise("high"))
+        .groupBy("order_bucket")
+        .agg(count(lit(1)).as("n_custs"), davg(col("spend")).as("avg_spend"))
+        .orderBy("order_bucket")
+    },
+
+    // §2.10 quality check: fare-style value bands — negative / excessive /
+    // null counts + min/max/avg (quality_checks.py:17–59).
+    "qc_value_checks" -> { (s, d) =>
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < 0, 1).otherwise(0)).cast("long").as("n_negative"),
+          sum(when(col("value") > 400, 1).otherwise(0)).cast("long").as("n_excessive"),
+          sum(when(col("value").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          davg(col("value")).as("avg_value"))
+    },
+
+    // §2.10 quality check: reversed-timestamp analog — lineitems shipped
+    // before their order date (quality_checks.py:61–99 `dropoff < pickup`).
+    "qc_reversed_ts" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1).otherwise(0)).cast("long")
+            .as("n_reversed"),
+          sum(when(col("l_shipdate").isNull || col("o_orderdate").isNull, 1).otherwise(0))
+            .cast("long").as("n_null_ts"))
+    })
+
+  private val dsumQty = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_qty,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_base_price,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_disc_price,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_charge,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+                CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "a2_percentiles" ->
+      """SELECT o_orderpriority,
+                ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "a3_stddev" ->
+      """SELECT event_type, ROUND(stddev_samp("value"), 4) AS sd_value,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT("value") AS avg_value,
+                COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "a4_conditional_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  / COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS avg_open_price,
+                CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS avg_finished_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "a5_conditional_count" ->
+      """SELECT event_type,
+                COUNT(CASE WHEN "value" > 100 THEN 1 END) AS n_large,
+                COUNT(CASE WHEN "value" <= 100 THEN 1 END) AS n_small,
+                COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "a6_ratio_share" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_value_share,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS open_share
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "a7_having" ->
+      s"""SELECT l_suppkey, l_returnflag, COUNT(*) AS n, $dsumQty AS sum_qty
+          FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""",
+
+    "a8_count_distinct" ->
+      """SELECT o_orderpriority,
+                COUNT(DISTINCT o_custkey) AS n_custs,
+                COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "a9_bucket_group" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'short'
+                     WHEN l_quantity < 25 THEN 'medium'
+                     ELSE 'long' END AS qty_bucket,
+                COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "a10_global_agg" ->
+      """SELECT COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_price,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+                MIN(o_totalprice) AS min_price,
+                MAX(o_totalprice) AS max_price
+         FROM orders""",
+
+    "a11_reagg" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, COUNT(*) AS n_orders,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS spend
+           FROM orders GROUP BY 1)
+         SELECT CASE WHEN n_orders < 5 THEN 'low'
+                     WHEN n_orders < 15 THEN 'mid' ELSE 'high' END AS order_bucket,
+                COUNT(*) AS n_custs,
+                CAST(ROUND(SUM(CAST(spend AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(spend) AS avg_spend
+         FROM per_cust GROUP BY 1 ORDER BY 1""",
+
+    "qc_value_checks" ->
+      """SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN "value" < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+                CAST(SUM(CASE WHEN "value" > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_excessive,
+                CAST(SUM(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                MIN("value") AS min_value,
+                MAX("value") AS max_value,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT("value") AS avg_value
+         FROM events""",
+
+    "qc_reversed_ts" ->
+      """SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+                CAST(SUM(CASE WHEN l_shipdate IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Every fact⋈dim join broadcasts the dim side explicitly (`broadcast()`) —
+  * the reference's dims are 3–1826 rows (J1–J4), far under any broadcast
+  * threshold, and at 100 TB a shuffle join against a 263-row zone table
+  * would be a pure waste of an exchange. Fact⋈fact joins (qc_reversed_ts,
+  * j5) shuffle on their keys and rely on AQE for skew handling.
+  */
+object JoinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J1/J2/J3/J4: fact ⋈ tiny dim, broadcast inner hash join (01:15, 02:15).
+    "j1_broadcast_dim" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // J3-chain: multi-hop dim joins (customer→nation→region), all broadcast.
+    "j3_multi_hop_dims" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_custs"), davg(col("c_acctbal")).as("avg_acctbal"))
+        .orderBy("r_name")
+    },
+
+    // J5: double-dim join — two aliased copies of the same dim
+    // (06_airport_trips_analysis.sql:19–20). Classic volume-shipping shape:
+    // customer nation vs supplier nation.
+    "j5_double_dim" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sp = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val n2 = Tables.nation(s, d).select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sp), li("l_suppkey") === sp("s_suppkey"))
+        .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
+        .join(broadcast(n2), sp("s_nationkey") === n2("s_nk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("cust_nation", "supp_nation")
+    },
+
+    // J6: before/after self-comparison via two aggs + left join
+    // (12_cbd_congestion_fee_impact.sql:94–99).
+    "j6_before_after" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val before = ev.filter(col("ts") < cut).groupBy("event_type")
+        .agg(count(lit(1)).as("n_before"), davg(col("value")).as("avg_before"))
+      val after = ev.filter(col("ts") >= cut).groupBy("event_type")
+        .agg(count(lit(1)).as("n_after"), davg(col("value")).as("avg_after"))
+      before.join(after, Seq("event_type"), "left")
+        .withColumn("avg_change", col("avg_after") - col("avg_before"))
+        .orderBy("event_type")
+    },
+
+    // J7: IN-subquery → left-semi join (12:44).
+    "j7_semi_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // J8: NOT-IN → left-anti join (schema_drift.py:213–215 idempotent-load
+    // pattern): customers with no orders.
+    "j8_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs_no_orders"))
+        .orderBy("c_nationkey")
+    },
+
+    // J9: agg-to-agg join (03_market_share_trends.sql:19–36): daily order
+    // rollup ⋈ daily shipment rollup.
+    "j9_agg_agg_join" -> { (s, d) =>
+      val daily_o = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("order_value"))
+      val daily_s = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_shipped"))
+      daily_o.join(daily_s, Seq("day"))
+        .orderBy("day")
+    },
+
+    // J10: CTE-to-CTE equi join — per-group metrics ⋈ group totals (14:55–58).
+    "j10_cte_share" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("order_month", date_trunc("month", col("o_orderdate")))
+      val perPrio = o.groupBy("order_month", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val totals = o.groupBy("order_month")
+        .agg(count(lit(1)).as("month_total"))
+      perPrio.join(totals, Seq("order_month"))
+        .withColumn("share", col("n").cast("double") / col("month_total"))
+        .orderBy("order_month", "o_orderpriority")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "j1_broadcast_dim" ->
+      """SELECT p_brand, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "j3_multi_hop_dims" ->
+      """SELECT r_name, COUNT(*) AS n_custs,
+                CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "j5_double_dim" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "j6_before_after" ->
+      """WITH before AS (
+           SELECT event_type, COUNT(*) AS n_before,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT("value") AS avg_before
+           FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+         after AS (
+           SELECT event_type, COUNT(*) AS n_after,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT("value") AS avg_after
+           FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1)
+         SELECT b.event_type, b.n_before, b.avg_before, a.n_after, a.avg_after,
+                a.avg_after - b.avg_before AS avg_change
+         FROM before b LEFT JOIN after a ON b.event_type = a.event_type
+         ORDER BY 1""",
+
+    "j7_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
+
+    "j8_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_custs_no_orders
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "j9_agg_agg_join" ->
+      """WITH daily_o AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS order_value
+           FROM orders GROUP BY 1),
+         daily_s AS (
+           SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_shipped
+           FROM lineitem GROUP BY 1)
+         SELECT daily_o.day, n_orders, order_value, n_shipped
+         FROM daily_o JOIN daily_s ON daily_o.day = daily_s.day
+         ORDER BY 1""",
+
+    "j10_cte_share" ->
+      """WITH o AS (
+           SELECT date_trunc('month', o_orderdate) AS order_month, o_orderpriority
+           FROM orders),
+         per_prio AS (
+           SELECT order_month, o_orderpriority, COUNT(*) AS n FROM o GROUP BY 1, 2),
+         totals AS (
+           SELECT order_month, COUNT(*) AS month_total FROM o GROUP BY 1)
+         SELECT p.order_month, p.o_orderpriority, p.n, t.month_total,
+                CAST(p.n AS DOUBLE) / t.month_total AS share
+         FROM per_prio p JOIN totals t ON p.order_month = t.order_month
+         ORDER BY 1, 2""")
+}
