@@ -25,7 +25,12 @@ object SparkEntry {
     operators.AggOps.queries ++
     operators.JoinOps.queries ++
     operators.WindowSortOps.queries ++
-    functions.ScalarOps.queries
+    functions.ScalarOps.queries ++
+    ops.TextOps.queries ++
+    ops.DedupOps.queries ++
+    ops.SimilarityOps.queries ++
+    ops.MultimodalOps.queries ++
+    streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
@@ -34,5 +39,10 @@ object SparkEntry {
     operators.AggOps.oracles ++
     operators.JoinOps.oracles ++
     operators.WindowSortOps.oracles ++
-    functions.ScalarOps.oracles
+    functions.ScalarOps.oracles ++
+    ops.TextOps.oracles ++
+    ops.DedupOps.oracles ++
+    ops.SimilarityOps.oracles ++
+    ops.MultimodalOps.oracles ++
+    streaming.StreamingOps.oracles
 }

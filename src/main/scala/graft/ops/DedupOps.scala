@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection: exact n-gram Jaccard (quadratic baseline),
+  * MinHash+LSH banding (the 100 TB-scale path), and SimHash signatures.
+  *
+  * Scale design: the LSH pipeline never materializes the O(n²) pair space —
+  * docs are shuffled once on (band_idx, band_signature), so only docs
+  * agreeing on a full band of minhashes ever meet. MinHash values are
+  * lexicographic minima of seeded md5 hex strings (a valid random-permutation
+  * approximation) — chosen over integer hashing because both engines share
+  * md5 bit-for-bit, which makes the whole pipeline oracle-checkable.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 16     // minhashes per doc
+  private val BANDS = 4  // 4 bands × 4 rows
+  private val ROWS = K / BANDS
+
+  /** doc_id → exploded distinct token 3-gram shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // Exact 3-gram Jaccard over candidate pairs that share >=1 shingle.
+    // The shingle self-join is the quadratic baseline LSH exists to avoid;
+    // it is still shuffle-local (one exchange on the shingle key).
+    "dd4_ngram_jaccard" -> { (s, d) =>
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH banding: K seeded-md5 minhashes, banded signatures,
+    // bucket join for candidates, then signature-agreement estimate.
+    "dd2_minhash_lsh" -> { (s, d) =>
+      val sh = shingles(s, d)
+      // K minhash columns in ONE hash-aggregate pass (no per-seed shuffle).
+      val minCols = (0 until K).map(i =>
+        min(md5(concat_ws("|", lit(i), col("sh")))).as(s"m$i"))
+      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // band signatures: md5 over the band's ROWS minhashes, exploded to
+      // (doc_id, band_idx, band_sig) for the bucket join.
+      val bandSig = (0 until BANDS).map(bnd =>
+        struct(lit(bnd).as("band_idx"),
+          md5(concat_ws("|", (0 until ROWS).map(r => col(s"m${bnd * ROWS + r}")): _*))
+            .as("band_sig")))
+      val bands = sig.select(col("doc_id"), explode(array(bandSig: _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // estimated similarity = fraction of agreeing minhashes (k/16: dyadic,
+      // exact in both engines).
+      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+      val agree: Column = (0 until K).map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
+      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("est_sim", agree.cast("double") / K)
+        .filter(col("est_sim") >= 0.5)
+        .select("doc_a", "doc_b", "est_sim")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 32-bit signature from md5-nibble bits weighted by term
+    // frequency; emitted as BIGINT (pure integer math — exact everywhere).
+    "dd3_simhash" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bits = toks.select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 31)")).as("bit"))
+        .withColumn("nib",
+          expr("instr('0123456789abcdef', substring(h, CAST(bit div 4 AS INT) + 1, 1)) - 1"))
+        .withColumn("bitval", expr("(nib div CAST(pow(2, bit % 4) AS INT)) % 2"))
+        .withColumn("contrib", col("bitval") * 2 - 1)
+      bits.groupBy("doc_id", "bit")
+        .agg(sum(col("contrib")).as("bsum"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bsum") >= 0, expr("shiftleft(1L, CAST(bit AS INT))"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    })
+
+  private val duckShingles =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+       sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+              FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i))"""
+
+  val oracles: Map[String, String] = Map(
+    "dd4_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+          counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter,
+                 CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+          FROM inter
+          JOIN counts ca ON ca.doc_id = doc_a
+          JOIN counts cb ON cb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.2
+          ORDER BY doc_a, doc_b""",
+
+    "dd2_minhash_lsh" -> {
+      val minExprs = (0 until K).map(i =>
+        s"MIN(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(", ")
+      val bandCases = (0 until BANDS).map { bnd =>
+        val parts = (0 until ROWS).map(r => s"m${bnd * ROWS + r}").mkString(" || '|' || ")
+        s"WHEN $bnd THEN md5($parts)"
+      }.mkString(" ")
+      val agree = (0 until K).map(i =>
+        s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      s"""WITH $duckShingles,
+          seeds AS (SELECT UNNEST(generate_series(0, ${K - 1})) AS seed),
+          mh AS (SELECT doc_id, seed,
+                        MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+                 FROM sh, seeds GROUP BY 1, 2),
+          sig AS (SELECT doc_id, $minExprs FROM mh GROUP BY 1),
+          bands AS (SELECT doc_id, band_idx,
+                           CASE band_idx $bandCases END AS band_sig
+                    FROM sig, (SELECT UNNEST(generate_series(0, ${BANDS - 1})) AS band_idx) b),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM bands x JOIN bands y
+                     ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+                        AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b, ($agree) / ${K}.0 AS est_sim
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+          WHERE ($agree) / ${K}.0 >= 0.5
+          ORDER BY doc_a, doc_b"""
+    },
+
+    "dd3_simhash" ->
+      """WITH raw_toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                           FROM documents),
+          toks AS (SELECT doc_id, md5(tok) AS h FROM raw_toks),
+          bits AS (SELECT doc_id, bit,
+                          (strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1) AS nib
+                   FROM toks, (SELECT UNNEST(generate_series(0, 31)) AS bit) g),
+          contrib AS (SELECT doc_id, bit,
+                             ((nib // CAST(pow(2, bit % 4) AS INT)) % 2) * 2 - 1 AS c
+                      FROM bits),
+          bsum AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY 1, 2)
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bsum GROUP BY 1 ORDER BY doc_id""")
+}

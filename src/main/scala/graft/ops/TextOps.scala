@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID (marker n-gram heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish chunking), document fingerprinting, and exact /
+  * canonical-form deduplication over the `documents` table.
+  *
+  * Everything is built from codegen'd `functions._` / higher-order array
+  * expressions — no UDFs — so the per-document work stays inside
+  * whole-stage codegen and scales linearly with document count; the only
+  * shuffles are the final group-bys on the (tiny) dedup keys.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker vocabularies for the language-ID heuristic. Deterministic and
+    * mirrored verbatim in the DuckDB oracle. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"))
+
+  private def tokens = split(col("text"), " ")
+
+  private def markerScore(ms: Seq[String]): org.apache.spark.sql.Column = {
+    val inList = ms.map(m => s"'$m'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Language-ID: score each candidate language by marker-token hits,
+    // argmax with 'und' fallback; report the confusion table vs the label.
+    "tx1_lang_id" -> { (s, d) =>
+      val scored = markers.foldLeft(Tables.documents(s, d)) {
+        case (df, (lang, ms)) => df.withColumn(s"s_$lang", markerScore(ms))
+      }
+      val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = markers.foldLeft(when(best <= 0, "und")) {
+        case (c, (lang, _)) => c.when(col(s"s_$lang") === best, lang)
+      }
+      scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Quality scoring: length / stopword-ratio / mean-token-length bands.
+    "tx2_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens).cast("long"))
+        .withColumn("n_stop",
+          expr("size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to','in')))")
+            .cast("long"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("avg_token_len",
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          col("stop_ratio") * 0.3 +
+          least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 0.4 +
+          (lit(1.0) - abs(col("avg_token_len") - 4.5) / 10.0) * 0.3)
+        .select("doc_id", "n_tokens", "n_stop", "stop_ratio",
+          "avg_token_len", "quality_score")
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens, regex word/number tokens, and a
+    // BPE-ish ≤4-char chunk count (ceil(len/4) per token).
+    "tx3_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens).cast("long").as("ws_tokens"),
+          expr("regexp_count(text, '[a-z]+')").cast("long").as("alpha_tokens"),
+          expr("regexp_count(text, '[0-9]+')").cast("long").as("num_tokens"),
+          expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")
+            .as("bpe_pieces"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: canonical form = sorted distinct lowercase
+    // tokens, hashed. Robust to token reordering.
+    "tx4_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: hash-groupBy on md5(text), keep min(doc_id) as the
+    // representative. At scale this is one shuffle on a 32-byte key.
+    "dd1_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("rep_doc_id")
+    },
+
+    // Canonical-form dedup: same shape keyed on the tx4 fingerprint —
+    // catches reordered-token duplicates exact dedup misses.
+    "dd5_fingerprint_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))).as("fingerprint"))
+        .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("rep_doc_id")
+    })
+
+  private def duckMarkerScore(ms: Seq[String]): String = {
+    val inList = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($inList)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tx1_lang_id" -> {
+      val scores = markers.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }
+        .mkString(", ")
+      val best = "GREATEST(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val predCase = "CASE WHEN " + best + " <= 0 THEN 'und' " +
+        markers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ") +
+        " END"
+      s"""WITH scored AS (SELECT lang, $scores FROM documents),
+          pred AS (SELECT lang, $predCase AS pred_lang FROM scored)
+          SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "tx2_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+                  n_chars
+           FROM documents)
+         SELECT doc_id, n_tokens, n_stop,
+                CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+                CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+                (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                  + LEAST(n_tokens, 100) / 100.0 * 0.4
+                  + (1.0 - ABS(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens - 4.5) / 10.0) * 0.3
+                  AS quality_score
+         FROM t ORDER BY doc_id""",
+
+    "tx3_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS num_tokens,
+                CAST(list_aggregate(list_transform(string_split(text, ' '),
+                     t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_pieces
+         FROM documents ORDER BY doc_id""",
+
+    "tx4_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "dd1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY rep_doc_id""",
+
+    "dd5_fingerprint_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+                MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY rep_doc_id""")
+}

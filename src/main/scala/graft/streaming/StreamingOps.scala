@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+
+/** Structured Streaming surface (SURVEY.md §2.11 — the reference only
+  * sketches streaming as future work in docs/IMPLEMENTATION_GUIDE.md:1531–
+  * 1568; we implement it): file-source stream → event-time tumbling-window
+  * aggregation → memory sink, driven synchronously for test/verify.
+  *
+  * In production the same plan runs against a directory that accumulates
+  * parquet drops with `writeStream` + watermark; here `processAllAvailable`
+  * drains the one batch so the result is a deterministic DataFrame the
+  * oracle can check (complete output mode — append would withhold windows
+  * newer than the watermark).
+  */
+object StreamingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runId = new AtomicInteger(0)
+
+  val queries: Map[String, Q] = Map(
+    "st1_stream_window_agg" -> { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      // The file-stream source only accepts directories; stage the single
+      // parquet file behind a symlink in a scratch dir (zero-copy).
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(dir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      val name = s"st1_out_${runId.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_window_agg" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+                event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+}
