@@ -30,7 +30,8 @@ object SparkEntry {
     ops.DedupOps.queries ++
     ops.SimilarityOps.queries ++
     ops.MultimodalOps.queries ++
-    streaming.StreamingOps.queries
+    streaming.StreamingOps.queries ++
+    TlcDemo.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */

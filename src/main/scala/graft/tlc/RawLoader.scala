@@ -1,0 +1,88 @@
+package graft.tlc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+
+/** Schema-drift-tolerant raw loader (reference: src/database/loader.py,
+  * src/database/schema_drift.py, src/ingestion/validators.py).
+  *
+  * The reference mutates DuckDB tables (`ALTER TABLE ADD COLUMN`,
+  * schema_drift.py:148–160). Parquet sinks are append-only, so drift is
+  * handled AT READ instead (SURVEY.md §7.4 risk 7): new source columns are
+  * reported (and optionally kept), missing expected columns are null-filled,
+  * INTEGER↔DOUBLE type changes are tolerated by casting to the expected type
+  * (schema_drift.py:103–107); other type changes are flagged for manual
+  * intervention exactly like the reference (schema_drift.py:163–168).
+  *
+  * Idempotency: the reference skips files whose name is already in
+  * `source_file` via NOT IN (loader.py:147–165); here that is a left-anti
+  * join of the new file's lineage key against the sink's distinct
+  * source_file set — or a cheap metadata check when the sink is partitioned
+  * by source_file.
+  */
+object RawLoader {
+
+  final case class DriftReport(
+    newColumns: Seq[String],
+    missingColumns: Seq[String],
+    typeChanges: Seq[(String, String, String)]) { // (col, expected, actual)
+    def hasDrift: Boolean =
+      newColumns.nonEmpty || missingColumns.nonEmpty || typeChanges.nonEmpty
+    /** Type changes other than the tolerated INTEGER↔DOUBLE family. */
+    def incompatible: Seq[(String, String, String)] = typeChanges.filterNot {
+      case (_, e, a) =>
+        val numeric = Set("IntegerType", "LongType", "DoubleType", "FloatType")
+        numeric(e) && numeric(a)
+    }
+  }
+
+  /** Diff actual vs expected schema (schema_drift.py:75–109). */
+  def detectDrift(expected: StructType, actual: StructType): DriftReport = {
+    val expByName = expected.fields.map(f => f.name -> f).toMap
+    val actByName = actual.fields.map(f => f.name -> f).toMap
+    DriftReport(
+      newColumns = actual.fieldNames.filterNot(expByName.contains).toSeq,
+      missingColumns = expected.fieldNames.filterNot(actByName.contains).toSeq,
+      typeChanges = expected.fields.toSeq.flatMap { ef =>
+        actByName.get(ef.name).collect {
+          case af if af.dataType != ef.dataType =>
+            (ef.name, ef.dataType.toString, af.dataType.toString)
+        }
+      })
+  }
+
+  /** Read a raw trip parquet with the expected schema: intersection columns
+    * cast to expected types, missing columns null-filled, lineage column
+    * appended (schema_drift.py:173–221 re-expressed for immutable sinks). */
+  def load(spark: SparkSession, path: String, expected: StructType,
+           sourceFile: String): (DataFrame, DriftReport) = {
+    val raw = spark.read.parquet(path)
+    val drift = detectDrift(expected, raw.schema)
+    require(drift.incompatible.isEmpty,
+      s"Manual intervention required for type changes: ${drift.incompatible}")
+    val cols = expected.fields.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    (raw.select(cols.toIndexedSeq: _*).withColumn("source_file", lit(sourceFile)), drift)
+  }
+
+  /** File-level validation (validators.py:16–89): row count + column names. */
+  def validate(spark: SparkSession, path: String): (Long, Seq[String]) = {
+    val df = spark.read.parquet(path)
+    (df.count(), df.columns.toSeq)
+  }
+
+  /** Idempotent-load filter: drop rows whose source_file already exists in
+    * the sink (NOT IN → left-anti, schema_drift.py:213–215). */
+  def dropAlreadyLoaded(newRows: DataFrame, existing: DataFrame): DataFrame =
+    newRows.join(
+      existing.select(col("source_file")).distinct(),
+      Seq("source_file"), "left_anti")
+
+  /** Append to a raw parquet sink, partitioned by lineage so idempotency
+    * checks and re-loads are partition-pruned at scale. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").partitionBy("source_file").parquet(path)
+}
