@@ -21,6 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.CsvOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
     operators.JoinOps.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
+    operators.CsvOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++
     operators.JoinOps.oracles ++

@@ -38,13 +38,19 @@ object AggOps {
 
     // A2: exact interpolated percentiles (aggregations.py:33–50; 04:8–10).
     "a2_percentiles" -> { (s, d) =>
+      // one ordered-set buffer for all three quantiles (array form), split
+      // into scalar columns afterwards
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("pcts"),
           count(lit(1)).as("n"))
+        .select(
+          col("o_orderpriority"),
+          round(element_at(col("pcts"), 1), 4).as("p25"),
+          round(element_at(col("pcts"), 2), 4).as("p50"),
+          round(element_at(col("pcts"), 3), 4).as("p75"),
+          col("n"))
         .orderBy("o_orderpriority")
     },
 

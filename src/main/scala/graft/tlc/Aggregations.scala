@@ -21,6 +21,13 @@ object Aggregations {
 
   private def pct(c: String, p: Double): Column = expr(s"percentile($c, $p)")
 
+  /** Exact p25/p50/p75 in ONE ordered-set buffer per column instead of three
+    * (SURVEY.md §7.3's single-pass multi-percentile — Spark's built-in
+    * `percentile(col, array(...))` already provides it; no custom
+    * TypedImperativeAggregate needed). */
+  private def pct3(c: String): Column =
+    expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+
   private def share(cond: Column): Column =
     sum(when(cond, 1).otherwise(0)).cast("double") / count(lit(1))
 
@@ -40,13 +47,9 @@ object Aggregations {
         avg(col("trip_duration_minutes")).as("avg_trip_duration"),
         pct("trip_duration_minutes", 0.5).as("median_trip_duration"),
         avg(col("price_per_mile")).as("avg_price_per_mile"),
-        pct("price_per_mile", 0.5).as("median_price_per_mile"),
-        pct("price_per_mile", 0.25).as("p25_price_per_mile"),
-        pct("price_per_mile", 0.75).as("p75_price_per_mile"),
+        pct3("price_per_mile").as("ppm_pcts"),
         avg(col("price_per_minute")).as("avg_price_per_minute"),
-        pct("price_per_minute", 0.5).as("median_price_per_minute"),
-        pct("price_per_minute", 0.25).as("p25_price_per_minute"),
-        pct("price_per_minute", 0.75).as("p75_price_per_minute"),
+        pct3("price_per_minute").as("ppmin_pcts"),
         avg(col("total_fare")).as("avg_total_fare"),
         pct("total_fare", 0.5).as("median_total_fare"),
         sum(col("total_fare")).as("total_revenue"),
@@ -55,6 +58,13 @@ object Aggregations {
         lit(0).as("trips_with_cbd_fee"),
         lit(0).as("avg_cbd_fee"),
         lit(0).as("total_cbd_fee"))
+      .withColumn("median_price_per_mile", element_at(col("ppm_pcts"), 2))
+      .withColumn("p25_price_per_mile", element_at(col("ppm_pcts"), 1))
+      .withColumn("p75_price_per_mile", element_at(col("ppm_pcts"), 3))
+      .withColumn("median_price_per_minute", element_at(col("ppmin_pcts"), 2))
+      .withColumn("p25_price_per_minute", element_at(col("ppmin_pcts"), 1))
+      .withColumn("p75_price_per_minute", element_at(col("ppmin_pcts"), 3))
+      .drop("ppm_pcts", "ppmin_pcts")
 
   /** agg_hvfhv_take_rates (aggregations.py:79–114). */
   def hvfhvTakeRates(fact: DataFrame): DataFrame =
@@ -67,9 +77,7 @@ object Aggregations {
         count(lit(1)).as("trip_count"),
         avg(col("trip_distance_miles")).as("avg_trip_distance"),
         avg(col("trip_duration_minutes")).as("avg_trip_duration"),
-        pct("take_rate", 0.5).as("median_take_rate"),
-        pct("take_rate", 0.25).as("p25_take_rate"),
-        pct("take_rate", 0.75).as("p75_take_rate"),
+        pct3("take_rate").as("tr_pcts"),
         avg(col("take_rate")).as("avg_take_rate"),
         stddev(col("take_rate")).as("stddev_take_rate"),
         avg(col("driver_pay")).as("avg_driver_pay"),
@@ -79,6 +87,10 @@ object Aggregations {
         sum(col("total_fare") - col("driver_pay")).as("total_platform_commission"),
         avg(col("total_fare")).as("avg_total_fare"),
         sum(col("total_fare")).as("total_revenue"))
+      .withColumn("median_take_rate", element_at(col("tr_pcts"), 2))
+      .withColumn("p25_take_rate", element_at(col("tr_pcts"), 1))
+      .withColumn("p75_take_rate", element_at(col("tr_pcts"), 3))
+      .drop("tr_pcts")
       .filter(col("trip_count") >= 5)
 
   /** agg_market_share (aggregations.py:131–163). */

@@ -102,14 +102,16 @@ object Analytics {
       .agg(
         count(lit(1)).as("total_trips"),
         (avg(col("take_rate")) * 100).as("avg_take_rate_pct"),
-        (pct("take_rate", 0.5) * 100).as("median_take_rate_pct"),
-        (pct("take_rate", 0.25) * 100).as("p25_take_rate_pct"),
-        (pct("take_rate", 0.75) * 100).as("p75_take_rate_pct"),
+        expr("percentile(take_rate, array(0.25, 0.5, 0.75))").as("tr_pcts"),
         avg(col("driver_pay")).as("avg_driver_pay"),
         avg(col("total_fare") - col("driver_pay")).as("avg_platform_commission"),
         sum(col("total_fare") - col("driver_pay")).as("total_platform_revenue"),
         sum(col("driver_pay")).as("total_driver_pay"),
         sum(col("total_fare")).as("total_gross_revenue"))
+      .withColumn("p25_take_rate_pct", element_at(col("tr_pcts"), 1) * 100)
+      .withColumn("median_take_rate_pct", element_at(col("tr_pcts"), 2) * 100)
+      .withColumn("p75_take_rate_pct", element_at(col("tr_pcts"), 3) * 100)
+      .drop("tr_pcts")
       .orderBy(col("total_trips").desc)
 
   /** 05: pricing comparison across services (05_pricing_comparison.sql). */
@@ -383,12 +385,19 @@ object Analytics {
       .groupBy("year", "month", "month_name", "company_name")
       .agg(
         count(lit(1)).as("trip_count"),
-        (pct("take_rate", 0.25) * 100).as("p25_take_rate"),
-        (pct("take_rate", 0.5) * 100).as("median_take_rate"),
-        (pct("take_rate", 0.75) * 100).as("p75_take_rate"),
+        // one ordered-set buffer for p25/p50/p75 + IQR (vs five in the SQL)
+        expr("percentile(take_rate, array(0.25, 0.5, 0.75))").as("pcts"),
         (avg(col("take_rate")) * 100).as("avg_take_rate"),
-        (stddev(col("take_rate")) * 100).as("stddev_take_rate"),
-        ((pct("take_rate", 0.75) - pct("take_rate", 0.25)) * 100).as("iqr_take_rate"))
+        (stddev(col("take_rate")) * 100).as("stddev_take_rate"))
+      .select(
+        col("year"), col("month"), col("month_name"), col("company_name"),
+        col("trip_count"),
+        (element_at(col("pcts"), 1) * 100).as("p25_take_rate"),
+        (element_at(col("pcts"), 2) * 100).as("median_take_rate"),
+        (element_at(col("pcts"), 3) * 100).as("p75_take_rate"),
+        col("avg_take_rate"), col("stddev_take_rate"),
+        ((element_at(col("pcts"), 3) - element_at(col("pcts"), 1)) * 100)
+          .as("iqr_take_rate"))
       .orderBy("year", "month", "company_name")
 
   /** 14: market-share shift vs pricing — five chained CTEs, scalar-subquery
