@@ -9,10 +9,11 @@ import graft.Tables
   *
   * Scale design: the LSH pipeline never materializes the O(n²) pair space —
   * docs are shuffled once on (band_idx, band_signature), so only docs
-  * agreeing on a full band of minhashes ever meet. MinHash values are
-  * lexicographic minima of seeded md5 hex strings (a valid random-permutation
-  * approximation) — chosen over integer hashing because both engines share
-  * md5 bit-for-bit, which makes the whole pipeline oracle-checkable.
+  * agreeing on a full band of minhashes ever meet. The MinHash base hash is
+  * a 28-bit md5 prefix (md5 because both engines share it bit-for-bit,
+  * keeping the whole pipeline oracle-checkable); the K hash functions are
+  * affine maps over that one digest, so per-shingle digest cost is constant
+  * in K.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -20,6 +21,14 @@ object DedupOps {
   private val K = 16     // minhashes per doc
   private val BANDS = 4  // 4 bands × 4 rows
   private val ROWS = K / BANDS
+
+  /** Affine hash family over the 28-bit md5-prefix base hash. a_i*H + b_i
+    * stays under 2^59 (no 64-bit overflow in either engine); the constants
+    * are plain LCG draws shared verbatim with the oracle SQL. */
+  private val MERSENNE = 2147483647L // 2^31 - 1
+  private def lcg(k: Long): Long = (1103515245L * k + 12345L) % MERSENNE
+  private[graft] def hashA(i: Int): Long = lcg(2 * i + 1) | 1L // odd, < 2^31
+  private[graft] def hashB(i: Int): Long = lcg(2 * i + 2)
 
   /** doc_id → exploded distinct token 3-gram shingles. */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -52,13 +61,18 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     },
 
-    // MinHash + LSH banding: K seeded-md5 minhashes, banded signatures,
+    // MinHash + LSH banding: ONE md5 per shingle (28-bit base hash), K
+    // affine integer hashes h_i = (a_i*H + b_i) mod 2^31-1 derived from it
+    // (16x fewer digest computations than hashing per seed — the per-token
+    // hash cost is what dominates at corpus scale), banded signatures,
     // bucket join for candidates, then signature-agreement estimate.
     "dd2_minhash_lsh" -> { (s, d) =>
       val sh = shingles(s, d)
+        .withColumn("H", expr(
+          "CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
       // K minhash columns in ONE hash-aggregate pass (no per-seed shuffle).
       val minCols = (0 until K).map(i =>
-        min(md5(concat_ws("|", lit(i), col("sh")))).as(s"m$i"))
+        min((lit(hashA(i)) * col("H") + lit(hashB(i))) % lit(MERSENNE)).as(s"m$i"))
       val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       // band signatures: md5 over the band's ROWS minhashes, exploded to
       // (doc_id, band_idx, band_sig) for the bucket join.
@@ -130,19 +144,17 @@ object DedupOps {
 
     "dd2_minhash_lsh" -> {
       val minExprs = (0 until K).map(i =>
-        s"MIN(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(", ")
+        s"MIN((${hashA(i)} * H + ${hashB(i)}) % $MERSENNE) AS m$i").mkString(", ")
       val bandCases = (0 until BANDS).map { bnd =>
-        val parts = (0 until ROWS).map(r => s"m${bnd * ROWS + r}").mkString(" || '|' || ")
+        val parts = (0 until ROWS).map(r => s"CAST(m${bnd * ROWS + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
         s"WHEN $bnd THEN md5($parts)"
       }.mkString(" ")
       val agree = (0 until K).map(i =>
         s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
       s"""WITH $duckShingles,
-          seeds AS (SELECT UNNEST(generate_series(0, ${K - 1})) AS seed),
-          mh AS (SELECT doc_id, seed,
-                        MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-                 FROM sh, seeds GROUP BY 1, 2),
-          sig AS (SELECT doc_id, $minExprs FROM mh GROUP BY 1),
+          sh2 AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS H FROM sh),
+          sig AS (SELECT doc_id, $minExprs FROM sh2 GROUP BY 1),
           bands AS (SELECT doc_id, band_idx,
                            CASE band_idx $bandCases END AS band_sig
                     FROM sig, (SELECT UNNEST(generate_series(0, ${BANDS - 1})) AS band_idx) b),
