@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.CosineSimilarity
 
 /** Similarity search over the `embeddings` table (Array[Float] vectors).
   *
@@ -13,9 +14,11 @@ import graft.Tables
   * Hyperplane weights come from an LCG formula shared verbatim with the
   * DuckDB oracle, so the bucketing itself is oracle-checkable.
   *
-  * Dot products fold the arrays in index order (`aggregate`/`zip_with`) in
-  * double precision; outputs are rounded to 4 digits (cross-engine
-  * accumulation-order tolerance), ranking happens on the raw value.
+  * The inner loop uses the native codegen'd [[CosineSimilarity]] expression
+  * (index-ordered double accumulation — bit-identical to the composable
+  * `aggregate(zip_with(...))` form it replaced, but a primitive loop instead
+  * of per-element interpreted lambdas). Outputs round to 4 digits
+  * (cross-engine accumulation-order tolerance); ranking uses the raw value.
   */
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
@@ -24,15 +27,13 @@ object SimilarityOps {
   private val TOPK = 5
   private val NQUERY = 10 // vec_id < 10 are the query vectors
 
-  /** embeddings as double vectors with L2 norms. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings as double vectors. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    CosineSimilarity.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-
-  private def dotCol: Column =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  }
 
   private def topkPerQuery(cand: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -48,11 +49,11 @@ object SimilarityOps {
     "sim1_cosine_topk" -> { (s, d) =>
       val all = vecs(s, d)
       val q = all.filter(col("vec_id") < NQUERY)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val cand = all
-        .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+        .select(col("vec_id").as("neighbor_id"), col("v"))
         .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .withColumn("raw_sim", dotCol / (col("qn") * col("nrm")))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
       topkPerQuery(cand)
     },
 
@@ -73,13 +74,12 @@ object SimilarityOps {
         .reduce(_ + _)
       val bucketed = all.withColumn("bucket", bucket)
       val q = bucketed.filter(col("vec_id") < NQUERY)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       val cand = bucketed
-        .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
+        .select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
         .join(broadcast(q), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("raw_sim", dotCol / (col("qn") * col("nrm")))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
       topkPerQuery(cand)
     })
 
