@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Scale-technique operators beyond the reference's surface:
+  * gaps-and-islands sessionization (the batch twin of stateful streaming
+  * session windows), salt-then-merge aggregation for skewed keys, and
+  * sketch-based approximate aggregates (the 100 TB alternative to exact
+  * COUNT DISTINCT / percentile when error tolerance allows).
+  */
+object SessionScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GAP_MIN = 30 // session gap threshold, minutes
+
+  val queries: Map[String, Q] = Map(
+    // Sessionization: a session breaks after a >30 min gap per user.
+    // Two windows + two aggregations; at scale this is one shuffle on
+    // user_id (the windows and both group-bys share the partitioning).
+    "w6_sessionize" -> { (s, d) =>
+      // exact microsecond integers for the gap test — floor-second deltas
+      // (unix_timestamp) would disagree with the oracle's fractional epochs
+      // on sub-second boundaries.
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GAP_MIN * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("(max(us) - min(us)) div 1000000").as("session_seconds"))
+      sessions
+        .groupBy("user_id")
+        .agg(
+          countDistinct(col("session_id")).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("longest_session_events"),
+          max(col("session_seconds")).as("longest_session_seconds"))
+        .orderBy("user_id")
+    },
+
+    // Salt-then-merge aggregation: pre-aggregate on (key, salt) so a hot key
+    // spreads across partitions, then merge the partials. Exact decimal
+    // partials make the two-stage result identical to the direct aggregate.
+    "a12_salted_agg" -> { (s, d) =>
+      val partial = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+          sum(col("l_quantity").cast("decimal(30,8)")).as("qty_partial"),
+          count(lit(1)).as("n_partial"))
+      partial
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(col("qty_partial")), 4).cast("double").as("sum_qty"),
+          sum(col("n_partial")).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Sketch aggregates: HLL distinct + approximate percentile next to their
+    // exact counterparts with observed relative error. No DuckDB oracle —
+    // sketch internals are engine-specific (driver records rows-only).
+    "a13_approx_sketches" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_distinct"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx_median"))
+        .withColumn("distinct_rel_err",
+          abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+            col("exact_distinct"))
+        .withColumn("median_rel_err",
+          abs(col("approx_median") - col("exact_median")) / col("exact_median"))
+        .orderBy("o_orderpriority")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "w6_sessionize" ->
+      s"""WITH g AS (
+            SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events),
+          flagged AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN prev_us IS NULL
+                          OR us - prev_us > ${GAP_MIN * 60L * 1000000L}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM g),
+          numbered AS (
+            SELECT user_id, us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged),
+          sessions AS (
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   (MAX(us) - MIN(us)) // 1000000 AS session_seconds
+            FROM numbered GROUP BY 1, 2)
+          SELECT user_id,
+                 COUNT(DISTINCT session_id) AS n_sessions,
+                 CAST(SUM(n_events) AS BIGINT) AS n_events,
+                 MAX(n_events) AS longest_session_events,
+                 MAX(session_seconds) AS longest_session_seconds
+          FROM sessions GROUP BY 1 ORDER BY 1""",
+
+    "a12_salted_agg" ->
+      """SELECT l_returnflag,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""")
+}
