@@ -82,6 +82,19 @@ object WindowSortOps {
         .orderBy("o_custkey", "rk")
     },
 
+    // W7 (beyond reference): same top-N-per-group semantics as w5 through
+    // the custom heap-based TopKPerGroup operator (graft.plans) — bounded
+    // O(n log k) partial pass, shuffle of survivors only, no full group
+    // sort. Oracle-checked against the same DuckDB window query.
+    "w7_topk_native" -> { (s, d) =>
+      graft.plans.TopK.perGroup(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        k = 2,
+        groupCols = Seq("o_custkey"),
+        orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // T1: top-k by aggregate (01:18–19) — TakeOrderedAndProject.
     "t1_topk_revenue" -> { (s, d) =>
       Tables.orders(s, d)
@@ -176,6 +189,14 @@ object WindowSortOps {
                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
            FROM orders)
          WHERE rk <= 2 ORDER BY o_custkey, rk""",
+
+    "w7_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 2 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
 
     "t1_topk_revenue" ->
       """SELECT o_custkey,
