@@ -23,6 +23,23 @@ object StreamingOps {
   private val runId = new AtomicInteger(0)
 
   val queries: Map[String, Q] = Map(
+    // Event-time session windows via Spark's dedicated session_window
+    // operator (merge-on-gap semantics; the same plan runs under
+    // readStream + watermark). Oracle: gaps-and-islands with a >= gap
+    // boundary, which matches session_window's strict window-end merge.
+    "st2_session_window" -> { (s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("largest_session"),
+          dsum(col("session_value")).as("total_value"))
+        .orderBy("user_id")
+    },
+
     "st1_stream_window_agg" -> { (s, d) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$d/events.parquet"
@@ -52,6 +69,33 @@ object StreamingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "st2_session_window" ->
+      """WITH g AS (
+           SELECT user_id, event_id, "value",
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         flagged AS (
+           SELECT user_id, "value", us,
+                  CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         numbered AS (
+           SELECT user_id, "value",
+                  SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged),
+         sessions AS (
+           SELECT user_id, session_id, COUNT(*) AS n_events,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS session_value
+           FROM numbered GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions,
+                CAST(SUM(n_events) AS BIGINT) AS n_events,
+                MAX(n_events) AS largest_session,
+                CAST(ROUND(SUM(CAST(session_value AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM sessions GROUP BY 1 ORDER BY 1""",
+
     "st1_stream_window_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
                 event_type, COUNT(*) AS n,
