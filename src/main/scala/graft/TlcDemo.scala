@@ -78,17 +78,22 @@ object TlcDemo {
     (y, g, h, z)
   }
 
+  // one pipeline run per session — both demo queries share its lineage
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Pipeline.Result]()
+  private def result(s: SparkSession): Pipeline.Result =
+    cache.computeIfAbsent(s, _ => {
+      val (y, g, h, z) = fixtures(s)
+      Pipeline.run(s, y, g, h, z)
+    })
+
   val queries: Map[String, Q] = Map(
     // Full TLC pipeline on fixture rows → q01 top zones by revenue.
     "tlc_pipeline_q01" -> { (s, _) =>
-      val (y, g, h, z) = fixtures(s)
-      val result = Pipeline.run(s, y, g, h, z)
-      result.analytics("01_top_zones_by_revenue")
+      result(s).analytics("01_top_zones_by_revenue")
     },
     // Same pipeline → data-quality summary (exercises restored dropoff cols).
     "tlc_pipeline_q10" -> { (s, _) =>
-      val (y, g, h, z) = fixtures(s)
-      val result = Pipeline.run(s, y, g, h, z)
-      result.analytics("10_data_quality_summary")
+      result(s).analytics("10_data_quality_summary")
     })
 }

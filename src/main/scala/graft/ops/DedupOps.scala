@@ -46,14 +46,25 @@ object DedupOps {
     // it is still shuffle-local (one exchange on the shingle key).
     "dd4_ngram_jaccard" -> { (s, d) =>
       val sh = shingles(s, d)
+      // per-doc distinct-shingle counts: tiny (one row per doc) → broadcast
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-      val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      // ONE exchange on the shingle key builds each shingle's doc set; the
+      // co-occurring pairs are generated with array combinators instead of
+      // a self-join (which would shuffle the shingle stream twice more).
+      val pairs = sh
+        .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+             transform(slice(docs, i + 2, size(docs)), y ->
+               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       inter
-        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))),
+          Seq("doc_a"))
+        .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))),
+          Seq("doc_b"))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
         .filter(col("jaccard") >= 0.2)
