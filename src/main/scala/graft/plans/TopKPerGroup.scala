@@ -116,9 +116,14 @@ object TopK {
     GraftSqlAccess.ofRows(spark, TopKPerGroup(k, g, o, plan))
   }
 
-  /** Idempotently add the planner strategy to the session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently add the planner strategy and the window-rewrite optimizer
+    * rule to the session. */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(RewriteTopKWindow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteTopKWindow
+  }
 }

@@ -45,6 +45,33 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(nativeTopK(df, 2).count() == 0)
   }
 
+  test("optimizer rule rewrites row_number+filter when rank is dropped") {
+    import spark.implicits._
+    TopK.register(spark)
+    val df = (1 to 1000).map(i => (i % 20L, i * 7 % 97, i.toLong))
+      .toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val idiom = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("g", "v", "id")
+    assert(idiom.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "rewrite should fire when the rank column is dropped")
+    // and produces the same rows as the unrewritten window form
+    val reference = windowTopK(df, 3)
+    assert(idiom.except(reference).count() == 0 &&
+      reference.except(idiom).count() == 0)
+  }
+
+  test("optimizer rule leaves the window when the rank is in the output") {
+    import spark.implicits._
+    TopK.register(spark)
+    val df = (1 to 100).map(i => (i % 5L, i, i.toLong)).toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val withRank = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("g", "rk")
+    assert(!withRank.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(withRank.count() == 15)
+  }
+
   test("duplicate order values resolved by tiebreak deterministically") {
     import spark.implicits._
     val df = Seq((1L, 7, 1L), (1L, 7, 2L), (1L, 7, 3L)).toDF("g", "v", "id")
