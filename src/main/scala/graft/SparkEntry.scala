@@ -33,6 +33,7 @@ object SparkEntry {
     ops.SimilarityOps.queries ++
     ops.MultimodalOps.queries ++
     streaming.StreamingOps.queries ++
+    streaming.StatefulSessionize.queries ++
     TlcDemo.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
