@@ -23,7 +23,9 @@ import graft.functions.CosineSimilarity
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val PLANES = 8  // LSH hyperplanes → 256 buckets
+  private val PLANES = 8          // total hyperplanes
+  private val TABLES = 2          // independent LSH tables…
+  private val ROWS_PER_TABLE = 4  // …of 4 bits (16 buckets) each
   private val TOPK = 5
   private val NQUERY = 10 // vec_id < 10 are the query vectors
 
@@ -57,8 +59,27 @@ object SimilarityOps {
       topkPerQuery(cand)
     },
 
-    // LSH-bucketed ANN: candidates restricted to the query's hyperplane
-    // bucket. Hyperplane weight w(j, i) for plane j, 1-based dim i:
+    // Embedding-cosine near-duplicate detection (the vector-space dedup
+    // modality): all pairs above a cosine threshold (0.35 — this synthetic corpus tops out at ~0.51 pairwise), grouped to a
+    // min-id representative. Exact all-pairs here is the auditable
+    // baseline; at corpus scale the same threshold query runs over the
+    // LSH buckets below (sim2) instead of the cross join.
+    "dd6_embedding_neardup" -> { (s, d) =>
+      val all = vecs(s, d)
+      val a = all.select(col("vec_id").as("vec_a"), col("v").as("qv"))
+      val b = all.select(col("vec_id").as("vec_b"), col("v"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+        .filter(col("raw_sim") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("raw_sim"), 4).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // Multi-table LSH ANN: TABLES independent hash tables of ROWS_PER_TABLE
+    // hyperplane bits each; a candidate matches the query in ANY table
+    // (union-of-buckets, the standard recall lever — one wide table starves
+    // recall on small corpora and over-prunes skewed ones). Hyperplane
+    // weight w(j, i) for plane j, 1-based dim i:
     //   lcg(k) = (1103515245 * k + 12345) mod 2^31,  k = j * 64 + (i - 1)
     //   w = lcg(k) / 2^31 - 0.5
     "sim2_lsh_ann" -> { (s, d) =>
@@ -69,19 +90,57 @@ object SimilarityOps {
           s"((1103515245 * CAST($j * 64 + i AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
         expr(s"aggregate(zip_with(v, $w, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
       }
-      val bucket = planeDot.zipWithIndex
-        .map { case (c, j) => when(c >= 0, 1L << j).otherwise(0L) }
-        .reduce(_ + _)
-      val bucketed = all.withColumn("bucket", bucket)
+      val tables = (0 until TABLES).map { t =>
+        val bucket = (0 until ROWS_PER_TABLE).map { r =>
+          val c = planeDot(t * ROWS_PER_TABLE + r)
+          when(c >= 0, 1L << r).otherwise(0L)
+        }.reduce(_ + _)
+        struct(lit(t).as("tbl"), bucket.as("bucket"))
+      }
+      val bucketed = all
+        .select(col("vec_id"), col("v"), explode(array(tables: _*)).as("tb"))
+        .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
       val q = bucketed.filter(col("vec_id") < NQUERY)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      // candidate pairs from any table, deduped BEFORE the cosine work
       val cand = bucketed
-        .select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
-        .join(broadcast(q), Seq("bucket"))
+        .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+        .join(broadcast(q), Seq("tbl", "bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val qv = all.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = cand
+        .join(all.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
         .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
-      topkPerQuery(cand)
-    })
+      topkPerQuery(scored)
+    },
+
+    "sim3_ivf_ann" -> ivfQuery)
+
+  /** IVF-style ANN: k-means coarse quantizer (MLlib), search restricted to
+    * the query's cell. Rows-only at the gate (k-means is iterative and
+    * engine-specific — no SQL oracle); recall vs the exact baseline is
+    * asserted by SimilaritySpec. nprobe=1 here; at scale, probe the p
+    * nearest centroids instead. */
+  def ivfQuery: Q = { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val all = vecs(s, d).withColumn("features", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").fit(all)
+    val assigned = model.transform(all)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val q = assigned.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val cand = assigned
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+    topkPerQuery(cand)
+  }
 
   private val duckVecs =
     """e AS (SELECT vec_id, embedding FROM embeddings),
@@ -109,6 +168,19 @@ object SimilarityOps {
           SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
           FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
 
+    "dd6_embedding_neardup" ->
+      s"""WITH $duckVecs,
+          dot AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         SUM(a.x * b.x) AS dp
+                  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+          sim AS (SELECT vec_a, vec_b, dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = vec_a
+                  JOIN n nb ON nb.vec_id = vec_b)
+          SELECT vec_a, vec_b, ROUND(raw_sim, 4) AS sim
+          FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""",
+
     "sim2_lsh_ann" ->
       s"""WITH $duckVecs,
           hp AS (SELECT j, i,
@@ -118,15 +190,17 @@ object SimilarityOps {
                       (SELECT UNNEST(generate_series(1, 64)) AS i) pi),
           pdot AS (SELECT u.vec_id, hp.j, SUM(u.x * hp.w) AS pd
                    FROM u JOIN hp ON u.i = hp.i GROUP BY 1, 2),
-          bkt AS (SELECT vec_id,
-                         CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-                  FROM pdot GROUP BY 1),
-          dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                         SUM(a.x * b.x) AS dp
-                  FROM u a JOIN u b ON a.i = b.i
-                  JOIN bkt ba ON ba.vec_id = a.vec_id
-                  JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
-                  WHERE a.vec_id < $NQUERY AND a.vec_id <> b.vec_id
+          bkt AS (SELECT vec_id, (j // $ROWS_PER_TABLE) AS tbl,
+                         CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << (j % $ROWS_PER_TABLE)) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM pdot GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT qa.vec_id AS query_id, nb.vec_id AS neighbor_id
+                   FROM bkt qa JOIN bkt nb
+                     ON qa.tbl = nb.tbl AND qa.bucket = nb.bucket
+                   WHERE qa.vec_id < $NQUERY AND qa.vec_id <> nb.vec_id),
+          dot AS (SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+                  FROM cand c
+                  JOIN u a ON a.vec_id = c.query_id
+                  JOIN u b ON b.vec_id = c.neighbor_id AND a.i = b.i
                   GROUP BY 1, 2),
           sim AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS raw_sim
                   FROM dot

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Approximate-search quality: both scale paths (LSH buckets, IVF cells)
+  * must recover a reasonable fraction of the exact top-k neighbors. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH ANN recall vs exact top-k") {
+    val exact = pairs("sim1_cosine_topk")
+    val lsh = pairs("sim2_lsh_ann")
+    assert(lsh.subsetOf(exact.union(lsh))) // sanity: well-formed
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall $recall too low")
+  }
+
+  test("IVF ANN recall vs exact top-k") {
+    val exact = pairs("sim1_cosine_topk")
+    val ivf = pairs("sim3_ivf_ann")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+    // every returned neighbor must carry a valid similarity
+    val bad = SparkEntry.queries("sim3_ivf_ann")(spark, sfDir)
+      .filter(col("sim").isNull || col("sim") > 1.0001 || col("sim") < -1.0001)
+    assert(bad.count() == 0)
+  }
+}
