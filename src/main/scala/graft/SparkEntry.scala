@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CsvOps.queries ++
+    operators.ExtendedOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.CsvOps.oracles ++
+    operators.ExtendedOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++
