@@ -84,6 +84,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("data_quality_score") == 1.0)
   }
 
+  test("agg_pricing_by_zone_hour: fixture yellow zone 161 hour 10 values") {
+    val p = result.aggregates("agg_pricing_by_zone_hour")
+      .filter(col("service_type") === "yellow" && col("pickup_zone_id") === 161 &&
+        col("pickup_hour") === 10)
+    val row = p.head()
+    assert(row.getAs[Long]("trip_count") == 1)
+    // single trip: median == avg == the trip's price_per_mile = 16.3/2.5
+    assert(math.abs(row.getAs[Double]("median_price_per_mile") - 16.3 / 2.5) < 1e-9)
+    assert(math.abs(row.getAs[Double]("p25_price_per_mile") - 16.3 / 2.5) < 1e-9)
+    assert(math.abs(row.getAs[Double]("total_revenue") - 16.3) < 1e-9)
+  }
+
+  test("agg_hvfhv_take_rates enforces the >=5 trips HAVING (aggregations.py:113)") {
+    // only 3 hvfhv fixture trips, all in distinct zone/hour groups
+    assert(result.aggregates("agg_hvfhv_take_rates").count() == 0)
+  }
+
+  test("q04 platform economics: Uber take-rate math on fixture rows") {
+    val q = result.analytics("04_hvfhv_platform_economics")
+    val uber = q.filter(col("company_name") === "Uber").head()
+    assert(uber.getAs[Long]("total_trips") == 2)
+    // trip totals: 23.09 and 30.88; commissions: 23.09-12.5, 30.88-16.0
+    assert(math.abs(uber.getAs[Double]("total_gross_revenue") - (23.09 + 30.88)) < 1e-9)
+    assert(math.abs(uber.getAs[Double]("total_driver_pay") - 28.5) < 1e-9)
+  }
+
   test("agg_market_share respects the >=10 trips HAVING (aggregations.py:162)") {
     // fixture zones have at most 2 trips/zone/day → empty after HAVING
     assert(result.aggregates("agg_market_share").count() == 0)
