@@ -151,6 +151,26 @@ object Aggregations {
   def write(agg: DataFrame, path: String): Unit =
     agg.write.mode("overwrite").partitionBy("trip_date").parquet(path)
 
+  /** Incremental rebuild: recompute ONLY the given dates' partitions and
+    * overwrite them in place (dynamic partition overwrite), leaving every
+    * other date's data untouched. At 100 TB a late-arriving file touches a
+    * handful of dates — truncate-rebuild (aggregations.py:19,77,129,178)
+    * would rescan the whole fact. `build` is any of the agg builders above;
+    * its input is pre-filtered so the scan itself partition-prunes. */
+  def rebuildDates(fact: DataFrame, build: DataFrame => DataFrame,
+                   dates: Seq[java.sql.Date], path: String): Unit = {
+    val spark = fact.sparkSession
+    val previous = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      build(fact.filter(col("pickup_date").isin(dates: _*)))
+        .write.mode("overwrite").partitionBy("trip_date").parquet(path)
+    } finally previous match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def buildAll(fact: DataFrame): Map[String, DataFrame] = Map(
     "agg_pricing_by_zone_hour" -> pricingByZoneHour(fact),
     "agg_hvfhv_take_rates" -> hvfhvTakeRates(fact),
