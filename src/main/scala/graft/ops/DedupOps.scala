@@ -45,14 +45,18 @@ object DedupOps {
     // The shingle self-join is the quadratic baseline LSH exists to avoid;
     // it is still shuffle-local (one exchange on the shingle key).
     "dd4_ngram_jaccard" -> { (s, d) =>
-      val sh = shingles(s, d)
-      // per-doc distinct-shingle counts: tiny (one row per doc) → broadcast
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       // ONE exchange on the shingle key builds each shingle's doc set; the
       // co-occurring pairs are generated with array combinators instead of
       // a self-join (which would shuffle the shingle stream twice more).
-      val pairs = sh
+      val grouped = shingles(s, d)
         .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      // per-doc distinct-shingle counts derived from the SAME grouped frame
+      // (identical subplan → Spark reuses the shingle exchange instead of
+      // recomputing tokenization); tiny result → broadcast.
+      val counts = grouped
+        .select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped
         .filter(size(col("docs")) >= 2)
         .select(explode(expr(
           """flatten(transform(docs, (x, i) ->

@@ -93,6 +93,19 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Order-sensitive rolling-hash fingerprint: polynomial fold over the
+    // token stream, h = (h*31 + tokenHash) mod 2^31-1 — unlike tx4 it
+    // distinguishes reordered documents; pure integer math, oracle-exact.
+    "tx5_rolling_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("""aggregate(split(text, ' '), 0L, (acc, t) ->
+                  (acc * 31 + CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT))
+                  % 2147483647)""").as("rolling_hash"))
+        .orderBy("doc_id")
+    },
+
     // Exact dedup: hash-groupBy on md5(text), keep min(doc_id) as the
     // representative. At scale this is one shuffle on a 32-byte key.
     "dd1_exact_dedup" -> { (s, d) =>
@@ -159,6 +172,15 @@ object TextOps {
     "tx4_fingerprint" ->
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "tx5_rolling_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ' '),
+                      t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
          FROM documents ORDER BY doc_id""",
 
     "dd1_exact_dedup" ->

@@ -1,0 +1,80 @@
+package graft.tlc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Command-line pipeline runner (reference: src/cli.py `run-e2e` /
+  * `run-analytics`):
+  *
+  *   runMain graft.tlc.Cli --yellow p1 --green p2 --hvfhv p3 --zones p4 --out dir
+  *
+  * Loads each raw source with the drift-tolerant loader (drift reports go to
+  * stderr), runs the full pipeline, and writes under --out:
+  * fact_trips/ (partitioned by pickup_date), agg_* tables, dim_* tables,
+  * data_quality_metrics/, and analytics/<query>/ for all 14 queries.
+  * Downloading stays outside the engine (SURVEY.md §2.1 S4).
+  */
+object Cli {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val required = Seq("yellow", "green", "hvfhv", "zones", "out")
+    val missing = required.filterNot(opts.contains)
+    require(missing.isEmpty, s"missing arguments: ${missing.map("--" + _).mkString(" ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-tlc-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadRaw(key: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val path = opts(key)
+      val (df, drift) = RawLoader.load(spark, path, schema,
+        new java.io.File(path).getName)
+      if (drift.hasDrift) System.err.println(s"[drift] $key: $drift")
+      df
+    }
+
+    val zonesPath = opts("zones")
+    val zones =
+      if (zonesPath.endsWith(".csv"))
+        spark.read.option("header", true).option("inferSchema", true).csv(zonesPath)
+      else spark.read.parquet(zonesPath)
+
+    val result = Pipeline.run(spark,
+      loadRaw("yellow", Schemas.rawYellow),
+      loadRaw("green", Schemas.rawGreen),
+      loadRaw("hvfhv", Schemas.rawHvfhv),
+      zones)
+
+    val out = opts("out")
+    Pipeline.writeFact(result.fact, s"$out/fact_trips")
+    result.qualityMetrics.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/data_quality_metrics")
+    result.aggregates.foreach { case (name, df) =>
+      Aggregations.write(df, s"$out/$name")
+    }
+    Seq(
+      "dim_zones" -> result.tables.dimZones,
+      "dim_date" -> result.tables.dimDate,
+      "dim_time" -> result.tables.dimTime,
+      "dim_service" -> result.tables.dimService,
+      "dim_hvfhs_company" -> result.tables.dimHvfhsCompany)
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      }
+    result.analytics.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/analytics/$name")
+    }
+    println(s"[graft] pipeline complete: ${result.fact.count()} fact rows -> $out")
+    spark.stop()
+  }
+}

@@ -29,11 +29,19 @@ object RawLoader {
     typeChanges: Seq[(String, String, String)]) { // (col, expected, actual)
     def hasDrift: Boolean =
       newColumns.nonEmpty || missingColumns.nonEmpty || typeChanges.nonEmpty
-    /** Type changes other than the tolerated INTEGER↔DOUBLE family. */
+    /** Type changes other than the tolerated families: any numeric↔numeric
+      * (the reference's INTEGER↔DOUBLE rule, schema_drift.py:103–107,
+      * widened to DECIMAL — TLC parquet vintages carry money as either) and
+      * timestamp↔timestamp_ntz (parquet writers disagree on the isAdjustedToUTC
+      * flag; the session is pinned to UTC so the instant is identical). */
     def incompatible: Seq[(String, String, String)] = typeChanges.filterNot {
       case (_, e, a) =>
-        val numeric = Set("IntegerType", "LongType", "DoubleType", "FloatType")
-        numeric(e) && numeric(a)
+        def numeric(t: String) =
+          Set("IntegerType", "LongType", "DoubleType", "FloatType",
+            "ShortType", "ByteType")(t) || t.startsWith("DecimalType")
+        def timestampish(t: String) =
+          t == "TimestampType" || t == "TimestampNTZType"
+        (numeric(e) && numeric(a)) || (timestampish(e) && timestampish(a))
     }
   }
 

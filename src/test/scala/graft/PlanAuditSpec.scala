@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Physical-plan regression guards: the properties that make these operators
+  * scale (pushdown, pruning, broadcast, partial aggregation, the custom
+  * top-k) must stay visible in the plans — a refactor that silently loses
+  * one is a performance bug even when results stay correct. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("s1: filter is pushed to the parquet scan and columns are pruned") {
+    val p = plan("s1_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"))
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"))
+  }
+
+  test("j1: dim join is a broadcast hash join, never a shuffle join") {
+    val p = plan("j1_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j7: IN-subquery plans as a broadcast LEFT SEMI join") {
+    val p = plan("j7_semi_join")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("a1: aggregation is partial+final (map-side combine before the exchange)") {
+    val p = plan("a1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("t1: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("t1_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("w7: custom operator plans partial -> exchange -> final") {
+    val p = plan("w7_topk_native")
+    val idx = p.indexOf("TopKPerGroup")
+    assert(idx >= 0)
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+}
