@@ -65,6 +65,20 @@ object ExtendedOps {
         .orderBy("user_id", "event_id")
     },
 
+    // A15: PIVOT — wide conditional aggregation with an explicit value list
+    // (the DataFrame twin of the reference's SUM(CASE WHEN service_type=…)
+    // pivot-style aggregates, aggregations.py:137–157).
+    "a15_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy("o_orderpriority")
+    },
+
     // A14: ROLLUP — multi-level totals in one pass (absent from the
     // reference; the 100 TB replacement for re-aggregating agg tables).
     "a14_rollup" -> { (s, d) =>
@@ -107,6 +121,13 @@ object ExtendedOps {
                         ROWS UNBOUNDED PRECEDING) AS last_purchase_value
          FROM events WHERE user_id < 20
          ORDER BY user_id, event_id""",
+
+    "a15_pivot" ->
+      """SELECT o_orderpriority,
+                COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "a14_rollup" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract integrity: the query map is assembled with ++ from many
+  * component maps — a duplicated key would silently shadow an operator and
+  * shrink coverage without any other failure. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  private val parts: Seq[(String, Map[String, _])] = Seq(
+    "CsvOps" -> operators.CsvOps.queries,
+    "ExtendedOps" -> operators.ExtendedOps.queries,
+    "SessionScaleOps" -> operators.SessionScaleOps.queries,
+    "ScanFilterOps" -> operators.ScanFilterOps.queries,
+    "AggOps" -> operators.AggOps.queries,
+    "JoinOps" -> operators.JoinOps.queries,
+    "WindowSortOps" -> operators.WindowSortOps.queries,
+    "ScalarOps" -> functions.ScalarOps.queries,
+    "TextOps" -> ops.TextOps.queries,
+    "DedupOps" -> ops.DedupOps.queries,
+    "SimilarityOps" -> ops.SimilarityOps.queries,
+    "MultimodalOps" -> ops.MultimodalOps.queries,
+    "StreamingOps" -> streaming.StreamingOps.queries,
+    "StatefulSessionize" -> streaming.StatefulSessionize.queries,
+    "TlcDemo" -> TlcDemo.queries)
+
+  test("no query key is shadowed across component maps") {
+    val all = parts.flatMap { case (owner, m) => m.keys.map(_ -> owner) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicated query keys: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle belongs to a query, and rows-only queries are the known set") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o diff q}")
+    val rowsOnly = q diff o
+    assert(rowsOnly == Set("a13_approx_sketches", "sim3_ivf_ann",
+      "st3_stateful_sessions", "tlc_pipeline_q01", "tlc_pipeline_q10"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+}
