@@ -14,6 +14,11 @@ import graft.Tables
   * keeping the whole pipeline oracle-checkable); the K hash functions are
   * affine maps over that one digest, so per-shingle digest cost is constant
   * in K.
+  *
+  * Background (PAPERS.md corpus): candidate filtering before exact
+  * verification follows the filter-verify design of string-similarity
+  * join/search systems (ICDE'22 compressed-index similarity join; EDBT'20
+  * incremental top-k similarity search).
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
