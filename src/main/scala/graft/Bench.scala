@@ -21,24 +21,33 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // The suite compiles far more than the default 100 cached generated
+      // classes; with the warm pass evicting the cache, every timed stage
+      // re-ran Janino (dd4: 20.5 s benched vs 4.2 s isolated in round 1).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      names.foreach { n =>
+    val doWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    // Warm IMMEDIATELY before timing each query (not one big warm pass):
+    // keeps that query's generated classes and JIT state hot when measured.
+    val results = names.map { n =>
+      if (doWarm)
         try SparkEntry.queries(n)(spark, warmDir).count()
         catch { case _: Throwable => () }
-      }
-    val results = names.map { n =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line ~1.7KB for 70+ queries: the driver
+    // only captures the tail of the process output, and full double precision
+    // pushed the line start past that window in round 1 (parsed: null).
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = fmt(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
