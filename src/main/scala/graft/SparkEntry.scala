@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CsvOps.queries ++
     operators.ExtendedOps.queries ++
+    operators.BreadthOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.CsvOps.oracles ++
     operators.ExtendedOps.oracles ++
+    operators.BreadthOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

@@ -62,4 +62,11 @@ object Exact {
     * `x / NULLIF(y, 0)`, standardize.py:57-59). */
   def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0, num / den)
+
+  /** `dsum` over a window frame: exact decimal prefix/frame sums are
+    * order-independent given the frame's total order, so running sums
+    * hash-match the oracle. Oracle shape:
+    * `CAST(ROUND(SUM(CAST(x AS DECIMAL(30,8))) OVER (...), 4) AS DOUBLE)` */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    round(sum(c.cast(dec)).over(w), 4).cast("double")
 }
