@@ -24,6 +24,7 @@ object SparkEntry {
     operators.CsvOps.queries ++
     operators.ExtendedOps.queries ++
     operators.BreadthOps.queries ++
+    operators.BucketedOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     operators.CsvOps.oracles ++
     operators.ExtendedOps.oracles ++
     operators.BreadthOps.oracles ++
+    operators.BucketedOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++
@@ -54,5 +56,6 @@ object SparkEntry {
     ops.DedupOps.oracles ++
     ops.SimilarityOps.oracles ++
     ops.MultimodalOps.oracles ++
-    streaming.StreamingOps.oracles
+    streaming.StreamingOps.oracles ++
+    TlcDemo.oracles
 }

@@ -87,13 +87,122 @@ object TlcDemo {
       Pipeline.run(s, y, g, h, z)
     })
 
+  /** Gate-only canonicalization: round double columns to 4 digits (the
+    * fixture groups hold ≤4 two-decimal values, so each rounded sum/avg is
+    * far from any rounding boundary) and add a deterministic tiebreak sort.
+    * Analytics itself stays faithful to the reference's output. */
+  private def round4(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        round(col(f.name), 4).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+
   val queries: Map[String, Q] = Map(
     // Full TLC pipeline on fixture rows → q01 top zones by revenue.
     "tlc_pipeline_q01" -> { (s, _) =>
-      result(s).analytics("01_top_zones_by_revenue")
+      round4(result(s).analytics("01_top_zones_by_revenue"))
+        .orderBy(col("total_revenue").desc, col("pickup_zone"))
     },
     // Same pipeline → data-quality summary (exercises restored dropoff cols).
     "tlc_pipeline_q10" -> { (s, _) =>
-      result(s).analytics("10_data_quality_summary")
+      round4(result(s).analytics("10_data_quality_summary"))
+        .orderBy(col("total_records").desc, col("service_type"))
     })
+
+  /** DuckDB oracles for the pipeline demos: the fixture rows are embedded
+    * as VALUES literals and the reference's standardization formulas
+    * (standardize.py:23–69, 89–132, 167–224 — duration from epoch deltas,
+    * 7-addend HVFHV total, validity predicates) are replayed in SQL, then
+    * the analytics query is computed over that in-SQL fact table. This
+    * upgrades both pipeline gate entries from rows-only to full hash
+    * checks of standardize → fact → query.
+    */
+  private val fixtureCtes =
+    """y_raw(p, d, dist, pu, dz, fare, tip, tolls, total) AS (VALUES
+         (TIMESTAMP '2024-06-01 10:00:00', TIMESTAMP '2024-06-01 10:15:00', 2.5, 161, 237, 12.5, 2.5, 0.0, 16.3),
+         (TIMESTAMP '2024-06-01 11:00:00', TIMESTAMP '2024-06-01 11:20:00', 5.0, 237, 142, 25.0, 5.0, 0.0, 31.3),
+         (TIMESTAMP '2024-06-01 12:00:00', TIMESTAMP '2024-06-01 12:30:00', 3.2, 142, 236, 16.0, 0.0, 5.76, 23.06),
+         (TIMESTAMP '2024-06-01 13:00:00', TIMESTAMP '2024-06-01 13:10:00', 1.8, 236, 161, 9.5, 2.0, 0.0, 12.8)),
+       g_raw(p, d, dist, pu, dz, fare, tip, tolls, total) AS (VALUES
+         (TIMESTAMP '2024-06-01 10:00:00', TIMESTAMP '2024-06-01 10:20:00', 3.0, 74, 75, 15.0, 3.0, 0.0, 19.3),
+         (TIMESTAMP '2024-06-01 11:00:00', TIMESTAMP '2024-06-01 11:25:00', 4.5, 75, 41, 22.5, 4.5, 0.0, 28.3),
+         (TIMESTAMP '2024-06-01 12:00:00', TIMESTAMP '2024-06-01 12:35:00', 2.8, 41, 74, 14.0, 0.0, 5.76, 21.06)),
+       h_raw(p, d, pu, dz, miles, tt, base, tolls, bcf, tax, tips, dpay) AS (VALUES
+         (TIMESTAMP '2024-06-01 10:10:00', TIMESTAMP '2024-06-01 10:25:00', 161, 237, 2.8, 900, 15.5, 0.0, 0.47, 1.37, 3.0, 12.5),
+         (TIMESTAMP '2024-06-01 11:08:00', TIMESTAMP '2024-06-01 11:30:00', 237, 142, 5.2, 1320, 28.0, 0.0, 0.84, 2.48, 5.5, 22.0),
+         (TIMESTAMP '2024-06-01 12:08:00', TIMESTAMP '2024-06-01 12:40:00', 142, 236, 3.5, 1920, 20.0, 5.76, 0.60, 1.77, 0.0, 16.0)),
+       zones(location_id, borough, zone) AS (VALUES
+         (1, 'EWR', 'Newark Airport'), (41, 'Queens', 'Flushing'),
+         (74, 'Queens', 'Corona'), (75, 'Queens', 'East Elmhurst'),
+         (142, 'Manhattan', 'Lincoln Square East'), (161, 'Manhattan', 'Midtown Center'),
+         (236, 'Manhattan', 'Upper East Side South'), (237, 'Manhattan', 'Upper West Side South')),
+       y2 AS (SELECT p, d, pu, dz, CAST(dist AS DOUBLE) AS dist,
+                     CAST(total AS DOUBLE) AS total FROM y_raw),
+       g2 AS (SELECT p, d, pu, dz, CAST(dist AS DOUBLE) AS dist,
+                     CAST(total AS DOUBLE) AS total FROM g_raw),
+       h2 AS (SELECT p, d, pu, dz, CAST(miles AS DOUBLE) AS miles,
+                     CAST(tt AS DOUBLE) AS tt, CAST(base AS DOUBLE) AS base,
+                     CAST(tolls AS DOUBLE) AS tolls, CAST(bcf AS DOUBLE) AS bcf,
+                     CAST(tax AS DOUBLE) AS tax, CAST(tips AS DOUBLE) AS tips,
+                     CAST(dpay AS DOUBLE) AS dpay FROM h_raw),
+       fact AS (
+         SELECT 'yellow' AS service_type, pu AS pickup_zone_id, dz AS dropoff_zone_id,
+                p AS pickup_datetime, d AS dropoff_datetime, CAST(p AS DATE) AS pickup_date,
+                dist AS trip_distance_miles,
+                (epoch(d) - epoch(p)) / 60.0 AS trip_duration_minutes,
+                total AS total_fare,
+                dist / NULLIF((epoch(d) - epoch(p)) / 3600.0, 0) AS avg_speed_mph,
+                (total >= 0 AND d > p AND dist >= 0) AS is_valid
+         FROM y2
+         UNION ALL
+         SELECT 'green', pu, dz, p, d, CAST(p AS DATE), dist,
+                (epoch(d) - epoch(p)) / 60.0, total,
+                dist / NULLIF((epoch(d) - epoch(p)) / 3600.0, 0),
+                (total >= 0 AND d > p AND dist >= 0)
+         FROM g2
+         UNION ALL
+         SELECT 'hvfhv', pu, dz, p, d, CAST(p AS DATE), miles,
+                tt / 60.0,
+                base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE),
+                miles / NULLIF(tt / 3600.0, 0),
+                (base >= 0 AND d > p AND miles >= 0 AND dpay >= 0)
+         FROM h2)"""
+
+  val oracles: Map[String, String] = Map(
+    "tlc_pipeline_q01" ->
+      s"""WITH $fixtureCtes
+          SELECT z.zone AS pickup_zone, z.borough,
+                 COUNT(*) AS total_trips,
+                 ROUND(SUM(total_fare), 4) AS total_revenue,
+                 ROUND(AVG(total_fare), 4) AS avg_fare,
+                 ROUND(AVG(trip_distance_miles), 4) AS avg_distance,
+                 CAST(SUM(CASE WHEN service_type = 'yellow' THEN 1 ELSE 0 END) AS BIGINT) AS yellow_trips,
+                 CAST(SUM(CASE WHEN service_type = 'green' THEN 1 ELSE 0 END) AS BIGINT) AS green_trips,
+                 CAST(SUM(CASE WHEN service_type = 'hvfhv' THEN 1 ELSE 0 END) AS BIGINT) AS hvfhv_trips
+          FROM fact JOIN zones z ON pickup_zone_id = z.location_id
+          WHERE is_valid
+          GROUP BY 1, 2
+          ORDER BY total_revenue DESC, pickup_zone
+          LIMIT 20""",
+
+    "tlc_pipeline_q10" ->
+      s"""WITH $fixtureCtes
+          SELECT service_type,
+                 COUNT(*) AS total_records,
+                 CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+                 CAST(SUM(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS BIGINT) AS invalid_records,
+                 ROUND(CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*), 2) AS data_quality_pct,
+                 CAST(SUM(CASE WHEN total_fare < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_fares,
+                 CAST(SUM(CASE WHEN trip_distance_miles < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_distances,
+                 CAST(SUM(CASE WHEN trip_duration_minutes < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_durations,
+                 CAST(SUM(CASE WHEN dropoff_datetime <= pickup_datetime THEN 1 ELSE 0 END) AS BIGINT) AS invalid_timestamps,
+                 CAST(SUM(CASE WHEN avg_speed_mph > 100 THEN 1 ELSE 0 END) AS BIGINT) AS excessive_speeds,
+                 CAST(SUM(CASE WHEN pickup_zone_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pickup_zones,
+                 CAST(SUM(CASE WHEN dropoff_zone_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_dropoff_zones,
+                 MIN(pickup_date) AS earliest_trip,
+                 MAX(pickup_date) AS latest_trip
+          FROM fact
+          GROUP BY 1
+          ORDER BY total_records DESC, service_type""")
 }

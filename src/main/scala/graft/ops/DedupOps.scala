@@ -121,6 +121,16 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // DD7: near-dup CLUSTERING — connected components over the LSH pair
+    // graph, by iterative min-label propagation (Pregel-style: each round is
+    // one join + min-aggregation, all distributed; the driver only checks
+    // the converged? scalar). Rounds needed = cluster diameter, which for
+    // near-dup graphs is tiny; the 15-round cap is a safety bound. At 100 TB
+    // the edge list is the (already small) LSH pair output, cached once.
+    "dd7_cc_clusters" -> { (s, d) =>
+      connectedComponents(queries("dd2_minhash_lsh")(s, d).select("doc_a", "doc_b"))
+    },
+
     // SimHash: 32-bit signature from md5-nibble bits weighted by term
     // frequency; emitted as BIGINT (pure integer math — exact everywhere).
     "dd3_simhash" -> { (s, d) =>
@@ -147,6 +157,79 @@ object DedupOps {
        sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
               FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i))"""
 
+  /** Connected components over an undirected pair list (doc_a, doc_b) by
+    * iterative min-label propagation. Each round is one distributed join +
+    * min-aggregation; only the convergence scalar reaches the driver.
+    * Rounds needed = max cluster diameter (tiny for near-dup graphs; the
+    * 50-round cap is a safety bound, not a tuning knob).
+    * Returns (doc_id, cluster_id = min reachable doc_id, n_members). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    // Each round references the previous labels frame TWICE (propagation +
+    // convergence check), so without lineage truncation the logical plan
+    // doubles per round — exponential analysis cost that OOMs around round
+    // 20. localCheckpoint materializes the round's result and cuts the
+    // lineage, keeping every round's plan constant-size (the standard
+    // discipline for iterative algorithms on Spark).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("lab").as("nbr_lab"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("lab", "old_lab"), "doc_id")
+        .filter(col("lab") =!= col("old_lab")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "lab")
+      .select(col("doc_id"), col("lab").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  /** The dd2 MinHash+LSH pipeline as a CTE chain ending in `sim_pairs`
+    * (doc_a, doc_b, est_sim) — shared by the dd2 and dd7 oracles. */
+  private lazy val simPairsCtes: String = {
+    val minExprs = (0 until K).map(i =>
+      s"MIN((${hashA(i)} * H + ${hashB(i)}) % $MERSENNE) AS m$i").mkString(", ")
+    val bandCases = (0 until BANDS).map { bnd =>
+      val parts = (0 until ROWS).map(r => s"CAST(m${bnd * ROWS + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"WHEN $bnd THEN md5($parts)"
+    }.mkString(" ")
+    val agree = (0 until K).map(i =>
+      s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    s"""$duckShingles,
+        sh2 AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS H FROM sh),
+        sig AS (SELECT doc_id, $minExprs FROM sh2 GROUP BY 1),
+        bands AS (SELECT doc_id, band_idx,
+                         CASE band_idx $bandCases END AS band_sig
+                  FROM sig, (SELECT UNNEST(generate_series(0, ${BANDS - 1})) AS band_idx) b),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+                      AND x.doc_id < y.doc_id),
+        sim_pairs AS (
+          SELECT doc_a, doc_b, ($agree) / ${K}.0 AS est_sim
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+          WHERE ($agree) / ${K}.0 >= 0.5)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "dd4_ngram_jaccard" ->
       s"""WITH $duckShingles,
@@ -162,33 +245,30 @@ object DedupOps {
           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.2
           ORDER BY doc_a, doc_b""",
 
-    "dd2_minhash_lsh" -> {
-      val minExprs = (0 until K).map(i =>
-        s"MIN((${hashA(i)} * H + ${hashB(i)}) % $MERSENNE) AS m$i").mkString(", ")
-      val bandCases = (0 until BANDS).map { bnd =>
-        val parts = (0 until ROWS).map(r => s"CAST(m${bnd * ROWS + r} AS VARCHAR)")
-          .mkString(" || '|' || ")
-        s"WHEN $bnd THEN md5($parts)"
-      }.mkString(" ")
-      val agree = (0 until K).map(i =>
-        s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-      s"""WITH $duckShingles,
-          sh2 AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS H FROM sh),
-          sig AS (SELECT doc_id, $minExprs FROM sh2 GROUP BY 1),
-          bands AS (SELECT doc_id, band_idx,
-                           CASE band_idx $bandCases END AS band_sig
-                    FROM sig, (SELECT UNNEST(generate_series(0, ${BANDS - 1})) AS band_idx) b),
-          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                   FROM bands x JOIN bands y
-                     ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
-                        AND x.doc_id < y.doc_id)
-          SELECT doc_a, doc_b, ($agree) / ${K}.0 AS est_sim
-          FROM cand
-          JOIN sig sa ON sa.doc_id = doc_a
-          JOIN sig sb ON sb.doc_id = doc_b
-          WHERE ($agree) / ${K}.0 >= 0.5
-          ORDER BY doc_a, doc_b"""
-    },
+    "dd2_minhash_lsh" ->
+      s"""WITH $simPairsCtes
+          SELECT doc_a, doc_b, est_sim FROM sim_pairs ORDER BY doc_a, doc_b""",
+
+    // Connected components via a recursive CTE: walk(src, node) enumerates
+    // every node reachable from src (UNION dedup terminates the recursion);
+    // cluster id = min reachable node.
+    "dd7_cc_clusters" ->
+      s"""WITH RECURSIVE $simPairsCtes,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM sim_pairs
+                    UNION ALL
+                    SELECT doc_b, doc_a FROM sim_pairs),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          walk(src, node) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+          cluster AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+                      FROM walk GROUP BY 1),
+          sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+                    FROM cluster GROUP BY 1)
+          SELECT c.doc_id, c.cluster_id, s.n_members
+          FROM cluster c JOIN sizes s USING (cluster_id)
+          ORDER BY c.doc_id""",
 
     "dd3_simhash" ->
       """WITH raw_toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok

@@ -52,6 +52,28 @@ object MultimodalOps {
         }
         .toDF("doc_id", "byte_len", "n_frames", "checksum", "head_byte", "n_chars")
       decoded.orderBy("doc_id")
+    },
+
+    // MM2: frame sampling over an opaque binary payload — treat the blob as
+    // a fixed-stride frame sequence (64-byte "frames", the video-decode
+    // stub), take every 4th frame, emit per-frame length + checksum. The
+    // frame index table comes from `sequence` + `explode` (no UDF) and the
+    // byte slicing is `substring` on BinaryType — all codegen'd, and the
+    // explode multiplies rows BEFORE the shuffle-free projection, so the
+    // plan is a single scan→project pipeline at any scale.
+    "mm2_frame_sample" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+        .withColumn("frame_idx",
+          explode(expr("sequence(0, CAST((byte_len - 1) div 64 AS INT), 4)")))
+        .withColumn("frame",
+          expr("substring(payload, frame_idx * 64 + 1, 64)"))
+        .select(
+          col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     })
 
   val oracles: Map[String, String] = Map(
@@ -64,5 +86,15 @@ object MultimodalOps {
                 md5(text) AS checksum,
                 CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
                 n_chars
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+
+    // ASCII text ⇒ byte slicing == char slicing, so the oracle frames are
+    // substr() windows of the text and md5 agrees byte-for-byte.
+    "mm2_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS frame_len,
+                md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+         FROM documents,
+              UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 64, 4)) AS g(frame_idx)
+         ORDER BY doc_id, frame_idx""")
 }

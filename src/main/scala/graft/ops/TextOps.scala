@@ -123,6 +123,35 @@ object TextOps {
           array_sort(array_distinct(split(lower(col("text")), " "))))).as("fingerprint"))
         .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("rep_doc_id")
+    },
+
+    // TX6: bigram language-model fluency score — avg over a doc's bigrams
+    // of the corpus conditional probability c(w1 w2)/c(w1). The probability
+    // is kept EXACT as an integer-scaled floor division (c2*10^8 div c1) so
+    // the cross-engine comparison never touches float rounding; only the
+    // final normalization is a (bit-identical) double division. Corpus count
+    // tables are vocabulary-sized → broadcast to the per-bigram join.
+    "tx6_bigram_lm_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val bigrams = docs.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val uni = docs.select(explode(col("ts")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(broadcast(bi), Seq("w1", "w2"))
+        .join(broadcast(uni), Seq("w1"))
+        .withColumn("p_scaled", expr("(c2 * CAST(100000000 AS BIGINT)) div c1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_scaled"))
+        .withColumn("avg_cond_p",
+          col("sum_scaled").cast("double") / (col("n_bigrams") * lit(100000000L)))
+        .select("doc_id", "n_bigrams", "avg_cond_p")
+        .orderBy("doc_id")
     })
 
   private def duckMarkerScore(ms: Seq[String]): String = {
@@ -191,5 +220,19 @@ object TextOps {
     "dd5_fingerprint_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
                 MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
-         FROM documents GROUP BY 1 ORDER BY rep_doc_id""")
+         FROM documents GROUP BY 1 ORDER BY rep_doc_id""",
+
+    "tx6_bigram_lm_score" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            bigrams AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                        FROM (SELECT * FROM docs WHERE len(ts) >= 2),
+                             UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+            uni AS (SELECT w1, COUNT(*) AS c1
+                    FROM (SELECT UNNEST(ts) AS w1 FROM docs) GROUP BY 1),
+            bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY 1, 2)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM((c2 * 100000000) // c1) AS DOUBLE)
+                  / CAST(COUNT(*) * 100000000 AS BIGINT) AS avg_cond_p
+         FROM bigrams JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""")
 }

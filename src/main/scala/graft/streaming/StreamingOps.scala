@@ -22,7 +22,61 @@ object StreamingOps {
 
   private val runId = new AtomicInteger(0)
 
+  /** Stage the single events.parquet file behind `n` symlinks in a scratch
+    * dir (the file-stream source only accepts directories; n > 1 feeds the
+    * same rows multiple times — the duplicate-injection seam st5 uses). */
+  private def stagedStream(s: SparkSession, d: String, copies: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
+    }
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def drainToTable(s: SparkSession, agg: DataFrame, prefix: String): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
+    // ST4: stream-static join — the streaming fact side joins a static
+    // (broadcast) dimension read once per micro-batch planning cycle; no
+    // state store involved, the canonical enrich-then-window shape.
+    "st4_stream_static_join" -> { (s, d) =>
+      val users = graft.Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val joined = stagedStream(s, d, 1).join(broadcast(users), Seq("user_id"))
+      val agg = joined
+        .groupBy(col("segment"), window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      drainToTable(s, agg, "st4_out")
+        .select(col("segment"), col("window.start").as("window_start"),
+          col("n"), col("total_value"))
+        .orderBy("segment", "window_start")
+    },
+
+    // ST5: streaming deduplication — the source feeds every event TWICE
+    // (two files of identical rows); dropDuplicates keyed on event_id holds
+    // seen-keys state across micro-batches and the downstream aggregate
+    // sees each event exactly once. (Production adds a watermark to age the
+    // key state; unbounded here so the oracle is the plain distinct input.)
+    "st5_stream_dedup" -> { (s, d) =>
+      val deduped = stagedStream(s, d, 2).dropDuplicates("event_id")
+      val agg = deduped.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      drainToTable(s, agg, "st5_out")
+        .select("event_type", "n", "total_value")
+        .orderBy("event_type")
+    },
     // Event-time session windows via Spark's dedicated session_window
     // operator (merge-on-gap semantics; the same plan runs under
     // readStream + watermark). Oracle: gaps-and-islands with a >= gap
@@ -41,28 +95,10 @@ object StreamingOps {
     },
 
     "st1_stream_window_agg" -> { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$d/events.parquet"
-      // The file-stream source only accepts directories; stage the single
-      // parquet file behind a symlink in a scratch dir (zero-copy).
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val schema = s.read.parquet(path).schema
-      val stream = s.readStream.schema(schema).parquet(dir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val agg = stream
+      val agg = stagedStream(s, d, 1)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      val name = s"st1_out_${runId.incrementAndGet()}"
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(name)
+      drainToTable(s, agg, "st1_out")
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
@@ -100,5 +136,19 @@ object StreamingOps {
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
                 event_type, COUNT(*) AS n,
                 CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "st4_stream_static_join" ->
+      """SELECT c.c_mktsegment AS segment,
+                CAST(time_bucket(INTERVAL '6 hours', e.ts) AS TIMESTAMP) AS window_start,
+                COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(e."value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Dedup makes the doubled stream equal the plain input.
+    "st5_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""")
 }

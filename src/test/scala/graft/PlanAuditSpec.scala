@@ -51,4 +51,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("TopKPerGroup".r.findAllIn(p).size >= 2)
     assert(p.contains("Exchange"))
   }
+
+  test("j12: range join broadcasts the band table (no fact shuffle)") {
+    val p = plan("j12_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5: correlated EXISTS/NOT EXISTS rewrite to semi/anti joins") {
+    val p = plan("q5_exists_subquery")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("b1: bucketed join has no shuffle exchange and no sort on either side") {
+    // Disable auto-broadcast so the join HAS to be a SortMergeJoin — the
+    // bucketing (same bucket count + sortBy on the key) must then supply
+    // both distribution and order, leaving zero exchanges in the plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (ot, lt) = operators.BucketedOps.writeBucketed(spark, sfDir, 4)
+      val joined = operators.BucketedOps.bucketedJoin(spark, ot, lt)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      val joinPart = p.substring(0, p.indexOf("HashAggregate") max p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("ShuffleExchange") && !joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join side must not reshuffle:\n$p")
+      assert(p.contains("SelectedBucketsCount"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

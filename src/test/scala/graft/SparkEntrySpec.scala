@@ -10,6 +10,8 @@ class SparkEntrySpec extends AnyFunSuite {
   private val parts: Seq[(String, Map[String, _])] = Seq(
     "CsvOps" -> operators.CsvOps.queries,
     "ExtendedOps" -> operators.ExtendedOps.queries,
+    "BreadthOps" -> operators.BreadthOps.queries,
+    "BucketedOps" -> operators.BucketedOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
@@ -37,7 +39,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"orphan oracles: ${o diff q}")
     val rowsOnly = q diff o
     assert(rowsOnly == Set("a13_approx_sketches", "sim3_ivf_ann",
-      "st3_stateful_sessions", "tlc_pipeline_q01", "tlc_pipeline_q10"),
+      "st3_stateful_sessions"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
