@@ -57,5 +57,6 @@ object SparkEntry {
     ops.SimilarityOps.oracles ++
     ops.MultimodalOps.oracles ++
     streaming.StreamingOps.oracles ++
+    streaming.StatefulSessionize.oracles ++
     TlcDemo.oracles
 }

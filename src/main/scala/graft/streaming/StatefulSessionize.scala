@@ -76,9 +76,7 @@ object StatefulSessionize {
     spark.table(name)
   }
 
-  /** Gate query: per-user closed-session rollup (rows-only — the batch
-    * equivalence is asserted by StatefulStreamingSpec instead of a SQL
-    * oracle, since open sessions are deliberately withheld). */
+  /** Gate query: per-user closed-session rollup. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_stateful_sessions" -> { (s, d) =>
       run(s, d)
@@ -87,4 +85,37 @@ object StatefulSessionize {
           sum(col("n_events")).as("n_events_closed"))
         .orderBy("user_id")
     })
+
+  /** Once the source is drained, the emitted set is exactly "every session
+    * except each user's trailing one" (which stays open in state by
+    * design) — a gaps-and-islands computation with the max session id
+    * excluded per user, so the stateful path IS oracle-checkable. Users
+    * whose only session is still open emit nothing and are absent. */
+  val oracles: Map[String, String] = Map(
+    "st3_stateful_sessions" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         flagged AS (
+           SELECT user_id, us,
+                  CASE WHEN prev IS NULL OR us - prev > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         numbered AS (
+           SELECT user_id, us,
+                  SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged),
+         sessions AS (
+           SELECT user_id, sid, COUNT(*) AS n_events
+           FROM numbered GROUP BY 1, 2),
+         closed AS (
+           SELECT * FROM sessions s
+           WHERE sid < (SELECT MAX(sid) FROM sessions m
+                        WHERE m.user_id = s.user_id))
+         SELECT user_id, COUNT(*) AS n_closed_sessions,
+                CAST(SUM(n_events) AS BIGINT) AS n_events_closed
+         FROM closed GROUP BY 1 ORDER BY 1""")
 }
