@@ -38,6 +38,17 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** The text/embedding operators do heavy per-row compute (shingling,
+    * hyperplane dots) straight off the scan. The testdata files are single
+    * row groups, so that compute would otherwise run in ONE task; a cheap
+    * row-count-proportional repartition fans it across the cluster. At real
+    * scale the scan already yields >= parallelism splits and this is a
+    * no-op (no exchange inserted). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame  = spread(s, apply(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, apply(s, d, "embeddings"))
 }

@@ -31,6 +31,7 @@ object BucketedOps {
     val loc = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
     val (ot, lt) = (s"b1_orders_$id", s"b1_lineitem_$id")
     Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority")
       .write.format("parquet")
       .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$loc/$ot").saveAsTable(ot)

@@ -20,7 +20,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Row-number ties on a non-total order are nondeterministic in BOTH forms,
   * so the rewrite never changes a deterministic result. Registered through
-  * `spark.experimental.extraOptimizations` by [[TopK.register]].
+  * `spark.experimental.extraOptimizations` by [[TopK.register]], or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Relation to Spark's own `WindowGroupLimit` (physical optimization for
+  * the same idiom, Spark 3.5+): that still sorts each partition and runs
+  * the Window operator, pruning rows between the two; TopKPerGroup replaces
+  * sort+window entirely with a bounded-heap partial/final aggregation — no
+  * per-partition sort of the full input, O(n log k) with k-sized state.
   */
 object RewriteTopKWindow extends Rule[LogicalPlan] {
 
