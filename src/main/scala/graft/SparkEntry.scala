@@ -25,6 +25,7 @@ object SparkEntry {
     operators.ExtendedOps.queries ++
     operators.BreadthOps.queries ++
     operators.BucketedOps.queries ++
+    operators.DepthOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
     operators.ExtendedOps.oracles ++
     operators.BreadthOps.oracles ++
     operators.BucketedOps.oracles ++
+    operators.DepthOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Round-2 depth batch: ordered-set aggregates (percentile_disc /
+  * deterministic mode), the value-window family (first/last/nth/lead/lag
+  * with defaults), a regex/string-transform battery, time-series gap-fill
+  * (spine + carry-forward interpolation — the resample primitive every
+  * training-data pipeline needs), and partitioned-write + partition-pruned
+  * read (the Spark replacement for the reference's date indexes at 100 TB).
+  */
+object DepthOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A18: ordered-set aggregates. percentile_disc picks an actual element
+    // (hash-exact across engines, unlike interpolating percentile_cont,
+    // which is rounded); mode is computed as an explicit deterministic
+    // argmax — highest count, smallest value on ties — because native
+    // mode() tie-breaking is engine-defined on both sides.
+    "a18_ordered_set" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("a18_lineitem")
+      s.sql(
+        """WITH counts AS (
+          |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+          |  FROM a18_lineitem GROUP BY 1, 2),
+          |mode_pick AS (
+          |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
+          |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          |                            ORDER BY cnt DESC, l_quantity) AS rn
+          |  FROM counts),
+          |ordered AS (
+          |  SELECT l_returnflag,
+          |         percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_disc,
+          |         percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_disc,
+          |         ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_cont
+          |  FROM a18_lineitem GROUP BY 1)
+          |SELECT o.l_returnflag, o.q25_disc, o.median_disc, o.median_cont,
+          |       m.mode_qty, m.mode_n
+          |FROM ordered o JOIN mode_pick m ON o.l_returnflag = m.l_returnflag
+          |WHERE m.rn = 1
+          |ORDER BY o.l_returnflag""".stripMargin)
+    },
+
+    // W10: value windows — first/last/nth over an explicit full frame,
+    // lead/lag with literal defaults, all on one total order.
+    "w10_value_windows" -> { (s, d) =>
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      val ordered = Window.partitionBy("l_returnflag").orderBy(order: _*)
+      val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"),
+          first(col("l_quantity")).over(full).as("first_qty"),
+          last(col("l_quantity")).over(full).as("last_qty"),
+          nth_value(col("l_quantity"), 2).over(full).as("second_qty"),
+          lead(col("l_extendedprice"), 2, -1.0).over(ordered).as("next2_price"),
+          lag(col("l_extendedprice"), 1, 0.0).over(ordered).as("prev_price"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
+    // F10: regex + string-transform battery (all codegen'd builtins).
+    "f10_regex_battery" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).as("brand_num"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("upper_vowels"),
+          reverse(split(col("p_name"), " ").getItem(0)).as("rev_first_word"),
+          expr("repeat(p_brand, 2)").as("brand_twice"),
+          instr(col("p_name"), "e").cast("long").as("first_e_pos"),
+          expr("left(p_name, 5)").as("left5"),
+          expr("right(p_type, 4)").as("right4"),
+          array_join(expr("regexp_extract_all(p_type, '[A-Z]+', 0)"), "|").as("caps_runs"))
+        .orderBy("p_partkey")
+    },
+
+    // TS1: time-series gap-fill — per-user daily spine between first and
+    // last activity (sequence + explode), left join of actual daily
+    // aggregates, carry-forward fill of the last observed value. One
+    // shuffle on user_id; the spine explode is partition-local.
+    "ts1_gap_fill" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val carry = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(carry).as("filled_value"))
+        .orderBy("user_id", "day")
+    },
+
+    // S5: partitioned write + partition-pruned read. The write lays the
+    // data out hive-style by event_date; the read's date predicate prunes
+    // to ONE directory before any IO (PlanAuditSpec asserts the partition
+    // filter) — the replacement for the reference's idx_trips_date indexes.
+    "s5_partition_pruning" -> { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_date") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "a18_ordered_set" ->
+      """WITH counts AS (
+           SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         mode_pick AS (
+           SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY cnt DESC, l_quantity) AS rn
+           FROM counts),
+         ordered AS (
+           SELECT l_returnflag,
+                  quantile_disc(l_quantity, 0.25) AS q25_disc,
+                  quantile_disc(l_quantity, 0.5)  AS median_disc,
+                  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_cont
+           FROM lineitem GROUP BY 1)
+         SELECT o.l_returnflag, o.q25_disc, o.median_disc, o.median_cont,
+                m.mode_qty, CAST(m.mode_n AS BIGINT) AS mode_n
+         FROM ordered o JOIN mode_pick m ON o.l_returnflag = m.l_returnflag
+         WHERE m.rn = 1
+         ORDER BY o.l_returnflag""",
+
+    "w10_value_windows" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+                FIRST_VALUE(l_quantity) OVER wfull AS first_qty,
+                LAST_VALUE(l_quantity) OVER wfull AS last_qty,
+                NTH_VALUE(l_quantity, 2) OVER wfull AS second_qty,
+                LEAD(l_extendedprice, 2, -1.0) OVER ordered AS next2_price,
+                LAG(l_extendedprice, 1, 0.0) OVER ordered AS prev_price
+         FROM lineitem
+         WHERE l_orderkey < 500
+         WINDOW ordered AS (PARTITION BY l_returnflag
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey),
+                wfull AS (PARTITION BY l_returnflag
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "f10_regex_battery" ->
+      """SELECT p_partkey,
+                regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+                translate(p_name, 'aeiou', 'AEIOU') AS upper_vowels,
+                reverse(string_split(p_name, ' ')[1]) AS rev_first_word,
+                repeat(p_brand, 2) AS brand_twice,
+                CAST(strpos(p_name, 'e') AS BIGINT) AS first_e_pos,
+                left(p_name, 5) AS left5,
+                right(p_type, 4) AS right4,
+                array_to_string(regexp_extract_all(p_type, '[A-Z]+'), '|') AS caps_runs
+         FROM part ORDER BY p_partkey""",
+
+    "ts1_gap_fill" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, "value"
+           FROM events WHERE user_id < 20),
+         daily AS (
+           SELECT user_id, day, COUNT(*) AS n_events,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS day_value
+           FROM ev GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+         spine AS (
+           SELECT user_id, CAST(g.day AS DATE) AS day
+           FROM bounds, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                               CAST(d1 AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS g(day))
+         SELECT s.user_id, s.day,
+                COALESCE(d.n_events, 0) AS n_events,
+                d.day_value,
+                LAST_VALUE(d.day_value IGNORE NULLS)
+                  OVER (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS UNBOUNDED PRECEDING) AS filled_value
+         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
+
+    // The partitioned round trip is value-identity on the filtered day.
+    "s5_partition_pruning" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM events
+         WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+         GROUP BY 1 ORDER BY 1""")
+}

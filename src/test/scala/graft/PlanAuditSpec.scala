@@ -64,6 +64,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
   }
 
+  test("s5: date predicate prunes partitions before any IO") {
+    val p = plan("s5_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      s"expected partition filter on event_date:\n$p")
+  }
+
   test("b1: bucketed join has no shuffle exchange and no sort on either side") {
     // Disable auto-broadcast so the join HAS to be a SortMergeJoin — the
     // bucketing (same bucket count + sortBy on the key) must then supply

@@ -12,6 +12,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "ExtendedOps" -> operators.ExtendedOps.queries,
     "BreadthOps" -> operators.BreadthOps.queries,
     "BucketedOps" -> operators.BucketedOps.queries,
+    "DepthOps" -> operators.DepthOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
