@@ -84,22 +84,7 @@ object SimilarityOps {
     //   w = lcg(k) / 2^31 - 0.5
     "sim2_lsh_ann" -> { (s, d) =>
       val all = vecs(s, d)
-      // per (vec, plane): dot with the formula-generated hyperplane
-      val planeDot = (0 until PLANES).map { j =>
-        val w = s"transform(sequence(0, 63), i -> " +
-          s"((1103515245 * CAST($j * 64 + i AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
-        expr(s"aggregate(zip_with(v, $w, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-      }
-      val tables = (0 until TABLES).map { t =>
-        val bucket = (0 until ROWS_PER_TABLE).map { r =>
-          val c = planeDot(t * ROWS_PER_TABLE + r)
-          when(c >= 0, 1L << r).otherwise(0L)
-        }.reduce(_ + _)
-        struct(lit(t).as("tbl"), bucket.as("bucket"))
-      }
-      val bucketed = all
-        .select(col("vec_id"), col("v"), explode(array(tables: _*)).as("tb"))
-        .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+      val bucketed = lshBuckets(all)
       val q = bucketed.filter(col("vec_id") < NQUERY)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
       // candidate pairs from any table, deduped BEFORE the cosine work
@@ -117,7 +102,50 @@ object SimilarityOps {
       topkPerQuery(scored)
     },
 
+    // DD8: the SCALE path for embedding near-dup — dd6's exact all-pairs
+    // threshold query restricted to LSH bucket collisions. The pair space
+    // shrinks from O(n²) to the union of per-bucket squares (shuffle on the
+    // bucket key only); each surviving candidate is verified with the exact
+    // codegen'd cosine — classic filter-verify, recall traded per table
+    // count exactly as in sim2.
+    "dd8_neardup_lsh" -> { (s, d) =>
+      val all = vecs(s, d)
+      val bucketed = lshBuckets(all).select("vec_id", "tbl", "bucket")
+      val cand = bucketed.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+        .join(bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+          Seq("tbl", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(all.select(col("vec_id").as("vec_a"), col("v").as("qv")), Seq("vec_a"))
+        .join(all.select(col("vec_id").as("vec_b"), col("v")), Seq("vec_b"))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+        .filter(col("raw_sim") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("raw_sim"), 4).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+
     "sim3_ivf_ann" -> ivfQuery)
+
+  /** (vec_id, v, tbl, bucket) — every vector's bucket in each of the TABLES
+    * independent hyperplane tables (see sim2 scaladoc for the weight
+    * formula, shared verbatim with the oracles). */
+  private def lshBuckets(all: DataFrame): DataFrame = {
+    val planeDot = (0 until PLANES).map { j =>
+      val w = s"transform(sequence(0, 63), i -> " +
+        s"((1103515245 * CAST($j * 64 + i AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+      expr(s"aggregate(zip_with(v, $w, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    }
+    val tables = (0 until TABLES).map { t =>
+      val bucket = (0 until ROWS_PER_TABLE).map { r =>
+        val c = planeDot(t * ROWS_PER_TABLE + r)
+        when(c >= 0, 1L << r).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    all.select(col("vec_id"), col("v"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+  }
 
   /** IVF-style ANN: k-means coarse quantizer (MLlib), search restricted to
     * the query's cell. Rows-only at the gate (k-means is iterative and
@@ -211,5 +239,33 @@ object SimilarityOps {
                               ORDER BY raw_sim DESC, neighbor_id) AS rk
                      FROM sim)
           SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
-          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""")
+          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
+
+    "dd8_neardup_lsh" ->
+      s"""WITH $duckVecs,
+          hp AS (SELECT j, i,
+                        ((1103515245 * CAST(j * 64 + (i - 1) AS BIGINT) + 12345) % 2147483648)
+                          / 2147483648.0 - 0.5 AS w
+                 FROM (SELECT UNNEST(generate_series(0, ${PLANES - 1})) AS j) pj,
+                      (SELECT UNNEST(generate_series(1, 64)) AS i) pi),
+          pdot AS (SELECT u.vec_id, hp.j, SUM(u.x * hp.w) AS pd
+                   FROM u JOIN hp ON u.i = hp.i GROUP BY 1, 2),
+          bkt AS (SELECT vec_id, (j // $ROWS_PER_TABLE) AS tbl,
+                         CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << (j % $ROWS_PER_TABLE)) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM pdot GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM bkt a JOIN bkt b
+                     ON a.tbl = b.tbl AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id),
+          dot AS (SELECT c.vec_a, c.vec_b, SUM(a.x * b.x) AS dp
+                  FROM cand c
+                  JOIN u a ON a.vec_id = c.vec_a
+                  JOIN u b ON b.vec_id = c.vec_b AND a.i = b.i
+                  GROUP BY 1, 2),
+          sim AS (SELECT vec_a, vec_b, dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = vec_a
+                  JOIN n nb ON nb.vec_id = vec_b)
+          SELECT vec_a, vec_b, ROUND(raw_sim, 4) AS sim
+          FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""")
 }

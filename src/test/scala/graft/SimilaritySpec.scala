@@ -24,6 +24,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall $recall too low")
   }
 
+  test("LSH near-dup is a subset of the exact near-dup pairs (perfect precision)") {
+    def dupPairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = dupPairs("dd6_embedding_neardup")
+    val lsh = dupPairs("dd8_neardup_lsh")
+    assert(lsh.nonEmpty, "bucketed near-dup found nothing")
+    // filter-verify: every emitted pair passed the exact cosine threshold,
+    // so precision is 1.0 by construction; only recall is approximate.
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh diff exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.2, s"near-dup recall $recall too low")
+  }
+
   test("IVF ANN recall vs exact top-k") {
     val exact = pairs("sim1_cosine_topk")
     val ivf = pairs("sim3_ivf_ann")
