@@ -26,6 +26,7 @@ object SparkEntry {
     operators.BreadthOps.queries ++
     operators.BucketedOps.queries ++
     operators.DepthOps.queries ++
+    operators.SamplingOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     operators.BreadthOps.oracles ++
     operators.BucketedOps.oracles ++
     operators.DepthOps.oracles ++
+    operators.SamplingOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

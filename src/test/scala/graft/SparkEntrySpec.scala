@@ -13,6 +13,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "BreadthOps" -> operators.BreadthOps.queries,
     "BucketedOps" -> operators.BucketedOps.queries,
     "DepthOps" -> operators.DepthOps.queries,
+    "SamplingOps" -> operators.SamplingOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
