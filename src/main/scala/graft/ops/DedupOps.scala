@@ -181,14 +181,15 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("lab").as("nbr_lab"))
+      // old_lab rides along so the convergence check is a filter over the
+      // just-materialized checkpoint, not a second shuffle join per round.
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"),
+          col("lab").as("old_lab"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("lab", "old_lab"), "doc_id")
-        .filter(col("lab") =!= col("old_lab")).count()
-      labels = next
+      val changed = next.filter(col("lab") =!= col("old_lab")).count()
+      labels = next.select("doc_id", "lab")
       converged = changed == 0
       iter += 1
     }
