@@ -27,6 +27,7 @@ object SparkEntry {
     operators.BucketedOps.queries ++
     operators.DepthOps.queries ++
     operators.SamplingOps.queries ++
+    operators.CompletionOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
     operators.BucketedOps.oracles ++
     operators.DepthOps.oracles ++
     operators.SamplingOps.oracles ++
+    operators.CompletionOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

@@ -14,6 +14,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "BucketedOps" -> operators.BucketedOps.queries,
     "DepthOps" -> operators.DepthOps.queries,
     "SamplingOps" -> operators.SamplingOps.queries,
+    "CompletionOps" -> operators.CompletionOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
