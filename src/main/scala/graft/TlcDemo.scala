@@ -108,6 +108,21 @@ object TlcDemo {
     "tlc_pipeline_q10" -> { (s, _) =>
       round4(result(s).analytics("10_data_quality_summary"))
         .orderBy(col("total_records").desc, col("service_type"))
+    },
+    // q02 hourly demand (dim_time join: hour labels + rush-hour flag).
+    "tlc_pipeline_q02" -> { (s, _) =>
+      round4(result(s).analytics("02_hourly_demand_patterns"))
+        .orderBy("hour")
+    },
+    // q05 pricing comparison (quality-band filters + exact medians).
+    "tlc_pipeline_q05" -> { (s, _) =>
+      round4(result(s).analytics("05_pricing_comparison"))
+        .orderBy(col("trip_count").desc, col("service_type"))
+    },
+    // q09 borough comparison (zone dim join + share pct).
+    "tlc_pipeline_q09" -> { (s, _) =>
+      round4(result(s).analytics("09_borough_comparison"))
+        .orderBy(col("total_trips").desc, col("borough"))
     })
 
   /** DuckDB oracles for the pipeline demos: the fixture rows are embedded
@@ -138,8 +153,10 @@ object TlcDemo {
          (142, 'Manhattan', 'Lincoln Square East'), (161, 'Manhattan', 'Midtown Center'),
          (236, 'Manhattan', 'Upper East Side South'), (237, 'Manhattan', 'Upper West Side South')),
        y2 AS (SELECT p, d, pu, dz, CAST(dist AS DOUBLE) AS dist,
+                     CAST(tip AS DOUBLE) AS tip,
                      CAST(total AS DOUBLE) AS total FROM y_raw),
        g2 AS (SELECT p, d, pu, dz, CAST(dist AS DOUBLE) AS dist,
+                     CAST(tip AS DOUBLE) AS tip,
                      CAST(total AS DOUBLE) AS total FROM g_raw),
        h2 AS (SELECT p, d, pu, dz, CAST(miles AS DOUBLE) AS miles,
                      CAST(tt AS DOUBLE) AS tt, CAST(base AS DOUBLE) AS base,
@@ -149,22 +166,32 @@ object TlcDemo {
        fact AS (
          SELECT 'yellow' AS service_type, pu AS pickup_zone_id, dz AS dropoff_zone_id,
                 p AS pickup_datetime, d AS dropoff_datetime, CAST(p AS DATE) AS pickup_date,
+                CAST(EXTRACT(HOUR FROM p) AS INT) AS pickup_hour,
                 dist AS trip_distance_miles,
                 (epoch(d) - epoch(p)) / 60.0 AS trip_duration_minutes,
-                total AS total_fare,
+                total AS total_fare, tip AS tips,
+                total / NULLIF(dist, 0) AS price_per_mile,
+                total / NULLIF((epoch(d) - epoch(p)) / 60.0, 0) AS price_per_minute,
                 dist / NULLIF((epoch(d) - epoch(p)) / 3600.0, 0) AS avg_speed_mph,
                 (total >= 0 AND d > p AND dist >= 0) AS is_valid
          FROM y2
          UNION ALL
-         SELECT 'green', pu, dz, p, d, CAST(p AS DATE), dist,
-                (epoch(d) - epoch(p)) / 60.0, total,
+         SELECT 'green', pu, dz, p, d, CAST(p AS DATE),
+                CAST(EXTRACT(HOUR FROM p) AS INT), dist,
+                (epoch(d) - epoch(p)) / 60.0, total, tip,
+                total / NULLIF(dist, 0),
+                total / NULLIF((epoch(d) - epoch(p)) / 60.0, 0),
                 dist / NULLIF((epoch(d) - epoch(p)) / 3600.0, 0),
                 (total >= 0 AND d > p AND dist >= 0)
          FROM g2
          UNION ALL
-         SELECT 'hvfhv', pu, dz, p, d, CAST(p AS DATE), miles,
+         SELECT 'hvfhv', pu, dz, p, d, CAST(p AS DATE),
+                CAST(EXTRACT(HOUR FROM p) AS INT), miles,
                 tt / 60.0,
                 base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE),
+                tips,
+                (base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE)) / NULLIF(miles, 0),
+                (base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE)) / NULLIF(tt / 60.0, 0),
                 miles / NULLIF(tt / 3600.0, 0),
                 (base >= 0 AND d > p AND miles >= 0 AND dpay >= 0)
          FROM h2)"""
@@ -204,5 +231,62 @@ object TlcDemo {
                  MAX(pickup_date) AS latest_trip
           FROM fact
           GROUP BY 1
-          ORDER BY total_records DESC, service_type""")
+          ORDER BY total_records DESC, service_type""",
+
+    "tlc_pipeline_q02" ->
+      s"""WITH $fixtureCtes
+          SELECT pickup_hour AS hour,
+                 CASE WHEN pickup_hour = 0 THEN '12 AM'
+                      WHEN pickup_hour < 12 THEN CAST(pickup_hour AS VARCHAR) || ' AM'
+                      WHEN pickup_hour = 12 THEN '12 PM'
+                      ELSE CAST(pickup_hour - 12 AS VARCHAR) || ' PM' END AS hour_label,
+                 ((pickup_hour BETWEEN 7 AND 9) OR (pickup_hour BETWEEN 16 AND 19)) AS is_peak_hour,
+                 CAST(SUM(CASE WHEN service_type = 'yellow' THEN 1 ELSE 0 END) AS BIGINT) AS yellow_trips,
+                 CAST(SUM(CASE WHEN service_type = 'green' THEN 1 ELSE 0 END) AS BIGINT) AS green_trips,
+                 CAST(SUM(CASE WHEN service_type = 'hvfhv' THEN 1 ELSE 0 END) AS BIGINT) AS hvfhv_trips,
+                 COUNT(*) AS total_trips,
+                 ROUND(AVG(total_fare), 4) AS avg_fare,
+                 ROUND(AVG(trip_duration_minutes), 4) AS avg_duration_minutes
+          FROM fact WHERE is_valid
+          GROUP BY 1, 2, 3
+          ORDER BY hour""",
+
+    "tlc_pipeline_q05" ->
+      s"""WITH $fixtureCtes
+          SELECT service_type,
+                 COUNT(*) AS trip_count,
+                 ROUND(AVG(price_per_mile), 4) AS avg_price_per_mile,
+                 ROUND(quantile_cont(price_per_mile, 0.5), 4) AS median_price_per_mile,
+                 ROUND(AVG(price_per_minute), 4) AS avg_price_per_minute,
+                 ROUND(quantile_cont(price_per_minute, 0.5), 4) AS median_price_per_minute,
+                 ROUND(AVG(total_fare), 4) AS avg_total_fare,
+                 ROUND(AVG(trip_distance_miles), 4) AS avg_trip_distance,
+                 ROUND(AVG(trip_duration_minutes), 4) AS avg_trip_duration,
+                 ROUND(AVG(tips), 4) AS avg_tips,
+                 ROUND(AVG(tips) / AVG(total_fare) * 100, 4) AS avg_tip_percentage
+          FROM fact
+          WHERE is_valid
+            AND price_per_mile BETWEEN 0.5 AND 50
+            AND price_per_minute BETWEEN 0.1 AND 10
+          GROUP BY 1
+          ORDER BY trip_count DESC, service_type""",
+
+    "tlc_pipeline_q09" ->
+      s"""WITH $fixtureCtes
+          SELECT z.borough,
+                 COUNT(*) AS total_trips,
+                 CAST(SUM(CASE WHEN service_type = 'yellow' THEN 1 ELSE 0 END) AS BIGINT) AS yellow_trips,
+                 CAST(SUM(CASE WHEN service_type = 'green' THEN 1 ELSE 0 END) AS BIGINT) AS green_trips,
+                 CAST(SUM(CASE WHEN service_type = 'hvfhv' THEN 1 ELSE 0 END) AS BIGINT) AS hvfhv_trips,
+                 ROUND(AVG(total_fare), 4) AS avg_fare,
+                 ROUND(AVG(trip_distance_miles), 4) AS avg_distance,
+                 ROUND(AVG(trip_duration_minutes), 4) AS avg_duration,
+                 ROUND(AVG(price_per_mile), 4) AS avg_price_per_mile,
+                 ROUND(SUM(total_fare), 4) AS total_revenue,
+                 ROUND(CAST(SUM(CASE WHEN service_type = 'hvfhv' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+                       / COUNT(*), 2) AS hvfhv_market_share_pct
+          FROM fact JOIN zones z ON pickup_zone_id = z.location_id
+          WHERE is_valid AND z.borough <> 'Unknown'
+          GROUP BY 1
+          ORDER BY total_trips DESC, z.borough""")
 }
