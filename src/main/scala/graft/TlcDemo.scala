@@ -7,9 +7,12 @@ import graft.tlc._
 /** Driver-contract exposure of the TLC domain library: runs the full
   * reference pipeline (standardize → fact → dims → aggregates → analytics)
   * over deterministic in-code fixture rows (the reference's conftest rows)
-  * and returns flagship results. No DuckDB oracle — the reference semantics
-  * are covered by the ScalaTest suite (src/test/scala/graft/tlc) instead;
-  * the driver records the weaker rows-only check here.
+  * and exposes eight of the fourteen analytics queries with full DuckDB
+  * hash oracles (the fixtures are embedded as VALUES and the
+  * standardization formulas replayed in SQL — see `fixtureCtes`). The
+  * remaining six either need the agg-table layer (q03), produce empty
+  * results on the 10-row fixtures (q06, q11–q14 HAVING thresholds), or
+  * both; their semantics are value-asserted in AnalyticsSpec instead.
   */
 object TlcDemo {
   type Q = (SparkSession, String) => DataFrame
@@ -123,6 +126,21 @@ object TlcDemo {
     "tlc_pipeline_q09" -> { (s, _) =>
       round4(result(s).analytics("09_borough_comparison"))
         .orderBy(col("total_trips").desc, col("borough"))
+    },
+    // q04 HVFHV platform economics (company dim + take-rate percentiles).
+    "tlc_pipeline_q04" -> { (s, _) =>
+      round4(result(s).analytics("04_hvfhv_platform_economics"))
+        .orderBy(col("total_trips").desc, col("company_name"))
+    },
+    // q07 weekend vs weekday (dim_date is_weekend).
+    "tlc_pipeline_q07" -> { (s, _) =>
+      round4(result(s).analytics("07_weekend_vs_weekday"))
+        .orderBy(col("is_weekend"), col("trip_count").desc, col("service_type"))
+    },
+    // q08 shared rides (restored is_shared_match + pct-of-total window).
+    "tlc_pipeline_q08" -> { (s, _) =>
+      round4(result(s).analytics("08_shared_rides_analysis"))
+        .orderBy(col("trip_count").desc, col("shared_status"))
     })
 
   /** DuckDB oracles for the pipeline demos: the fixture rows are embedded
@@ -143,10 +161,10 @@ object TlcDemo {
          (TIMESTAMP '2024-06-01 10:00:00', TIMESTAMP '2024-06-01 10:20:00', 3.0, 74, 75, 15.0, 3.0, 0.0, 19.3),
          (TIMESTAMP '2024-06-01 11:00:00', TIMESTAMP '2024-06-01 11:25:00', 4.5, 75, 41, 22.5, 4.5, 0.0, 28.3),
          (TIMESTAMP '2024-06-01 12:00:00', TIMESTAMP '2024-06-01 12:35:00', 2.8, 41, 74, 14.0, 0.0, 5.76, 21.06)),
-       h_raw(p, d, pu, dz, miles, tt, base, tolls, bcf, tax, tips, dpay) AS (VALUES
-         (TIMESTAMP '2024-06-01 10:10:00', TIMESTAMP '2024-06-01 10:25:00', 161, 237, 2.8, 900, 15.5, 0.0, 0.47, 1.37, 3.0, 12.5),
-         (TIMESTAMP '2024-06-01 11:08:00', TIMESTAMP '2024-06-01 11:30:00', 237, 142, 5.2, 1320, 28.0, 0.0, 0.84, 2.48, 5.5, 22.0),
-         (TIMESTAMP '2024-06-01 12:08:00', TIMESTAMP '2024-06-01 12:40:00', 142, 236, 3.5, 1920, 20.0, 5.76, 0.60, 1.77, 0.0, 16.0)),
+       h_raw(lic, sreq, p, d, pu, dz, miles, tt, base, tolls, bcf, tax, tips, dpay) AS (VALUES
+         ('HV0003', 'N', TIMESTAMP '2024-06-01 10:10:00', TIMESTAMP '2024-06-01 10:25:00', 161, 237, 2.8, 900, 15.5, 0.0, 0.47, 1.37, 3.0, 12.5),
+         ('HV0005', 'N', TIMESTAMP '2024-06-01 11:08:00', TIMESTAMP '2024-06-01 11:30:00', 237, 142, 5.2, 1320, 28.0, 0.0, 0.84, 2.48, 5.5, 22.0),
+         ('HV0003', 'Y', TIMESTAMP '2024-06-01 12:08:00', TIMESTAMP '2024-06-01 12:40:00', 142, 236, 3.5, 1920, 20.0, 5.76, 0.60, 1.77, 0.0, 16.0)),
        zones(location_id, borough, zone) AS (VALUES
          (1, 'EWR', 'Newark Airport'), (41, 'Queens', 'Flushing'),
          (74, 'Queens', 'Corona'), (75, 'Queens', 'East Elmhurst'),
@@ -158,43 +176,56 @@ object TlcDemo {
        g2 AS (SELECT p, d, pu, dz, CAST(dist AS DOUBLE) AS dist,
                      CAST(tip AS DOUBLE) AS tip,
                      CAST(total AS DOUBLE) AS total FROM g_raw),
-       h2 AS (SELECT p, d, pu, dz, CAST(miles AS DOUBLE) AS miles,
+       h2 AS (SELECT lic, sreq, p, d, pu, dz, CAST(miles AS DOUBLE) AS miles,
                      CAST(tt AS DOUBLE) AS tt, CAST(base AS DOUBLE) AS base,
                      CAST(tolls AS DOUBLE) AS tolls, CAST(bcf AS DOUBLE) AS bcf,
                      CAST(tax AS DOUBLE) AS tax, CAST(tips AS DOUBLE) AS tips,
                      CAST(dpay AS DOUBLE) AS dpay FROM h_raw),
+       h3 AS (SELECT *,
+                     base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE) AS htotal
+              FROM h2),
        fact AS (
-         SELECT 'yellow' AS service_type, pu AS pickup_zone_id, dz AS dropoff_zone_id,
+         SELECT 'yellow' AS service_type,
+                CAST(NULL AS VARCHAR) AS hvfhs_license_num,
+                pu AS pickup_zone_id, dz AS dropoff_zone_id,
                 p AS pickup_datetime, d AS dropoff_datetime, CAST(p AS DATE) AS pickup_date,
                 CAST(EXTRACT(HOUR FROM p) AS INT) AS pickup_hour,
                 dist AS trip_distance_miles,
                 (epoch(d) - epoch(p)) / 60.0 AS trip_duration_minutes,
                 total AS total_fare, tip AS tips,
+                CAST(NULL AS DOUBLE) AS driver_pay,
+                CAST(NULL AS DOUBLE) AS take_rate,
+                CAST(NULL AS BOOLEAN) AS is_shared_request,
+                CAST(NULL AS BOOLEAN) AS is_shared_match,
                 total / NULLIF(dist, 0) AS price_per_mile,
                 total / NULLIF((epoch(d) - epoch(p)) / 60.0, 0) AS price_per_minute,
                 dist / NULLIF((epoch(d) - epoch(p)) / 3600.0, 0) AS avg_speed_mph,
                 (total >= 0 AND d > p AND dist >= 0) AS is_valid
          FROM y2
          UNION ALL
-         SELECT 'green', pu, dz, p, d, CAST(p AS DATE),
+         SELECT 'green', CAST(NULL AS VARCHAR), pu, dz, p, d, CAST(p AS DATE),
                 CAST(EXTRACT(HOUR FROM p) AS INT), dist,
                 (epoch(d) - epoch(p)) / 60.0, total, tip,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
                 total / NULLIF(dist, 0),
                 total / NULLIF((epoch(d) - epoch(p)) / 60.0, 0),
                 dist / NULLIF((epoch(d) - epoch(p)) / 3600.0, 0),
                 (total >= 0 AND d > p AND dist >= 0)
          FROM g2
          UNION ALL
-         SELECT 'hvfhv', pu, dz, p, d, CAST(p AS DATE),
+         SELECT 'hvfhv', lic, pu, dz, p, d, CAST(p AS DATE),
                 CAST(EXTRACT(HOUR FROM p) AS INT), miles,
                 tt / 60.0,
-                base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE),
-                tips,
-                (base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE)) / NULLIF(miles, 0),
-                (base + tips + tolls + bcf + tax + CAST(2.75 AS DOUBLE) + CAST(0.0 AS DOUBLE)) / NULLIF(tt / 60.0, 0),
+                htotal, tips,
+                dpay,
+                (htotal - dpay) / NULLIF(htotal, 0),
+                (sreq = 'Y'), ('N' = 'Y'),
+                htotal / NULLIF(miles, 0),
+                htotal / NULLIF(tt / 60.0, 0),
                 miles / NULLIF(tt / 3600.0, 0),
                 (base >= 0 AND d > p AND miles >= 0 AND dpay >= 0)
-         FROM h2)"""
+         FROM h3)"""
 
   val oracles: Map[String, String] = Map(
     "tlc_pipeline_q01" ->
@@ -288,5 +319,70 @@ object TlcDemo {
           FROM fact JOIN zones z ON pickup_zone_id = z.location_id
           WHERE is_valid AND z.borough <> 'Unknown'
           GROUP BY 1
-          ORDER BY total_trips DESC, z.borough""")
+          ORDER BY total_trips DESC, z.borough""",
+
+    "tlc_pipeline_q04" ->
+      s"""WITH $fixtureCtes,
+          companies(hvfhs_license_num, company_name) AS (VALUES
+            ('HV0002', 'Juno'), ('HV0003', 'Uber'),
+            ('HV0004', 'Via'), ('HV0005', 'Lyft'))
+          SELECT c.company_name,
+                 COUNT(*) AS total_trips,
+                 ROUND(AVG(take_rate) * 100, 4) AS avg_take_rate_pct,
+                 ROUND(AVG(driver_pay), 4) AS avg_driver_pay,
+                 ROUND(AVG(total_fare - driver_pay), 4) AS avg_platform_commission,
+                 ROUND(SUM(total_fare - driver_pay), 4) AS total_platform_revenue,
+                 ROUND(SUM(driver_pay), 4) AS total_driver_pay,
+                 ROUND(SUM(total_fare), 4) AS total_gross_revenue,
+                 ROUND(quantile_cont(take_rate, 0.25) * 100, 4) AS p25_take_rate_pct,
+                 ROUND(quantile_cont(take_rate, 0.5) * 100, 4) AS median_take_rate_pct,
+                 ROUND(quantile_cont(take_rate, 0.75) * 100, 4) AS p75_take_rate_pct
+          FROM fact
+          JOIN companies c USING (hvfhs_license_num)
+          WHERE is_valid AND service_type = 'hvfhv'
+            AND take_rate BETWEEN 0 AND 1
+          GROUP BY 1
+          ORDER BY total_trips DESC, c.company_name""",
+
+    "tlc_pipeline_q07" ->
+      s"""WITH $fixtureCtes
+          SELECT (EXTRACT(DOW FROM pickup_date) IN (0, 6)) AS is_weekend,
+                 CASE WHEN EXTRACT(DOW FROM pickup_date) IN (0, 6)
+                      THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+                 service_type,
+                 COUNT(*) AS trip_count,
+                 ROUND(AVG(total_fare), 4) AS avg_fare,
+                 ROUND(AVG(trip_distance_miles), 4) AS avg_distance,
+                 ROUND(AVG(trip_duration_minutes), 4) AS avg_duration,
+                 ROUND(AVG(price_per_mile), 4) AS avg_price_per_mile,
+                 ROUND(AVG(tips) / AVG(total_fare) * 100, 4) AS avg_tip_percentage,
+                 ROUND(SUM(total_fare), 4) AS total_revenue
+          FROM fact
+          WHERE is_valid
+          GROUP BY 1, 2, 3
+          ORDER BY is_weekend, trip_count DESC, service_type""",
+
+    "tlc_pipeline_q08" ->
+      s"""WITH $fixtureCtes,
+          tagged AS (
+            SELECT CASE WHEN is_shared_request AND is_shared_match THEN 'Requested & Matched'
+                        WHEN is_shared_request AND NOT is_shared_match THEN 'Requested but Not Matched'
+                        ELSE 'Not Shared' END AS shared_status,
+                   total_fare, trip_distance_miles, price_per_mile, take_rate, driver_pay
+            FROM fact WHERE is_valid AND service_type = 'hvfhv'),
+          grp AS (
+            SELECT shared_status,
+                   COUNT(*) AS trip_count,
+                   ROUND(AVG(total_fare), 4) AS avg_fare,
+                   ROUND(AVG(trip_distance_miles), 4) AS avg_distance,
+                   ROUND(AVG(price_per_mile), 4) AS avg_price_per_mile,
+                   ROUND(AVG(take_rate) * 100, 4) AS avg_take_rate_pct,
+                   ROUND(AVG(driver_pay), 4) AS avg_driver_pay
+            FROM tagged GROUP BY 1)
+          SELECT shared_status, trip_count,
+                 ROUND(trip_count * 100.0 / SUM(trip_count) OVER (), 2) AS percentage,
+                 avg_fare, avg_distance, avg_price_per_mile,
+                 avg_take_rate_pct, avg_driver_pay
+          FROM grp
+          ORDER BY trip_count DESC, shared_status""")
 }
