@@ -61,6 +61,21 @@ object CompletionOps {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
 
+    // A20: custom typed aggregate — Misra-Gries heavy hitters with real
+    // partial/final merge. Capacity 8 > the 5 distinct langs per source, so
+    // no counter is ever trimmed and the summary is EXACT (the oracle is a
+    // plain GROUP BY); MisraGriesSpec covers the approximate regime.
+    "a20_heavy_hitters" -> { (s, d) =>
+      val mg = udaf(graft.functions.MisraGries(8),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(mg(col("lang")).as("hh"))
+        .select(col("source"), explode(col("hh")))
+        .select(col("source"), col("key").as("lang"), col("value").as("cnt"))
+        .orderBy("source", "lang")
+    },
+
     // Q6: correlated LATERAL derived table — per nation, the top supplier
     // by account balance computed in a correlated inline view (Catalyst
     // decorrelates it; DuckDB executes it natively).
@@ -108,6 +123,10 @@ object CompletionOps {
          FROM lineitem
          WHERE l_orderkey < 200
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "a20_heavy_hitters" ->
+      """SELECT source, lang, COUNT(*) AS cnt
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q6_lateral" ->
       """SELECT n.n_name, l.s_name, ROUND(l.s_acctbal, 4) AS top_acctbal
