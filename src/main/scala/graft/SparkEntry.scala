@@ -40,7 +40,8 @@ object SparkEntry {
     ops.MultimodalOps.queries ++
     streaming.StreamingOps.queries ++
     streaming.StatefulSessionize.queries ++
-    TlcDemo.queries
+    TlcDemo.queries ++
+    TlcScaledDemo.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
@@ -64,5 +65,6 @@ object SparkEntry {
     ops.MultimodalOps.oracles ++
     streaming.StreamingOps.oracles ++
     streaming.StatefulSessionize.oracles ++
-    TlcDemo.oracles
+    TlcDemo.oracles ++
+    TlcScaledDemo.oracles
 }

@@ -141,6 +141,30 @@ object TlcDemo {
     "tlc_pipeline_q08" -> { (s, _) =>
       round4(result(s).analytics("08_shared_rides_analysis"))
         .orderBy(col("trip_count").desc, col("shared_status"))
+    },
+    // ingestion_log sink schema + build path (loader.py:264–333,
+    // 01_raw_tables.sql:110–130) over fixed audit entries.
+    "tlc_ingestion_log" -> { (s, _) =>
+      def ts(iso: String) =
+        java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      IngestionLog.build(s, Seq(
+        IngestionLog.Entry(1L, "yellow_tripdata_2024-06.parquet", "yellow",
+          4L, 1.25, "completed", None,
+          "0f6b2a6b1ac4e0a4c0b8e1d2f3a4b5c6d7e8f90112233445566778899aabbccd",
+          ts("2024-07-01T06:00:00Z")),
+        IngestionLog.Entry(2L, "green_tripdata_2024-06.parquet", "green",
+          3L, 0.75, "completed", None,
+          "1a2b3c4d5e6f708192a3b4c5d6e7f8091a2b3c4d5e6f708192a3b4c5d6e7f809",
+          ts("2024-07-01T06:01:30Z")),
+        IngestionLog.Entry(3L, "fhvhv_tripdata_2024-06.parquet", "hvfhv",
+          3L, 2.5, "completed", None,
+          "99aabbccddeeff00112233445566778899aabbccddeeff001122334455667788",
+          ts("2024-07-01T06:03:00Z")),
+        IngestionLog.Entry(4L, "yellow_tripdata_2024-06.parquet", "yellow",
+          0L, 0.5, "skipped", Some("already loaded (idempotency check)"),
+          "0f6b2a6b1ac4e0a4c0b8e1d2f3a4b5c6d7e8f90112233445566778899aabbccd",
+          ts("2024-07-02T06:00:00Z"))))
+        .orderBy("load_sequence_id")
     })
 
   /** DuckDB oracles for the pipeline demos: the fixture rows are embedded
@@ -384,5 +408,31 @@ object TlcDemo {
                  avg_fare, avg_distance, avg_price_per_mile,
                  avg_take_rate_pct, avg_driver_pay
           FROM grp
-          ORDER BY trip_count DESC, shared_status""")
+          ORDER BY trip_count DESC, shared_status""",
+
+    "tlc_ingestion_log" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'yellow_tripdata_2024-06.parquet', 'yellow',
+            CAST(4 AS BIGINT), CAST(1.25 AS DOUBLE), 'completed',
+            CAST(NULL AS VARCHAR),
+            '0f6b2a6b1ac4e0a4c0b8e1d2f3a4b5c6d7e8f90112233445566778899aabbccd',
+            TIMESTAMP '2024-07-01 06:00:00'),
+           (CAST(2 AS BIGINT), 'green_tripdata_2024-06.parquet', 'green',
+            CAST(3 AS BIGINT), CAST(0.75 AS DOUBLE), 'completed',
+            CAST(NULL AS VARCHAR),
+            '1a2b3c4d5e6f708192a3b4c5d6e7f8091a2b3c4d5e6f708192a3b4c5d6e7f809',
+            TIMESTAMP '2024-07-01 06:01:30'),
+           (CAST(3 AS BIGINT), 'fhvhv_tripdata_2024-06.parquet', 'hvfhv',
+            CAST(3 AS BIGINT), CAST(2.5 AS DOUBLE), 'completed',
+            CAST(NULL AS VARCHAR),
+            '99aabbccddeeff00112233445566778899aabbccddeeff001122334455667788',
+            TIMESTAMP '2024-07-01 06:03:00'),
+           (CAST(4 AS BIGINT), 'yellow_tripdata_2024-06.parquet', 'yellow',
+            CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE), 'skipped',
+            'already loaded (idempotency check)',
+            '0f6b2a6b1ac4e0a4c0b8e1d2f3a4b5c6d7e8f90112233445566778899aabbccd',
+            TIMESTAMP '2024-07-02 06:00:00'))
+         t(load_sequence_id, source_file, service_type, row_count,
+           load_duration_seconds, status, error_message, file_sha256, loaded_at)
+         ORDER BY load_sequence_id""")
 }

@@ -63,6 +63,21 @@ object Exact {
   def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0, num / den)
 
+  /** Tie-stable ROUND for small-denominator rationals. Averages/medians of
+    * money-like 2-decimal inputs are rationals s/n with small n, which land
+    * EXACTLY on a half-cent rounding boundary with probability ~1/n per
+    * value — and Spark (BigDecimal-of-the-double, HALF_UP) and DuckDB
+    * (scaled multiply + nearbyint) resolve the same exact tie in OPPOSITE
+    * directions (round 2 found 13.675 → 13.67 vs 13.68). Biasing by 1e-9
+    * before rounding moves every exact tie decisively off the boundary the
+    * SAME way in both engines, and is far below the ~1e-7 minimum distance
+    * of any genuinely-off-boundary small-denominator rational, so non-tie
+    * results are unchanged. It also makes Spark itself run-reproducible at
+    * ties (double-sum merge order varies ±1e-13 with shuffle fetch order).
+    * Oracle mirror: `ROUND(x + 1e-9, d)`. */
+  def stableRound(c: Column, scale: Int): Column =
+    round(c + lit(1e-9), scale)
+
   /** `dsum` over a window frame: exact decimal prefix/frame sums are
     * order-independent given the frame's total order, so running sums
     * hash-match the oracle. Oracle shape:

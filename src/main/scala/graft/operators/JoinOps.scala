@@ -7,11 +7,15 @@ import graft.functions.Exact._
 
 /** Join operators (SURVEY.md §2.3).
   *
-  * Every fact⋈dim join broadcasts the dim side explicitly (`broadcast()`) —
-  * the reference's dims are 3–1826 rows (J1–J4), far under any broadcast
-  * threshold, and at 100 TB a shuffle join against a 263-row zone table
-  * would be a pure waste of an exchange. Fact⋈fact joins (qc_reversed_ts,
-  * j5) shuffle on their keys and rely on AQE for skew handling.
+  * Broadcast policy: explicit `broadcast()` hints are reserved for relations
+  * whose size is BOUNDED BY SCHEMA — the reference's dims are 3–1826 rows
+  * (J1–J4) and nation/region are fixed 25/5 rows at every SF. Tables that
+  * grow with the data (part, customer, supplier, orders, lineitem) get NO
+  * hint: at 100 TB they exceed any broadcast threshold and an explicit hint
+  * would override AQE's size check into a driver OOM. AQE's runtime size
+  * statistics pick broadcast for them automatically when (and only when)
+  * they are actually small. Fact⋈fact joins (qc_reversed_ts, j5) shuffle on
+  * their keys and rely on AQE for skew handling.
   */
 object JoinOps {
   type Q = (SparkSession, String) => DataFrame
@@ -21,7 +25,7 @@ object JoinOps {
     "j1_broadcast_dim" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n"),
@@ -54,8 +58,8 @@ object JoinOps {
       val n2 = Tables.nation(s, d).select(
         col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sp), li("l_suppkey") === sp("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sp, li("l_suppkey") === sp("s_suppkey"))
         .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
         .join(broadcast(n2), sp("s_nationkey") === n2("s_nk"))
         .groupBy("cust_nation", "supp_nation")

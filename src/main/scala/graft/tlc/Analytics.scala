@@ -3,6 +3,7 @@ package graft.tlc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Exact.stableRound
 
 /** The 14 analytics queries (reference: sql/analytics/01–14) as DataFrame
   * pipelines over the fact + dims (+ agg_market_share for q03).
@@ -83,13 +84,13 @@ object Analytics {
       .select(
         col("date_id").as("date"), col("month_name"), col("year"),
         col("total_trips"), col("yellow_trips"), col("green_trips"), col("hvfhv_trips"),
-        round(col("yellow_share") * 100, 2).as("yellow_share_pct"),
-        round(col("green_share") * 100, 2).as("green_share_pct"),
-        round(col("hvfhv_share") * 100, 2).as("hvfhv_share_pct"),
+        stableRound(col("yellow_share") * 100, 2).as("yellow_share_pct"),
+        stableRound(col("green_share") * 100, 2).as("green_share_pct"),
+        stableRound(col("hvfhv_share") * 100, 2).as("hvfhv_share_pct"),
         col("total_revenue"),
-        round(col("yellow_revenue_share") * 100, 2).as("yellow_revenue_share_pct"),
-        round(col("green_revenue_share") * 100, 2).as("green_revenue_share_pct"),
-        round(col("hvfhv_revenue_share") * 100, 2).as("hvfhv_revenue_share_pct"))
+        stableRound(col("yellow_revenue_share") * 100, 2).as("yellow_revenue_share_pct"),
+        stableRound(col("green_revenue_share") * 100, 2).as("green_revenue_share_pct"),
+        stableRound(col("hvfhv_revenue_share") * 100, 2).as("hvfhv_revenue_share_pct"))
       .orderBy("date")
   }
 
@@ -275,18 +276,18 @@ object Analytics {
     base.select(
         col("pickup_zone"), col("borough"), col("hour"), col("hour_label"),
         col("is_peak_hour"),
-        round(col("taxi_median_price_per_mile"), 2).as("taxi_price_per_mile"),
-        round(col("taxi_median_price_per_minute"), 2).as("taxi_price_per_minute"),
+        stableRound(col("taxi_median_price_per_mile"), 2).as("taxi_price_per_mile"),
+        stableRound(col("taxi_median_price_per_minute"), 2).as("taxi_price_per_minute"),
         col("taxi_trip_count"),
-        round(col("hvfhv_median_price_per_mile"), 2).as("hvfhv_price_per_mile"),
-        round(col("hvfhv_median_price_per_minute"), 2).as("hvfhv_price_per_minute"),
+        stableRound(col("hvfhv_median_price_per_mile"), 2).as("hvfhv_price_per_mile"),
+        stableRound(col("hvfhv_median_price_per_minute"), 2).as("hvfhv_price_per_minute"),
         col("hvfhv_trip_count"),
-        round(col("hvfhv_median_price_per_mile") - col("taxi_median_price_per_mile"), 2)
+        stableRound(col("hvfhv_median_price_per_mile") - col("taxi_median_price_per_mile"), 2)
           .as("price_diff_per_mile"),
-        round(col("hvfhv_median_price_per_minute") - col("taxi_median_price_per_minute"), 2)
+        stableRound(col("hvfhv_median_price_per_minute") - col("taxi_median_price_per_minute"), 2)
           .as("price_diff_per_minute"),
-        round(rel * 100, 1).as("price_diff_pct_per_mile"),
-        round(safeDiv(col("hvfhv_median_price_per_minute") - col("taxi_median_price_per_minute"),
+        stableRound(rel * 100, 1).as("price_diff_pct_per_mile"),
+        stableRound(safeDiv(col("hvfhv_median_price_per_minute") - col("taxi_median_price_per_minute"),
           col("taxi_median_price_per_minute")) * 100, 1).as("price_diff_pct_per_minute"),
         when(rel > 0.10, "YES - HVFHV Higher")
           .when(rel < -0.10, "NO - Taxi Higher")
@@ -346,25 +347,25 @@ object Analytics {
       .select(
         col("service_type"),
         col("trips_before"),
-        round(col("b_median_fare"), 2).as("median_fare_before"),
-        round(col("b_ppm"), 2).as("price_per_mile_before"),
-        round(col("b_surch"), 2).as("avg_surcharges_before"),
-        round(col("b_dp"), 2).as("driver_pay_before"),
-        round(col("b_tr"), 1).as("take_rate_pct_before"),
+        stableRound(col("b_median_fare"), 2).as("median_fare_before"),
+        stableRound(col("b_ppm"), 2).as("price_per_mile_before"),
+        stableRound(col("b_surch"), 2).as("avg_surcharges_before"),
+        stableRound(col("b_dp"), 2).as("driver_pay_before"),
+        stableRound(col("b_tr"), 1).as("take_rate_pct_before"),
         col("trips_after"),
-        round(col("a_median_fare"), 2).as("median_fare_after"),
-        round(col("a_ppm"), 2).as("price_per_mile_after"),
-        round(col("a_surch"), 2).as("avg_surcharges_after"),
-        round(col("a_dp"), 2).as("driver_pay_after"),
-        round(col("a_tr"), 1).as("take_rate_pct_after"),
-        round(col("a_median_fare") - col("b_median_fare"), 2).as("fare_change_dollars"),
-        round(col("a_ppm") - col("b_ppm"), 2).as("price_per_mile_change"),
-        round(col("a_surch") - col("b_surch"), 2).as("surcharge_change"),
-        round(col("a_dp") - col("b_dp"), 2).as("driver_pay_change"),
-        round(col("a_tr") - col("b_tr"), 1).as("take_rate_change_pct"),
-        round(safeDiv(col("a_median_fare") - col("b_median_fare"), col("b_median_fare")) * 100, 1)
+        stableRound(col("a_median_fare"), 2).as("median_fare_after"),
+        stableRound(col("a_ppm"), 2).as("price_per_mile_after"),
+        stableRound(col("a_surch"), 2).as("avg_surcharges_after"),
+        stableRound(col("a_dp"), 2).as("driver_pay_after"),
+        stableRound(col("a_tr"), 1).as("take_rate_pct_after"),
+        stableRound(col("a_median_fare") - col("b_median_fare"), 2).as("fare_change_dollars"),
+        stableRound(col("a_ppm") - col("b_ppm"), 2).as("price_per_mile_change"),
+        stableRound(col("a_surch") - col("b_surch"), 2).as("surcharge_change"),
+        stableRound(col("a_dp") - col("b_dp"), 2).as("driver_pay_change"),
+        stableRound(col("a_tr") - col("b_tr"), 1).as("take_rate_change_pct"),
+        stableRound(safeDiv(col("a_median_fare") - col("b_median_fare"), col("b_median_fare")) * 100, 1)
           .as("fare_change_pct"),
-        round(safeDiv(col("a_surch") - col("b_surch"), col("b_surch")) * 100, 1)
+        stableRound(safeDiv(col("a_surch") - col("b_surch"), col("b_surch")) * 100, 1)
           .as("surcharge_change_pct"),
         when(col("service_type") === "hvfhv",
           when(col("a_tr") - col("b_tr") > 1, "Platform kept more (driver absorbed fee)")
@@ -421,8 +422,8 @@ object Analytics {
     val withShare = dailyZone.join(totals, Seq("pickup_date", "zone"))
       .filter(col("total_trips") >= 50)
       .withColumn("market_share_pct",
-        round(col("trip_count") * 100.0 / col("total_trips"), 2))
-      .withColumn("price_per_mile_r", round(col("avg_price_per_mile"), 2))
+        stableRound(col("trip_count") * 100.0 / col("total_trips"), 2))
+      .withColumn("price_per_mile_r", stableRound(col("avg_price_per_mile"), 2))
     // quartile dates of the filtered set (14:70–79's scalar subquery) — a
     // one-row broadcast, not a collect.
     val quartiles = withShare.agg(
@@ -442,13 +443,13 @@ object Analytics {
         sum(col("trip_count")).as("total_trips"))
       .filter(col("days_active") >= 10)
     val zoneAvg = avg(col("avg_price")).over(Window.partitionBy("zone"))
-    val shareChange = round(col("late_market_share") - col("early_market_share"), 2)
+    val shareChange = stableRound(col("late_market_share") - col("early_market_share"), 2)
     changes
       .withColumn("market_share_change_pct", shareChange)
-      .withColumn("price_change", round(col("late_price") - col("early_price"), 2))
+      .withColumn("price_change", stableRound(col("late_price") - col("early_price"), 2))
       .withColumn("price_change_pct",
-        round(safeDiv(col("late_price") - col("early_price"), col("early_price")) * 100, 1))
-      .withColumn("price_vs_zone_avg", round(col("avg_price") - zoneAvg, 2))
+        stableRound(safeDiv(col("late_price") - col("early_price"), col("early_price")) * 100, 1))
+      .withColumn("price_vs_zone_avg", stableRound(col("avg_price") - zoneAvg, 2))
       .withColumn("share_trend",
         when(col("late_market_share") - col("early_market_share") > 5, "Gaining Share")
           .when(col("late_market_share") - col("early_market_share") < -5, "Losing Share")
@@ -472,12 +473,12 @@ object Analytics {
           .otherwise("Stable Market"))
       .select(
         col("zone"), col("borough"), col("service_type"),
-        round(col("early_market_share"), 1).as("early_share_pct"),
-        round(col("late_market_share"), 1).as("late_share_pct"),
+        stableRound(col("early_market_share"), 1).as("early_share_pct"),
+        stableRound(col("late_market_share"), 1).as("late_share_pct"),
         col("market_share_change_pct").as("share_change_pct"),
         col("share_trend"),
-        round(col("early_price"), 2).as("early_price_per_mile"),
-        round(col("late_price"), 2).as("late_price_per_mile"),
+        stableRound(col("early_price"), 2).as("early_price_per_mile"),
+        stableRound(col("late_price"), 2).as("late_price_per_mile"),
         col("price_change").as("price_change_dollars"),
         col("price_change_pct"), col("pricing_position"),
         col("price_vs_zone_avg").as("price_premium_vs_zone"),

@@ -35,11 +35,28 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-file load audit (reference loader.py:264–333): each raw source
+    // load appends an ingestion_log entry with row count, duration, checksum
+    // and status, written alongside the data sinks below.
+    val logEntries = scala.collection.mutable.ArrayBuffer.empty[IngestionLog.Entry]
+
     def loadRaw(key: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
       val path = opts(key)
+      val t0 = System.nanoTime()
       val (df, drift) = RawLoader.load(spark, path, schema,
         new java.io.File(path).getName)
       if (drift.hasDrift) System.err.println(s"[drift] $key: $drift")
+      val (rows, _, sha) = RawLoader.validate(spark, path)
+      logEntries += IngestionLog.Entry(
+        sequenceId = logEntries.size + 1L,
+        sourceFile = new java.io.File(path).getName,
+        serviceType = key,
+        rowCount = rows,
+        durationSeconds = (System.nanoTime() - t0) / 1e9,
+        status = "completed",
+        errorMessage = None,
+        fileSha256 = sha,
+        loadedAt = new java.sql.Timestamp(System.currentTimeMillis()))
       df
     }
 
@@ -62,6 +79,11 @@ object Cli {
     result.aggregates.foreach { case (name, df) =>
       Aggregations.write(df, s"$out/$name")
     }
+    // Dims and analytics results write WITHOUT a coalesce(1) funnel: dims
+    // are bounded (3–1826 rows, naturally few partitions) but analytics
+    // outputs grow with the data span (q13 is months × companies), and a
+    // single-task write serializes the whole frame through one core. Plain
+    // parallel writes let each result keep its natural parallelism.
     Seq(
       "dim_zones" -> result.tables.dimZones,
       "dim_date" -> result.tables.dimDate,
@@ -69,11 +91,12 @@ object Cli {
       "dim_service" -> result.tables.dimService,
       "dim_hvfhs_company" -> result.tables.dimHvfhsCompany)
       .foreach { case (name, df) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+        df.write.mode("overwrite").parquet(s"$out/$name")
       }
     result.analytics.foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$out/analytics/$name")
+      df.write.mode("overwrite").parquet(s"$out/analytics/$name")
     }
+    IngestionLog.write(IngestionLog.build(spark, logEntries.toSeq), s"$out/ingestion_log")
     println(s"[graft] pipeline complete: ${result.fact.count()} fact rows -> $out")
     spark.stop()
   }

@@ -76,10 +76,34 @@ object RawLoader {
     (raw.select(cols.toIndexedSeq: _*).withColumn("source_file", lit(sourceFile)), drift)
   }
 
-  /** File-level validation (validators.py:16–89): row count + column names. */
-  def validate(spark: SparkSession, path: String): (Long, Seq[String]) = {
+  /** Streaming SHA256 of a local file (validators.py:16–45's checksum step).
+    * File-level and driver-side by nature — it runs once per ingested file
+    * at the ingest boundary, never over distributed data. A parquet
+    * DIRECTORY hashes its data files in name order (deterministic for a
+    * given layout), so multi-part sources still get a stable checksum. */
+  def sha256(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(f: java.io.File): Unit = {
+      val in = new java.io.FileInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    val root = new java.io.File(path)
+    if (root.isDirectory)
+      root.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).sortBy(_.getName).foreach(feed)
+    else feed(root)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** File-level validation (validators.py:16–89): row count, column names,
+    * and the file's SHA256 checksum. */
+  def validate(spark: SparkSession, path: String): (Long, Seq[String], String) = {
     val df = spark.read.parquet(path)
-    (df.count(), df.columns.toSeq)
+    (df.count(), df.columns.toSeq, sha256(path))
   }
 
   /** Idempotent-load filter: drop rows whose source_file already exists in

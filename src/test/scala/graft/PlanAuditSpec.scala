@@ -52,6 +52,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Exchange"))
   }
 
+  test("j1/j5: no FORCED broadcast of SF-scaling relations (hints only on bounded dims)") {
+    // With size-based broadcast disabled, any BroadcastHashJoin left in the
+    // plan comes from an explicit broadcast() hint. part/customer/supplier
+    // grow with SF — a hint there overrides AQE's size check into a driver
+    // OOM at 100 TB — so j1 must fall back to a shuffle join entirely, and
+    // j5's only surviving broadcasts must be the two fixed 25-row nation
+    // sides. (The sibling j1 test asserts the converse: with thresholds ON,
+    // AQE still picks broadcast for the genuinely-small side.)
+    val prevBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p1 = plan("j1_broadcast_dim")
+      assert(!p1.contains("BroadcastHashJoin"),
+        s"j1 must not force-broadcast part (grows with SF):\n$p1")
+      val p5 = plan("j5_double_dim")
+      assert("BroadcastHashJoin".r.findAllIn(p5).size == 2,
+        s"j5 may force-broadcast only the two nation dims:\n$p5")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBt)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("j12: range join broadcasts the band table (no fact shuffle)") {
     val p = plan("j12_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"))

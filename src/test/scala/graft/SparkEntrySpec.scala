@@ -27,7 +27,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "MultimodalOps" -> ops.MultimodalOps.queries,
     "StreamingOps" -> streaming.StreamingOps.queries,
     "StatefulSessionize" -> streaming.StatefulSessionize.queries,
-    "TlcDemo" -> TlcDemo.queries)
+    "TlcDemo" -> TlcDemo.queries,
+    "TlcScaledDemo" -> TlcScaledDemo.queries)
 
   test("no query key is shadowed across component maps") {
     val all = parts.flatMap { case (owner, m) => m.keys.map(_ -> owner) }
