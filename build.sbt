@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through RAW (no `[info] ` logger prefix): the
+// benchmark contract is ONE machine-parseable JSON line on stdout, and a
+// logger prefix breaks any `^{...}$` line parse of the captured output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM; at sf0.1 the shuffle-
+  // heavy suite queries allocate enough that a 16g heap forces collections
+  // inside timed windows. The bench host has >100 GiB; headroom is free.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

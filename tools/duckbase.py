@@ -28,9 +28,13 @@ def main():
     for name in sorted(oracle):
         try:
             con.sql(oracle[name]).fetchall()          # warm
-            t0 = time.perf_counter()
-            con.sql(oracle[name]).fetchall()          # timed
-            times[name] = round(time.perf_counter() - t0, 3)
+            best = None                               # min of 2 timed runs
+            for _ in range(2):                        # (same as graft.Bench)
+                t0 = time.perf_counter()
+                con.sql(oracle[name]).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
         except Exception as e:
             times[name] = None
             print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -39,7 +43,7 @@ def main():
         "metric": "duckdb_total", "value": round(sum(ok.values()), 3),
         "unit": "sec", "n_queries": len(ok), "sf": sf,
         "methodology": "duckdb " + duckdb.__version__ +
-            ", per-query 2nd-run (steady-state, same as graft.Bench's warmed timing)",
+            ", per-query min of 2 warmed runs (steady-state, same as graft.Bench)",
         "queries": times,
     }
     with open(out, "w") as f:
