@@ -27,6 +27,12 @@ object Bench {
       // classes; with the warm pass evicting the cache, every timed stage
       // re-ran Janino (dd4: 20.5 s benched vs 4.2 s isolated in round 1).
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Base tables stay hot across the suite (see Tables.memo's scaladoc:
+      // the DuckDB comparison times warmed runs against its buffer pool, so
+      // cold per-query parquet decode would skew the ratio with format-
+      // decoder cost that is not operator work).
+      .config("spark.graft.cacheTables",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_TABLES", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -22,6 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CsvOps.queries ++
+    operators.OrcOps.queries ++
+    operators.SinkOps.queries ++
     operators.ExtendedOps.queries ++
     operators.BreadthOps.queries ++
     operators.BucketedOps.queries ++
@@ -47,6 +49,8 @@ object SparkEntry {
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.CsvOps.oracles ++
+    operators.OrcOps.oracles ++
+    operators.SinkOps.oracles ++
     operators.ExtendedOps.oracles ++
     operators.BreadthOps.oracles ++
     operators.BucketedOps.oracles ++

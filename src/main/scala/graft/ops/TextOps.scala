@@ -152,6 +152,45 @@ object TextOps {
           col("sum_scaled").cast("double") / (col("n_bigrams") * lit(100000000L)))
         .select("doc_id", "n_bigrams", "avg_cond_p")
         .orderBy("doc_id")
+    },
+
+    // TX7: repetition metrics — the Gopher-style repetition filters a
+    // pre-training corpus pipeline gates on (Rae et al. 2021 §A1.1, public):
+    // duplicate-token fraction, most-common-bigram fraction, and the
+    // Simpson concentration index Σc²/n² (an exact-rational stand-in for
+    // token entropy: pure integer sums + one double division, so the value
+    // is bit-identical cross-engine with no rounding tolerance needed).
+    // Two hash-aggregates per modality (token, bigram), one broadcast-sized
+    // join of per-doc rollups — linear at corpus scale.
+    "tx7_repetition_metrics" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val uni = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sc2"))
+      val bi = docs.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))"))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_bigrams"),
+          max("c").as("top_bigram"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .withColumn("dup_token_frac",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("top_bigram_frac",
+          col("top_bigram").cast("double") / col("n_bigrams"))
+        .withColumn("simpson_index",
+          col("sc2").cast("double") / (col("n_tokens") * col("n_tokens")))
+        .withColumn("is_repetitive",
+          col("dup_token_frac") > 0.6 || col("top_bigram_frac") > 0.18)
+        .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac",
+          "top_bigram_frac", "simpson_index", "is_repetitive")
+        .orderBy("doc_id")
     })
 
   private def duckMarkerScore(ms: Seq[String]): String = {
@@ -234,5 +273,29 @@ object TextOps {
                 CAST(SUM((c2 * 100000000) // c1) AS DOUBLE)
                   / CAST(COUNT(*) * 100000000 AS BIGINT) AS avg_cond_p
          FROM bigrams JOIN bi USING (w1, w2) JOIN uni USING (w1)
-         GROUP BY doc_id ORDER BY doc_id""")
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "tx7_repetition_metrics" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                       FROM documents),
+          u1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+          uni AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                         SUM(c * c) AS sc2
+                  FROM u1 GROUP BY 1),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          bg0 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+                  FROM (SELECT * FROM tk WHERE len(ts) >= 2),
+                       UNNEST(generate_series(1, len(ts) - 1)) AS g(i)),
+          b1 AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+          bi AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+                 FROM b1 GROUP BY 1),
+          j AS (SELECT u.doc_id,
+                       CAST(u.n_tokens AS BIGINT) AS n_tokens,
+                       CAST(u.n_distinct AS BIGINT) AS n_distinct,
+                       1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS dup_token_frac,
+                       CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+                       CAST(u.sc2 AS DOUBLE) / (u.n_tokens * u.n_tokens) AS simpson_index
+                FROM uni u LEFT JOIN bi b USING (doc_id))
+          SELECT *, (dup_token_frac > 0.6 OR top_bigram_frac > 0.18) AS is_repetitive
+          FROM j ORDER BY doc_id""")
 }

@@ -9,6 +9,8 @@ class SparkEntrySpec extends AnyFunSuite {
 
   private val parts: Seq[(String, Map[String, _])] = Seq(
     "CsvOps" -> operators.CsvOps.queries,
+    "OrcOps" -> operators.OrcOps.queries,
+    "SinkOps" -> operators.SinkOps.queries,
     "ExtendedOps" -> operators.ExtendedOps.queries,
     "BreadthOps" -> operators.BreadthOps.queries,
     "BucketedOps" -> operators.BucketedOps.queries,
