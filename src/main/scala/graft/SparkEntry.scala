@@ -24,6 +24,7 @@ object SparkEntry {
     operators.CsvOps.queries ++
     operators.OrcOps.queries ++
     operators.SinkOps.queries ++
+    operators.ReshapeOps.queries ++
     operators.ExtendedOps.queries ++
     operators.BreadthOps.queries ++
     operators.BucketedOps.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
     operators.CsvOps.oracles ++
     operators.OrcOps.oracles ++
     operators.SinkOps.oracles ++
+    operators.ReshapeOps.oracles ++
     operators.ExtendedOps.oracles ++
     operators.BreadthOps.oracles ++
     operators.BucketedOps.oracles ++

@@ -191,6 +191,34 @@ object TextOps {
         .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac",
           "top_bigram_frac", "simpson_index", "is_repetitive")
         .orderBy("doc_id")
+    },
+
+    // TX8: PII scrubbing — email/phone/IP detection + redaction, the
+    // compliance pass every training-data pipeline runs before a corpus
+    // ships. The synthetic corpus carries no PII, so deterministic
+    // specimens are injected by doc_id arithmetic (replayed verbatim in the
+    // oracle, like the scaled TLC fixture); counts come from the raw text,
+    // the redacted text is md5'd for compact exact comparison. Pure per-row
+    // regex work — linear, codegen'd, no shuffle before the final sort.
+    "tx8_pii_scrub" -> { (s, d) =>
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" reach me at user42@example.com")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call +1 212-555-0142 now")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" server at 192.168.0.12 logs")).otherwise(lit("")))
+          .as("text"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      injected.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+          .as("scrubbed_md5"))
+        .orderBy("doc_id")
     })
 
   private def duckMarkerScore(ms: Seq[String]): String = {
@@ -297,5 +325,24 @@ object TextOps {
                        CAST(u.sc2 AS DOUBLE) / (u.n_tokens * u.n_tokens) AS simpson_index
                 FROM uni u LEFT JOIN bi b USING (doc_id))
           SELECT *, (dup_token_frac > 0.6 OR top_bigram_frac > 0.18) AS is_repetitive
-          FROM j ORDER BY doc_id""")
+          FROM j ORDER BY doc_id""",
+
+    "tx8_pii_scrub" ->
+      """WITH injected AS (
+           SELECT doc_id,
+                  text
+                    || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user42@example.com' ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0 THEN ' call +1 212-555-0142 now' ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0 THEN ' server at 192.168.0.12 logs' ELSE '' END
+                    AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+                md5(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+         FROM injected ORDER BY doc_id""")
 }

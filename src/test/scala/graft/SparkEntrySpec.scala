@@ -11,6 +11,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "CsvOps" -> operators.CsvOps.queries,
     "OrcOps" -> operators.OrcOps.queries,
     "SinkOps" -> operators.SinkOps.queries,
+    "ReshapeOps" -> operators.ReshapeOps.queries,
     "ExtendedOps" -> operators.ExtendedOps.queries,
     "BreadthOps" -> operators.BreadthOps.queries,
     "BucketedOps" -> operators.BucketedOps.queries,
