@@ -158,6 +158,28 @@ object DedupOps {
       connectedComponents(pairs)
     },
 
+    // DD9: the end-to-end dedup MANIFEST — what a corpus build actually
+    // ships: every document with its near-dup cluster id and a keep/drop
+    // flag (representative = min doc_id per cluster; singletons keep
+    // themselves). Composes the staged pipeline: memoized LSH pair graph →
+    // connected components → left join back to the corpus. One extra
+    // broadcast-sized join over dd7's plan; linear in corpus size.
+    "dd9_dedup_manifest" -> { (s, d) =>
+      val clusters = connectedComponents(
+        pairsCache.computeIfAbsent((s, d), { _ =>
+          queries("dd2_minhash_lsh")(s, d).select("doc_a", "doc_b").persist()
+        }))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(clusters.select(col("doc_id"), col("cluster_id"), col("n_members")),
+          Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // SimHash: 32-bit signature from md5-nibble bits weighted by term
     // frequency; emitted as BIGINT (pure integer math — exact everywhere).
     "dd3_simhash" -> { (s, d) =>
@@ -258,6 +280,24 @@ object DedupOps {
           WHERE ($agree) / ${K}.0 >= 0.5)"""
   }
 
+  /** Recursive connected-components CTE chain over the sim_pairs graph —
+    * shared by the dd7 and dd9 oracles. Ends with `cluster` (doc_id,
+    * cluster_id) and `sizes` (cluster_id, n_members). */
+  private lazy val ccCtes: String =
+    s"""$simPairsCtes,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM sim_pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM sim_pairs),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        walk(src, node) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+        cluster AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+                    FROM walk GROUP BY 1),
+        sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+                  FROM cluster GROUP BY 1)"""
+
   val oracles: Map[String, String] = Map(
     "dd4_ngram_jaccard" ->
       s"""WITH $duckShingles,
@@ -281,22 +321,23 @@ object DedupOps {
     // every node reachable from src (UNION dedup terminates the recursion);
     // cluster id = min reachable node.
     "dd7_cc_clusters" ->
-      s"""WITH RECURSIVE $simPairsCtes,
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM sim_pairs
-                    UNION ALL
-                    SELECT doc_b, doc_a FROM sim_pairs),
-          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-          walk(src, node) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.node),
-          cluster AS (SELECT src AS doc_id, MIN(node) AS cluster_id
-                      FROM walk GROUP BY 1),
-          sizes AS (SELECT cluster_id, COUNT(*) AS n_members
-                    FROM cluster GROUP BY 1)
+      s"""WITH RECURSIVE $ccCtes
           SELECT c.doc_id, c.cluster_id, s.n_members
           FROM cluster c JOIN sizes s USING (cluster_id)
           ORDER BY c.doc_id""",
+
+    // Manifest: every document, its cluster (itself when unclustered), and
+    // the keep flag (representative = min doc_id per cluster).
+    "dd9_dedup_manifest" ->
+      s"""WITH RECURSIVE $ccCtes
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 CAST(COALESCE(s.n_members, 1) AS BIGINT) AS n_members,
+                 COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+          FROM documents d
+          LEFT JOIN cluster c USING (doc_id)
+          LEFT JOIN sizes s USING (cluster_id)
+          ORDER BY d.doc_id""",
 
     "dd3_simhash" ->
       """WITH raw_toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok

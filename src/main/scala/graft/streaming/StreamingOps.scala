@@ -53,7 +53,30 @@ object StreamingOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "4")
-    try body finally s.conf.set(key, prev)
+    // Temp checkpoints go to tmpfs when available: the state store fsyncs
+    // its commit log per partition per micro-batch, and for these
+    // synchronous test drains that disk round trip is pure floor. A
+    // production job checkpoints to durable storage — this only relocates
+    // the THROWAWAY checkpoints of drain-and-discard queries.
+    val ckKey = "spark.sql.streaming.checkpointLocation"
+    val prevCk = s.conf.getOption(ckKey)
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      // Unique per drain: a reused parent + reused queryName would make a
+      // later JVM RESUME a stale checkpoint (old source path, old offsets)
+      // instead of starting fresh.
+      val dir = new java.io.File(shm,
+        s"graft_stream_ckpt_${java.util.UUID.randomUUID}")
+      dir.mkdirs()
+      s.conf.set(ckKey, dir.toString)
+    }
+    try body finally {
+      s.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => s.conf.unset(ckKey)
+      }
+    }
   }
 
   private def drainToTable(s: SparkSession, agg: DataFrame, prefix: String): DataFrame =
