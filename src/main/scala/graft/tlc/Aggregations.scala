@@ -3,8 +3,10 @@ package graft.tlc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** The four pre-computed aggregate tables
-  * (reference: src/transformations/aggregations.py).
+/** The five pre-computed aggregate tables
+  * (reference: src/transformations/aggregations.py, plus the
+  * declared-but-unpopulated agg_congestion_fee_impact from
+  * 04_aggregate_tables.sql:152).
   *
   * Percentiles use Spark's EXACT `percentile` — the reference's
   * PERCENTILE_CONT is an exact interpolated ordered-set aggregate

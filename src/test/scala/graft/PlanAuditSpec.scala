@@ -95,6 +95,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partition filter on event_date:\n$p")
   }
 
+  test("dd10: SimHash band search joins on the band key — no cartesian pair space") {
+    val p = plan("dd10_simhash_bands")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dd10 candidates must come from the band equi-join:\n$p")
+  }
+
+  test("tx8: PII scrub is a pure per-row projection until the final sort") {
+    val p = plan("tx8_pii_scrub")
+    // one exchange only: the rangepartitioning for the deterministic output
+    // order; no aggregation/join shuffles in a linear scrub
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("u4: unpivot adds no shuffle beyond its aggregate input") {
+    val p = plan("u4_unpivot")
+    assert(p.contains("Expand") || p.contains("Generate") || p.contains("Union"),
+      s"expected a constant-width expand for the melt:\n$p")
+  }
+
   test("b1: bucketed join has no shuffle exchange and no sort on either side") {
     // Disable auto-broadcast so the join HAS to be a SortMergeJoin — the
     // bucketing (same bucket count + sortBy on the key) must then supply
