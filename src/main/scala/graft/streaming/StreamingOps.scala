@@ -90,6 +90,57 @@ object StreamingOps {
     }
 
   val queries: Map[String, Q] = Map(
+    // ST6: WATERMARK + LATE DATA — the central streaming-correctness
+    // semantics: a 2-hour watermark bounds state, late arrivals below it
+    // are dropped, and append mode emits a window exactly once, when the
+    // watermark passes its end. Determinism comes from staging TWO file
+    // drops with a full drain between them (file source batches = the two
+    // drops), so the watermark trajectory is fixed:
+    //   batch 1: on-time rows (user_id % 3 != 0), wm starts at 0 → nothing
+    //            emitted until wm advances to max(onTime) - 2h;
+    //   batch 2: "late" rows (user_id % 3 == 0) — kept only if their
+    //            window can still accept (window_end > wm); then the final
+    //            no-data batch emits every window with window_end <= final
+    //            wm = max(ALL observed events, dropped included) - 2h.
+    // The oracle replays exactly that trajectory in SQL.
+    "st6_watermark_late" -> { (s, d) =>
+      val ev = graft.Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_late_").toString
+      ev.filter(pmod(col("user_id"), lit(3)) =!= 0)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val agg = s.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      withStatePartitions(s) {
+        val name = s"st6_out_${runId.incrementAndGet()}"
+        val q = agg.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(pmod(col("user_id"), lit(3)) === 0)
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+          // the final emission happens in a NO-DATA batch after the last
+          // data batch (watermark advance); processAllAvailable does not
+          // wait for it, so poll until the sink stabilizes
+          var stable = 0
+          var last = -1L
+          while (stable < 3) {
+            val n = s.table(name).count()
+            if (n == last) stable += 1 else { stable = 0; last = n }
+            if (stable < 3) Thread.sleep(150)
+          }
+        } finally q.stop()
+        s.table(name)
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value"))
+          .orderBy("window_start", "event_type")
+      }
+    },
+
     // ST4: stream-static join — the streaming fact side joins a static
     // (broadcast) dimension read once per micro-batch planning cycle; no
     // state store involved, the canonical enrich-then-window shape.
@@ -147,6 +198,30 @@ object StreamingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // Watermark trajectory replay (see the st6 query comment). Spark floors
+    // the tracked max event time to milliseconds; window ends are whole
+    // hours and the data's maxima carry odd sub-ms digits, so no comparison
+    // here can land on the flooring boundary and the un-floored replay is
+    // exact.
+    "st6_watermark_late" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, "value", user_id
+                    FROM events),
+          t1 AS (SELECT * FROM e WHERE user_id % 3 <> 0),
+          t2 AS (SELECT * FROM e WHERE user_id % 3 = 0),
+          wm1 AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM t1),
+          kept2 AS (SELECT t2.ts, t2.event_type, t2."value" FROM t2, wm1
+                    WHERE time_bucket(INTERVAL '1 hour', t2.ts) + INTERVAL 1 HOUR > wm1.w),
+          fwm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM e),
+          incl AS (SELECT ts, event_type, "value" FROM t1
+                   UNION ALL SELECT * FROM kept2),
+          g AS (SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+                       event_type, COUNT(*) AS n,
+                       CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+                FROM incl GROUP BY 1, 2)
+          SELECT g.window_start, g.event_type, g.n, g.total_value
+          FROM g, fwm WHERE g.window_start + INTERVAL 1 HOUR <= fwm.w
+          ORDER BY window_start, event_type""",
+
     "st2_session_window" ->
       """WITH g AS (
            SELECT user_id, event_id, "value",
