@@ -11,10 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Forked `run` output passes through RAW (no `[info] ` logger prefix): the
-// benchmark contract is ONE machine-parseable JSON line on stdout, and a
-// logger prefix breaks any `^{...}$` line parse of the captured output.
+// Forked `run`/`runMain` output passes through RAW (no `[info] ` logger
+// prefix): the benchmark contract is ONE machine-parseable JSON line on
+// stdout, and a logger prefix breaks any `^{...}$` line parse of the
+// captured output. Scoping matters: `run / outputStrategy` is NOT in the
+// delegation chain of `runMain / forkOptions` (round-3 BENCH artifact shows
+// `[info] {"metric":...}` — still prefixed), so set it UNSCOPED at project
+// level, which both `run` and `runMain` delegate to.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop the trailing `[success] Total time: ...` line so the bench JSON is
+// the LAST stdout line a tail-capture sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
