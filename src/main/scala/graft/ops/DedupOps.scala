@@ -120,29 +120,39 @@ object DedupOps {
       // K minhash columns in ONE hash-aggregate pass (no per-seed shuffle).
       val minCols = (0 until K).map(i =>
         min((lit(hashA(i)) * col("H") + lit(hashB(i))) % lit(MERSENNE)).as(s"m$i"))
+      // The full signature VECTOR rides along into the band rows, so the
+      // verify step (minhash-agreement fraction) reads it straight off the
+      // joined candidate row — no sig re-join. Without this, the plan joined
+      // `sig` back twice (sa/sb), and because those joins hash-partition on
+      // different keys (doc_a vs doc_b) nothing is reusable: the signature
+      // aggregation ran ~4x per execution (round-3 idle bench: 3.0 s, the
+      // #2 batch cost in the suite).
       val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        .withColumn("sig_arr", array((0 until K).map(i => col(s"m$i")): _*))
       // band signatures: md5 over the band's ROWS minhashes, exploded to
-      // (doc_id, band_idx, band_sig) for the bucket join.
+      // (doc_id, sig_arr, band_idx, band_sig) for the bucket join.
       val bandSig = (0 until BANDS).map(bnd =>
         struct(lit(bnd).as("band_idx"),
           md5(concat_ws("|", (0 until ROWS).map(r => col(s"m${bnd * ROWS + r}")): _*))
             .as("band_sig")))
-      val bands = sig.select(col("doc_id"), explode(array(bandSig: _*)).as("b"))
-        .select(col("doc_id"), col("b.band_idx"), col("b.band_sig"))
+      val bands = sig.select(col("doc_id"), col("sig_arr"),
+          explode(array(bandSig: _*)).as("b"))
+        .select(col("doc_id"), col("sig_arr"), col("b.band_idx"), col("b.band_sig"))
+      // Self-join on the band key: both sides are the IDENTICAL subplan
+      // partitioned on (band_idx, band_sig), so ReuseExchange computes the
+      // signature stage ONCE and the second side reads the shuffle files.
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig_arr").as("sa"), col("y.sig_arr").as("sb"))
         .distinct()
       // estimated similarity = fraction of agreeing minhashes (k/16: dyadic,
       // exact in both engines).
-      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
-      val agree: Column = (0 until K).map(i =>
-        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .withColumn("est_sim", agree.cast("double") / K)
+      cand
+        .withColumn("est_sim", expr(
+          s"CAST(size(filter(zip_with(sa, sb, (a, b) -> a = b), x -> x)) AS DOUBLE) / $K"))
         .filter(col("est_sim") >= 0.5)
         .select("doc_a", "doc_b", "est_sim")
         .orderBy("doc_a", "doc_b")
@@ -218,6 +228,39 @@ object DedupOps {
         .filter(col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // DD11: C4-style SPAN-LEVEL dedup — the corpus-cleaning op that removes
+    // repeated spans ACROSS documents while keeping each document's first
+    // occurrence (C4 does this with "lines"; this corpus has no newlines, so
+    // the unit is a fixed 10-token span — same explode → global-argmin →
+    // reassemble shape). One shuffle groups spans globally (argmin keeper =
+    // lexicographic min of (doc_id, position)); the rebuild is a per-doc
+    // sort + join of surviving spans. Linear in corpus size; the span table
+    // is the same cardinality as the token stream / 10.
+    "dd11_chunk_dedup" -> { (s, d) =>
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, CAST(floor((size(ts) - 1) / 10) AS INT)),
+             i -> concat_ws(' ', slice(ts, i * 10 + 1, 10)))""")).as(Seq("idx", "chunk")))
+      // keeper = argmin (doc_id, idx) per distinct span, packed into one
+      // BIGINT so the min is a plain scalar agg (idx < 10^4 always: docs
+      // top out at a few hundred tokens).
+      val firsts = chunks.groupBy("chunk")
+        .agg(min(col("doc_id") * 10000 + col("idx")).as("keeper"))
+      val marked = chunks.join(firsts, Seq("chunk"))
+        .withColumn("kept", col("doc_id") * 10000 + col("idx") === col("keeper"))
+      marked.groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          // cleaned doc = surviving spans in original order; hashed so the
+          // gate compares a scalar. collect_list skips the NULLs that
+          // when() emits for dropped spans; md5('') is the all-dropped case.
+          md5(array_join(
+            expr("transform(array_sort(collect_list(CASE WHEN kept THEN struct(idx, chunk) END)), x -> x.chunk)"),
+            " ")).as("clean_hash"))
+        .orderBy("doc_id")
     },
 
     // SimHash: 32-bit signature from md5-nibble bits weighted by term
@@ -356,6 +399,20 @@ object DedupOps {
                   FROM cluster GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "dd11_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         c AS (SELECT doc_id, i AS idx,
+                      array_to_string(ts[i*10+1 : i*10+10], ' ') AS chunk
+               FROM t, UNNEST(generate_series(0, CAST(floor((len(ts) - 1) / 10) AS INT))) AS g(i)),
+         f AS (SELECT chunk, MIN(doc_id * 10000 + idx) AS keeper FROM c GROUP BY 1),
+         m AS (SELECT c.doc_id, c.idx, c.chunk,
+                      (c.doc_id * 10000 + c.idx = f.keeper) AS kept
+               FROM c JOIN f USING (chunk))
+         SELECT doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept), '')) AS clean_hash
+         FROM m GROUP BY 1 ORDER BY doc_id""",
+
     "dd4_ngram_jaccard" ->
       s"""WITH $duckShingles,
           counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
