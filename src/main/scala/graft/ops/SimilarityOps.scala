@@ -125,7 +125,59 @@ object SimilarityOps {
         .orderBy("vec_a", "vec_b")
     },
 
-    "sim3_ivf_ann" -> ivfQuery)
+    "sim3_ivf_ann" -> ivfQuery,
+
+    // SIM4: int8 SCALAR QUANTIZATION of the embedding column — the storage
+    // path for vector corpora (4x smaller than float32, 8x than float64).
+    // Per-vector affine codes: q = floor((x - lo) / (hi - lo) * 255 + 0.5).
+    // floor(+0.5) instead of round() because the two engines disagree on
+    // rounding mode at ties, while double IEEE arithmetic and floor are
+    // bit-identical. Pure map — no shuffle, embarrassingly parallel at any
+    // scale. Codes are integers, so the gate compares them exactly (hashed
+    // per vector to keep the result narrow).
+    "sim4_quantize" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("lo", expr("array_min(v)"))
+        .withColumn("hi", expr("array_max(v)"))
+        .withColumn("codes", expr(
+          """transform(v, x -> CASE WHEN hi = lo THEN 0
+             ELSE CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS INT) END)"""))
+        .select(col("vec_id"), col("label"),
+          expr("array_min(codes)").as("code_min"),
+          expr("array_max(codes)").as("code_max"),
+          md5(expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')"))
+            .as("code_hash"))
+        .orderBy("vec_id")
+    },
+
+    // DD12: embedding-space dedup MANIFEST — dd9's corpus-build artifact in
+    // vector space: every vector with its near-dup cluster (connected
+    // components over dd8's LSH-verified pair graph) and a keep/drop flag.
+    // The pair graph and the clustering are memoized stage outputs (same
+    // staged-pipeline contract as dd7/dd9); the manifest itself is one
+    // left join over the corpus.
+    "dd12_embedding_manifest" -> { (s, d) =>
+      val clusters = embClustersCache.computeIfAbsent((s, d), { _ =>
+        val pairs = queries("dd8_neardup_lsh")(s, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist()
+        DedupOps.connectedComponents(pairs)
+          .withColumnRenamed("doc_id", "vec_id").persist()
+      })
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+        .orderBy("vec_id")
+    })
+
+  /** dd12's memoized cluster table (the dd8 stage output run through CC). */
+  private val embClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** (vec_id, v, tbl, bucket) — every vector's bucket in each of the TABLES
     * independent hyperplane tables (see sim2 scaladoc for the weight
@@ -259,30 +311,76 @@ object SimilarityOps {
           FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
 
     "dd8_neardup_lsh" ->
-      s"""WITH $duckVecs,
-          hp AS (SELECT j, i,
-                        ((1103515245 * CAST(j * 64 + (i - 1) AS BIGINT) + 12345) % 2147483648)
-                          / 2147483648.0 - 0.5 AS w
-                 FROM (SELECT UNNEST(generate_series(0, ${PLANES - 1})) AS j) pj,
-                      (SELECT UNNEST(generate_series(1, 64)) AS i) pi),
-          pdot AS (SELECT u.vec_id, hp.j, SUM(u.x * hp.w) AS pd
-                   FROM u JOIN hp ON u.i = hp.i GROUP BY 1, 2),
-          bkt AS (SELECT vec_id, (j // $ROWS_PER_TABLE) AS tbl,
-                         CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << (j % $ROWS_PER_TABLE)) ELSE 0 END) AS BIGINT) AS bucket
-                  FROM pdot GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-                   FROM bkt a JOIN bkt b
-                     ON a.tbl = b.tbl AND a.bucket = b.bucket
-                        AND a.vec_id < b.vec_id),
-          dot AS (SELECT c.vec_a, c.vec_b, SUM(a.x * b.x) AS dp
-                  FROM cand c
-                  JOIN u a ON a.vec_id = c.vec_a
-                  JOIN u b ON b.vec_id = c.vec_b AND a.i = b.i
-                  GROUP BY 1, 2),
-          sim AS (SELECT vec_a, vec_b, dp / (na.nrm * nb.nrm) AS raw_sim
+      s"""WITH $embPairsCtes
+          SELECT vec_a, vec_b, ROUND(raw_sim, 4) AS sim
+          FROM pairs ORDER BY vec_a, vec_b""",
+
+    // dd12: recursive-CTE connected components over dd8's pair graph, then
+    // the per-vector manifest (cluster id = min reachable vec_id).
+    "dd12_embedding_manifest" ->
+      s"""WITH RECURSIVE $embPairsCtes,
+          edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT vec_b, vec_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+          walk(src, node) AS (
+            SELECT vec_id, vec_id FROM nodes
+            UNION
+            SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+          cluster AS (SELECT src AS vec_id, MIN(node) AS cluster_id
+                      FROM walk GROUP BY 1),
+          sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+                    FROM cluster GROUP BY 1)
+          SELECT v.vec_id,
+                 COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+                 CAST(COALESCE(s.n_members, 1) AS BIGINT) AS n_members,
+                 COALESCE(c.cluster_id, v.vec_id) = v.vec_id AS keep
+          FROM embeddings v
+          LEFT JOIN cluster c USING (vec_id)
+          LEFT JOIN sizes s USING (cluster_id)
+          ORDER BY v.vec_id""",
+
+    "sim4_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         b AS (SELECT vec_id, label, v, list_min(v) AS lo, list_max(v) AS hi FROM e),
+         q AS (SELECT vec_id, label,
+                      list_transform(v, x -> CASE WHEN hi = lo THEN 0
+                        ELSE CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS INT) END) AS codes
+               FROM b)
+         SELECT vec_id, label,
+                list_min(codes) AS code_min,
+                list_max(codes) AS code_max,
+                md5(array_to_string(codes, ',')) AS code_hash
+         FROM q ORDER BY vec_id""")
+
+  /** dd8's full LSH filter-verify pipeline as a CTE chain ending in `pairs`
+    * (vec_a, vec_b, raw_sim ≥ 0.35) — shared by the dd8 and dd12 oracles. */
+  private lazy val embPairsCtes: String =
+    s"""$duckVecs,
+        hp AS (SELECT j, i,
+                      ((1103515245 * CAST(j * 64 + (i - 1) AS BIGINT) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5 AS w
+               FROM (SELECT UNNEST(generate_series(0, ${PLANES - 1})) AS j) pj,
+                    (SELECT UNNEST(generate_series(1, 64)) AS i) pi),
+        pdot AS (SELECT u.vec_id, hp.j, SUM(u.x * hp.w) AS pd
+                 FROM u JOIN hp ON u.i = hp.i GROUP BY 1, 2),
+        bkt AS (SELECT vec_id, (j // $ROWS_PER_TABLE) AS tbl,
+                       CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << (j % $ROWS_PER_TABLE)) ELSE 0 END) AS BIGINT) AS bucket
+                FROM pdot GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM bkt a JOIN bkt b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id),
+        dot AS (SELECT c.vec_a, c.vec_b, SUM(a.x * b.x) AS dp
+                FROM cand c
+                JOIN u a ON a.vec_id = c.vec_a
+                JOIN u b ON b.vec_id = c.vec_b AND a.i = b.i
+                GROUP BY 1, 2),
+        pairs AS (SELECT vec_a, vec_b, dp / (na.nrm * nb.nrm) AS raw_sim
                   FROM dot
                   JOIN n na ON na.vec_id = vec_a
-                  JOIN n nb ON nb.vec_id = vec_b)
-          SELECT vec_a, vec_b, ROUND(raw_sim, 4) AS sim
-          FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""")
+                  JOIN n nb ON nb.vec_id = vec_b
+                  WHERE dp / (na.nrm * nb.nrm) >= 0.35)"""
 }

@@ -50,17 +50,25 @@ object StatefulSessionize {
 
   private val runId = new AtomicInteger(0)
 
+  /** Staged source dir + schema, memoized per dataset (input staging, not
+    * stream work — same contract as StreamingOps.stagedCache). */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.StructType)]()
+
   /** Drive the stateful query over the events table (file-stream source,
     * memory sink, drained synchronously). Returns closed sessions; each
     * user's trailing session remains open in state by design. */
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val dir = java.nio.file.Files.createTempDirectory("graft_stateful_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val schema = spark.read.parquet(path).schema
+    val (dir, schema) = stagedCache.computeIfAbsent(sfDir, { _ =>
+      val path = s"$sfDir/events.parquet"
+      val dd = java.nio.file.Files.createTempDirectory("graft_stateful_")
+      java.nio.file.Files.createSymbolicLink(
+        dd.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      (dd.toString, spark.read.parquet(path).schema)
+    })
     val events = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("user_id"), expr("ts div 1000").as("us"))
       .as[Event]

@@ -101,6 +101,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dd10 candidates must come from the band equi-join:\n$p")
   }
 
+  test("dd2: band self-join reuses the signature exchange (sig aggregated once)") {
+    // At fixture scale the small side broadcasts (no exchange to reuse);
+    // force the shuffle join — the plan shape a large corpus gets — and the
+    // two identical band-partitioned sides must share ONE signature exchange.
+    val prevBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("dd2_minhash_lsh")
+      assert(p.contains("ReusedExchange"),
+        s"both sides of the band self-join must share one signature exchange:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBt)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("dd11: span dedup candidates come from the span equi-join, no cartesian") {
+    val p = plan("dd11_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim4: quantization is a pure per-row projection until the final sort") {
+    val p = plan("sim4_quantize")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
   test("tx8: PII scrub is a pure per-row projection until the final sort") {
     val p = plan("tx8_pii_scrub")
     // one exchange only: the rangepartitioning for the deterministic output
