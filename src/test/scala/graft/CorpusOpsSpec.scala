@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Structural invariants of the corpus-build operators added in round 4:
+  * span-level dedup (dd11), embedding-space manifest (dd12), and int8
+  * quantization (sim4). These hold by construction at every scale, so they
+  * are the properties a refactor must not break. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("dd11: every distinct span survives exactly once corpus-wide") {
+    val out = SparkEntry.queries("dd11_chunk_dedup")(spark, sfDir).cache()
+    val totalKept = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    // independent count of distinct spans, same chunking formula
+    val distinctSpans = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        """transform(sequence(0, CAST(floor((size(ts) - 1) / 10) AS INT)),
+           i -> concat_ws(' ', slice(ts, i * 10 + 1, 10)))""")).as("chunk"))
+      .distinct().count()
+    assert(totalKept == distinctSpans,
+      s"kept $totalKept spans but corpus has $distinctSpans distinct")
+    // dedup never grows a document
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() == 0)
+    out.unpersist()
+  }
+
+  test("dd12: exactly one keeper per cluster, and it is the min vec_id") {
+    val m = SparkEntry.queries("dd12_embedding_manifest")(spark, sfDir).cache()
+    val badClusters = m.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+        min("vec_id").as("lo"), first(col("cluster_id")).as("cid"))
+      .filter(col("keepers") =!= 1 || col("lo") =!= col("cid"))
+      .count()
+    assert(badClusters == 0)
+    // manifest covers the whole corpus, once
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(m.count() == n && m.select("vec_id").distinct().count() == n)
+    m.unpersist()
+  }
+
+  test("sim4: codes are int8-range and reconstruction error is within half a step") {
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("lo", expr("array_min(v)"))
+      .withColumn("hi", expr("array_max(v)"))
+      .withColumn("codes", expr(
+        """transform(v, x -> CASE WHEN hi = lo THEN 0
+           ELSE CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS INT) END)"""))
+      // worst-case |x - dequant(code)| over the vector, in units of one
+      // quantization step (hi-lo)/255: affine rounding guarantees <= 0.5
+      .withColumn("max_err_steps", expr(
+        """aggregate(zip_with(v, codes, (x, c) ->
+             abs((x - lo) / ((hi - lo) / 255) - c)), 0D, (a, e) -> greatest(a, e))"""))
+    assert(codes.filter(expr(
+      "exists(codes, c -> c < 0 OR c > 255)")).count() == 0)
+    assert(codes.filter(col("max_err_steps") > 0.5 + 1e-9).count() == 0)
+  }
+}
