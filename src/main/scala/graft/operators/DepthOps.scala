@@ -20,6 +20,10 @@ object DepthOps {
   private val partitionedEvents =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  // s12's two-generation layout, written once per (session, source dir).
+  private val evolvedLineitem =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   val queries: Map[String, Q] = Map(
     // A18: ordered-set aggregates. percentile_disc picks an actual element
     // (hash-exact across engines, unlike interpolating percentile_cont,
@@ -131,6 +135,36 @@ object DepthOps {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // S12: SCHEMA EVOLUTION across file generations — the 100 TB reality
+    // that a corpus accumulated over years has files written before a
+    // column existed. Generation 1 lacks l_discount; generation 2 carries
+    // it. `mergeSchema` unions the footers into one read schema (missing
+    // columns read as NULL) and the gen= dirs double as discovered hive
+    // partitions. The aggregate proves NULL-fill semantics: gen 1 rows
+    // count 0 non-null discounts.
+    "s12_schema_evolution" -> { (s, d) =>
+      val dir = evolvedLineitem.computeIfAbsent((s, d), { _ =>
+        val base = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_linenumber") === 1)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").parquet(s"$base/gen=1")
+        li.filter(col("l_linenumber") =!= 1)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount")
+          .write.mode("overwrite").parquet(s"$base/gen=2")
+        base
+      })
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("gen")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_discount")).as("n_discount"),
+          dsum(col("l_discount")).as("sum_discount"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("gen")
     })
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +247,15 @@ object DepthOps {
                 CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
          FROM events
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+
+    // replay: gen 1 = l_linenumber 1 (no discount column -> NULL), gen 2 =
+    // the rest (discount present).
+    "s12_schema_evolution" ->
+      """SELECT CAST(CASE WHEN l_linenumber = 1 THEN 1 ELSE 2 END AS INT) AS gen,
+                COUNT(*) AS n,
+                CAST(COUNT(CASE WHEN l_linenumber <> 1 THEN l_discount END) AS BIGINT) AS n_discount,
+                CAST(ROUND(SUM(CASE WHEN l_linenumber <> 1 THEN CAST(l_discount AS DECIMAL(30,8)) END), 4) AS DOUBLE) AS sum_discount,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""")
 }
