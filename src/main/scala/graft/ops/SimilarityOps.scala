@@ -219,6 +219,8 @@ object SimilarityOps {
   private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
 
+  private val NPROBE = 2
+
   def ivfQuery: Q = { (s, d) =>
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -229,14 +231,38 @@ object SimilarityOps {
     })
     val assigned = model.transform(all)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-    val q = assigned.filter(col("vec_id") < NQUERY)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    // nprobe>1: each query searches its NPROBE nearest cells, not just its
+    // own — the standard IVF recall lever (a query near a cell boundary has
+    // true neighbors on the other side). The probe list is (queries ×
+    // centroids) ranked by L2 — 10 × 16 rows, broadcast-sized — so the only
+    // at-scale work is still the cell-key join against the corpus.
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "cv")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("cell"))
+    val probes = all.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, e) -> a + e)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= NPROBE)
+      .select("query_id", "cell")
+    // dedupe candidate PAIRS before the cosine work — a neighbor sitting in
+    // two probed cells must be scored (and ranked) once.
     val cand = assigned
-      .select(col("vec_id").as("neighbor_id"), col("v"), col("cell"))
-      .join(broadcast(q), Seq("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = all.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = cand
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
-    topkPerQuery(cand)
+    topkPerQuery(scored)
   }
 
   private val duckVecs =
