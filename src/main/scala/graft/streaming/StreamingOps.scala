@@ -176,6 +176,44 @@ object StreamingOps {
       }
     },
 
+    // ST7: STREAM-STREAM JOIN — the flagship stateful-join capability:
+    // click and purchase streams join on user within a 30-minute event-time
+    // attribution window. Both sides carry watermarks + the time-range
+    // predicate, which is exactly what lets Spark BOUND the join state at
+    // scale (a click older than watermark - 30 min can never match again
+    // and is evicted); an unbounded-state stream join is the #1 production
+    // streaming OOM. Inner joins emit on match (append mode), so one drain
+    // of the single staged batch yields the complete pair set; the batch
+    // aggregation of the drained pairs is deliberately outside the stream
+    // (one stateful operator per query keeps the semantics auditable).
+    "st7_stream_stream_join" -> { (s, d) =>
+      val clicks = stagedStream(s, d, 1)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = stagedStream(s, d, 1)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("value"))
+      val pairs = withStatePartitions(s) {
+        val name = s"st7_out_${runId.incrementAndGet()}"
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(name)
+      }
+      pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("value")).as("attributed_value"))
+        .orderBy("user_id")
+    },
+
     // ST4: stream-static join — the streaming fact side joins a static
     // (broadcast) dimension read once per micro-batch planning cycle; no
     // state store involved, the canonical enrich-then-window shape.
@@ -289,6 +327,22 @@ object StreamingOps {
                 event_type, COUNT(*) AS n,
                 CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Attribution replay: purchase value joins every click of the same user
+    // in the preceding 30 minutes (inclusive bounds, micro-truncated ts on
+    // both engines).
+    "st7_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, "value"
+                    FROM events),
+          c AS (SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+          p AS (SELECT user_id, ts AS purchase_ts, "value" FROM e
+                WHERE event_type = 'purchase')
+          SELECT c.user_id, COUNT(*) AS n_pairs,
+                 CAST(ROUND(SUM(CAST(p."value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS attributed_value
+          FROM c JOIN p ON p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+          GROUP BY 1 ORDER BY 1""",
 
     "st4_stream_static_join" ->
       """SELECT c.c_mktsegment AS segment,
