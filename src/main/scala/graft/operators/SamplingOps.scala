@@ -63,6 +63,50 @@ object SamplingOps {
         .filter(col("rk") <= 20)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy("lang", "rk")
+    },
+
+    // SA4: TEMPORAL split — train on the past, evaluate on the future (the
+    // only leakage-safe split for forecasting-shaped tasks; a hash split
+    // would let the model peek at later events of the same period). The
+    // gate reports per-split counts + an order-independent checksum, and —
+    // because entity overlap ACROSS a time split is the subtle leakage a
+    // user-level task must know about — the count of users appearing on
+    // both sides of the cutoff rides along as an audit column.
+    "sa4_temporal_split" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("split",
+          when(col("ts") < lit("2024-01-20").cast("timestamp"), "train")
+            .otherwise("eval"))
+      val stats = ev.groupBy("split").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("event_id_checksum"))
+      val overlap = ev.select("user_id", "split").distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("ns"))
+        .agg(sum(when(col("ns") === 2, 1L).otherwise(0L)).as("users_both_sides"))
+      stats.crossJoin(broadcast(overlap)).orderBy("split")
+    },
+
+    // SA5: class-BALANCED downsample — every label capped to the smallest
+    // class's size, members picked by salted-hash order (deterministic,
+    // append-stable): the standard imbalance correction before training a
+    // classifier head. The cap is a one-row broadcast; the per-class pick
+    // is one rank window — no driver-side counts.
+    "sa5_balanced_downsample" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat('graft-balance', CAST(vec_id AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+      val cap = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("cap"))
+      val w = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+      e.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(cap))
+        .filter(col("rk") <= col("cap"))
+        .groupBy("label").agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("vec_id_checksum"))
+        .orderBy("label")
     })
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +134,35 @@ object SamplingOps {
                FROM (SELECT *, ('0x' || substr(md5('graft-strata' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
                      FROM documents))
          WHERE rk <= 20
-         ORDER BY lang, rk""")
+         ORDER BY lang, rk""",
+
+    "sa4_temporal_split" ->
+      """WITH sp AS (SELECT event_id, user_id,
+                            CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+                                 THEN 'train' ELSE 'eval' END AS split
+                     FROM events),
+          stats AS (SELECT split, COUNT(*) AS n_events,
+                           COUNT(DISTINCT user_id) AS n_users,
+                           CAST(SUM(event_id) AS BIGINT) AS event_id_checksum
+                    FROM sp GROUP BY 1),
+          ov AS (SELECT CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS users_both_sides
+                 FROM (SELECT user_id, COUNT(*) AS ns
+                       FROM (SELECT DISTINCT user_id, split FROM sp) GROUP BY 1))
+          SELECT s.split, s.n_events, s.n_users, s.event_id_checksum,
+                 o.users_both_sides
+          FROM stats s, ov o ORDER BY s.split""",
+
+    "sa5_balanced_downsample" ->
+      """WITH e AS (SELECT vec_id, label,
+                           ('0x' || substr(md5('graft-balance' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT AS h
+                    FROM embeddings),
+          cap AS (SELECT MIN(n) AS cap
+                  FROM (SELECT label, COUNT(*) AS n FROM e GROUP BY 1)),
+          ranked AS (SELECT vec_id, label,
+                            ROW_NUMBER() OVER (PARTITION BY label ORDER BY h, vec_id) AS rk
+                     FROM e)
+          SELECT label, COUNT(*) AS n_kept,
+                 CAST(SUM(vec_id) AS BIGINT) AS vec_id_checksum
+          FROM ranked, cap WHERE rk <= cap
+          GROUP BY label ORDER BY label""")
 }
