@@ -16,9 +16,18 @@ import graft.functions.Exact._
 object DepthOps {
   type Q = (SparkSession, String) => DataFrame
 
-  // s5's hive-layout table, laid out once per (session, source dir).
+  // s5/s13's hive-layout table, laid out once per (session, source dir).
   private val partitionedEvents =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def partitionedEventsDir(s: SparkSession, d: String): String =
+    partitionedEvents.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      dir
+    })
 
   // s12's two-generation layout, written once per (session, source dir).
   private val evolvedLineitem =
@@ -123,15 +132,25 @@ object DepthOps {
     // test is the pruned READ, and re-laying the table out on every call
     // made the gate time the write instead (1.65 s of 1.65 s in round 2).
     "s5_partition_pruning" -> { (s, d) =>
-      val out = partitionedEvents.computeIfAbsent((s, d), { _ =>
-        val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
-        Tables.events(s, d)
-          .withColumn("event_date", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
-        dir
-      })
-      s.read.parquet(out)
+      s.read.parquet(partitionedEventsDir(s, d))
         .filter(col("event_date") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // S13: DYNAMIC partition pruning — s5's static prune needs the literal
+    // in the query; here the pruning dates are only known by JOINING a dim
+    // (the star-schema reality at 100 TB: "scan the fact for dates WHERE
+    // dim says Monday"). Spark plants a dynamicpruning subquery on the
+    // fact's partition column from the broadcast dim side, so only the
+    // matching partitions are read at runtime — without DPP this is a full
+    // fact scan. PlanAuditSpec asserts the dynamicpruning expression.
+    "s13_dynamic_pruning" -> { (s, d) =>
+      val fact = s.read.parquet(partitionedEventsDir(s, d))
+      val dateDim = fact.select(col("event_date")).distinct()
+        .withColumn("dow", dayofweek(col("event_date")))
+      fact.join(broadcast(dateDim.filter(col("dow") === 2)), Seq("event_date"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("event_type")
@@ -247,6 +266,15 @@ object DepthOps {
                 CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
          FROM events
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+         GROUP BY 1 ORDER BY 1""",
+
+    // replay: the dim filter resolves to "Mondays" (Spark dayofweek 2 =
+    // DuckDB dayofweek 1).
+    "s13_dynamic_pruning" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM events
+         WHERE dayofweek(CAST(ts AS DATE)) = 1
          GROUP BY 1 ORDER BY 1""",
 
     // replay: gen 1 = l_linenumber 1 (no discount column -> NULL), gen 2 =

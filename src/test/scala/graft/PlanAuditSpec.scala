@@ -95,6 +95,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partition filter on event_date:\n$p")
   }
 
+  test("s13: fact partitions prune DYNAMICALLY from the joined dim filter") {
+    val p = plan("s13_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on event_date:\n$p")
+  }
+
   test("dd10: SimHash band search joins on the band key — no cartesian pair space") {
     val p = plan("dd10_simhash_bands")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
