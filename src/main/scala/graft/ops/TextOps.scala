@@ -219,6 +219,23 @@ object TextOps {
           emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
           .as("scrubbed_md5"))
         .orderBy("doc_id")
+    },
+
+    // TX10: the custom-GENERATOR path for the tokenize→n-gram hot map (see
+    // functions.NGramsGenerator — streams n-grams into Generate instead of
+    // materializing the per-row array the explode(transform(...)) idiom
+    // builds). Exercised from SQL generator position (LATERAL VIEW) to
+    // prove the registry seam; the aggregate proves the emitted stream.
+    "tx10_ngram_udtf" -> { (s, d) =>
+      graft.functions.NGramsGenerator.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .createOrReplaceTempView("tx10_docs")
+      s.sql("SELECT doc_id, ngram FROM tx10_docs LATERAL VIEW ngrams(ts, 3) g AS ngram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          countDistinct(col("ngram")).as("n_distinct"))
+        .orderBy("doc_id")
     })
 
   private def duckMarkerScore(ms: Seq[String]): String = {
@@ -344,5 +361,13 @@ object TextOps {
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                     '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
                     '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
-         FROM injected ORDER BY doc_id""")
+         FROM injected ORDER BY doc_id""",
+
+    "tx10_ngram_udtf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+                FROM t, UNNEST(generate_series(1, len(ts) - 2)) AS u(i))
+          SELECT doc_id, COUNT(*) AS n_ngrams,
+                 COUNT(DISTINCT ngram) AS n_distinct
+          FROM g GROUP BY 1 ORDER BY doc_id""")
 }
