@@ -185,6 +185,33 @@ object AggOps {
             .as("n_reversed"),
           sum(when(col("l_shipdate").isNull || col("o_orderdate").isNull, 1).otherwise(0))
             .cast("long").as("n_null_ts"))
+    },
+
+    // §2.10 quality check beyond the reference's four: distributional
+    // OUTLIER detection — prices beyond 1.5×IQR of their group. Fences are
+    // built from DISCRETE quantiles (actual data elements, bit-identical in
+    // both engines — interpolated quantiles differ below 1e-12 and would
+    // flip boundary comparisons); the fence arithmetic is then the same
+    // double expression tree on both sides. Group quartiles are a
+    // broadcast-sized frame; the flagging pass is one scan.
+    "qc_outlier_iqr" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.createOrReplaceTempView("qc_iqr_lineitem")
+      val q = s.sql(
+        """SELECT l_returnflag,
+          |       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+          |       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+          |FROM qc_iqr_lineitem GROUP BY 1""".stripMargin)
+      li.join(broadcast(q), Seq("l_returnflag"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          max(col("q1")).as("q1"), max(col("q3")).as("q3"))
+        .orderBy("l_returnflag")
     })
 
   private val dsumQty = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE)"
@@ -291,5 +318,19 @@ object AggOps {
       """SELECT COUNT(*) AS n,
                 CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
                 CAST(SUM(CASE WHEN l_shipdate IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    // fences from DISCRETE quantiles (see the query comment); the fence
+    // arithmetic is the identical double expression tree on both engines.
+    "qc_outlier_iqr" ->
+      """WITH q AS (SELECT l_returnflag,
+                           quantile_disc(l_extendedprice, 0.25) AS q1,
+                           quantile_disc(l_extendedprice, 0.75) AS q3
+                    FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                CAST(SUM(CASE WHEN l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                MAX(q.q1) AS q1, MAX(q.q3) AS q3
+         FROM lineitem l JOIN q USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1""")
 }
