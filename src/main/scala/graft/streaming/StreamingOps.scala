@@ -214,6 +214,41 @@ object StreamingOps {
         .orderBy("user_id")
     },
 
+    // ST8: foreachBatch UPSERT sink — the production sink seam: arbitrary
+    // batch logic per micro-batch (MERGE into a table, multi-sink fan-out,
+    // JDBC...). Here each micro-batch (maxFilesPerTrigger=1 forces two)
+    // appends to a parquet log with its batch_id; the read view compacts by
+    // key keeping the last writer — the append-log + merge-on-read upsert
+    // layout, which beats rewrite-on-every-batch at scale because the write
+    // path stays append-only and the compaction cost is paid on read (or by
+    // an async compactor). The doubled source makes the upsert observable:
+    // the log holds 2n rows, the view n.
+    "st8_foreach_upsert" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+      val src = stagedStream(s, d, 2)
+        .select(col("event_id"), col("event_type"), col("value"))
+      withStatePartitions(s) {
+        val q = src.writeStream
+          .option("maxFilesPerTrigger", "1")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(dir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy(col("batch_id").desc)
+      s.read.parquet(dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // ST4: stream-static join — the streaming fact side joins a static
     // (broadcast) dimension read once per micro-batch planning cycle; no
     // state store involved, the canonical enrich-then-window shape.
@@ -354,6 +389,13 @@ object StreamingOps {
 
     // Dedup makes the doubled stream equal the plain input.
     "st5_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // Last-writer-wins over the doubled log compacts back to the plain
+    // input (duplicate rows carry identical payloads).
+    "st8_foreach_upsert" ->
       """SELECT event_type, COUNT(*) AS n,
                 CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""")
