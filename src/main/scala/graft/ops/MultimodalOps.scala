@@ -54,6 +54,35 @@ object MultimodalOps {
       decoded.orderBy("doc_id")
     },
 
+    // MM3: MODALITY ROUTING — the dispatch step of a mixed-modality corpus:
+    // sniff each blob's magic bytes and route it to the right decoder
+    // family. Deterministic magics (JPEG/PNG/RIFF) are injected by doc_id
+    // so the corpus is genuinely mixed; the SNIFF side then reads the real
+    // leading bytes of the binary (substring on BinaryType, codegen'd — a
+    // pure projection that never touches the payload tail, which is what
+    // makes routing free at 100 TB: no decode, no full-blob read past the
+    // header). The oracle replays the injection rule.
+    "mm3_modality_route" -> { (s, d) =>
+      val blobs = Tables.documents(s, d).select(col("doc_id"), expr(
+        """concat(CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN X'FFD8FF'
+                  WHEN 1 THEN X'89504E47'
+                  ELSE X'52494646' END,
+                  CAST(text AS BINARY))""").as("payload"))
+      blobs
+        .withColumn("modality",
+          when(expr("substring(payload, 1, 3) = X'FFD8FF'"), "image/jpeg")
+            .when(expr("substring(payload, 1, 4) = X'89504E47'"), "image/png")
+            .when(expr("substring(payload, 1, 4) = X'52494646'"), "audio/wav")
+            .otherwise("unknown"))
+        .groupBy("modality")
+        .agg(
+          count(lit(1)).as("n_blobs"),
+          sum(length(col("payload"))).cast("long").as("total_bytes"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("modality")
+    },
+
     // MM2: frame sampling over an opaque binary payload — treat the blob as
     // a fixed-stride frame sequence (64-byte "frames", the video-decode
     // stub), take every 4th frame, emit per-frame length + checksum. The
@@ -87,6 +116,23 @@ object MultimodalOps {
                 CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
                 n_chars
          FROM documents ORDER BY doc_id""",
+
+    // Replays the injection rule (doc_id % 3 → magic family) + exact byte
+    // accounting: 3-byte JPEG magic, 4-byte PNG/RIFF magics, ASCII text.
+    "mm3_modality_route" ->
+      """WITH routed AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image/jpeg'
+                    WHEN 1 THEN 'image/png'
+                    ELSE 'audio/wav' END AS modality,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 3 ELSE 4 END
+                    + octet_length(encode(text)) AS blob_bytes
+           FROM documents)
+         SELECT modality, COUNT(*) AS n_blobs,
+                CAST(SUM(blob_bytes) AS BIGINT) AS total_bytes,
+                MIN(doc_id) AS first_doc
+         FROM routed GROUP BY 1 ORDER BY 1""",
 
     // ASCII text ⇒ byte slicing == char slicing, so the oracle frames are
     // substr() windows of the text and md5 agrees byte-for-byte.
