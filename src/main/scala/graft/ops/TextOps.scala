@@ -221,6 +221,35 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // TX11: URL extraction + DOMAIN NORMALIZATION — the web-corpus curation
+    // primitive (domain-level quality lists, per-domain caps, domain dedup
+    // all key on it). Deterministic URL specimens are injected by doc_id
+    // (same seam as tx8's PII specimens — this synthetic corpus carries no
+    // URLs of its own); extraction and normalization are one regex pass:
+    // scheme-relative host, lowercased, www-stripped. Linear scan, one
+    // shuffle on the (tiny) domain key.
+    "tx11_url_extract" -> { (s, d) =>
+      val urlRe = "https?://[^ ]+"
+      val hostRe = "^https?://([^/?#]+)"
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" see https://www.Example.COM/path/a?q=1 ref"))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit(" at http://data.example.org/x now"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit(" from https://sub.test.net/y/z.html end"))
+            .otherwise(lit(""))).as("text"))
+      injected
+        .withColumn("url", regexp_extract(col("text"), urlRe, 0))
+        .filter(col("url") =!= "")
+        .withColumn("domain",
+          regexp_replace(lower(regexp_extract(col("url"), hostRe, 1)), "^www\\.", ""))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("domain")
+    },
+
     // TX10: the custom-GENERATOR path for the tokenize→n-gram hot map (see
     // functions.NGramsGenerator — streams n-grams into Generate instead of
     // materializing the per-row array the explode(transform(...)) idiom
@@ -362,6 +391,24 @@ object TextOps {
                     '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
                     '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
          FROM injected ORDER BY doc_id""",
+
+    "tx11_url_extract" ->
+      """WITH injected AS (
+           SELECT doc_id,
+                  text || CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN ' see https://www.Example.COM/path/a?q=1 ref'
+                    WHEN 1 THEN ' at http://data.example.org/x now'
+                    WHEN 2 THEN ' from https://sub.test.net/y/z.html end'
+                    ELSE '' END AS text
+           FROM documents),
+         urls AS (SELECT doc_id, regexp_extract(text, 'https?://[^ ]+', 0) AS url
+                  FROM injected),
+         norm AS (SELECT doc_id,
+                         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                                        '^www\.', '') AS domain
+                  FROM urls WHERE url <> '')
+         SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         FROM norm GROUP BY 1 ORDER BY 1""",
 
     "tx10_ngram_udtf" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
