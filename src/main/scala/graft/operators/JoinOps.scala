@@ -21,6 +21,30 @@ object JoinOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // J14: SALTED JOIN — the manual skew cure when one join key is hot
+    // enough to overwhelm a single reducer and AQE's skew splitting can't
+    // help (e.g. a single key larger than an executor). The probe side
+    // spreads each key over SALT sub-partitions with a deterministic salt;
+    // the build side replicates each row SALT times (explode of a literal
+    // sequence — a constant-width Generate, no shuffle of its own); the
+    // join key becomes (key, salt), so the hot key's rows land on SALT
+    // reducers instead of one. Result is provably the plain join (oracle
+    // replays it unsalted).
+    "j14_salted_join" -> { (s, d) =>
+      val SALT = 8
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${SALT - 1})")))
+      li.join(ord,
+          li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // J1/J2/J3/J4: fact ⋈ tiny dim, broadcast inner hash join (01:15, 02:15).
     "j1_broadcast_dim" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -133,6 +157,13 @@ object JoinOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // salting is algebraically invisible: replay as the plain join.
+    "j14_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
     "j1_broadcast_dim" ->
       """SELECT p_brand, COUNT(*) AS n,
                 CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue

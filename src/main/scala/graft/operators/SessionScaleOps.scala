@@ -18,6 +18,30 @@ object SessionScaleOps {
   private val GAP_MIN = 30 // session gap threshold, minutes
 
   val queries: Map[String, Q] = Map(
+    // F15: FUNNEL analysis — ordered event-sequence conversion (first click
+    // → first purchase at-or-after it), the product-analytics shape that
+    // pairs with sessionization. Two grouped mins + one join keyed on the
+    // (bounded) user space; the delay sum stays in integer microseconds so
+    // the result is exact cross-engine, and the rate divides the same two
+    // BIGINTs on both sides.
+    "f15_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter(col("ts") >= col("first_click"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_purchase"), min(col("first_click")).as("first_click"))
+      val a = clicks.agg(count(lit(1)).as("n_clicked"))
+      val b = conv.agg(
+        count(lit(1)).as("n_converted"),
+        sum(expr("unix_micros(first_purchase) - unix_micros(first_click)"))
+          .as("total_delay_us"))
+      a.crossJoin(b)
+        .withColumn("conversion_rate", col("n_converted") / col("n_clicked"))
+    },
+
     // Sessionization: a session breaks after a >30 min gap per user.
     // Two windows + two aggregations; at scale this is one shuffle on
     // user_id (the windows and both group-bys share the partitioning).
@@ -87,6 +111,23 @@ object SessionScaleOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "f15_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          c AS (SELECT user_id, MIN(ts) AS first_click FROM e
+                WHERE event_type = 'click' GROUP BY 1),
+          p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase,
+                       MIN(c.first_click) AS first_click
+                FROM e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+                GROUP BY 1),
+          a AS (SELECT COUNT(*) AS n_clicked FROM c),
+          b AS (SELECT COUNT(*) AS n_converted,
+                       CAST(SUM(epoch_us(first_purchase) - epoch_us(first_click)) AS BIGINT) AS total_delay_us
+                FROM p)
+          SELECT a.n_clicked, b.n_converted, b.total_delay_us,
+                 CAST(b.n_converted AS DOUBLE) / a.n_clicked AS conversion_rate
+          FROM a, b""",
+
     "w6_sessionize" ->
       s"""WITH g AS (
             SELECT user_id, event_id,

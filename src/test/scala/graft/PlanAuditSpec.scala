@@ -95,6 +95,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partition filter on event_date:\n$p")
   }
 
+  test("j14: salted join spreads the key over salt sub-partitions") {
+    val prevBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("j14_salted_join")
+      // build side replicates via a constant-width Generate, and the shuffle
+      // partitions on (key, salt) — the hot key lands on SALT reducers.
+      assert(p.contains("Generate explode"), s"expected salt replication:\n$p")
+      assert(p.contains("hashpartitioning(l_orderkey") && p.contains("salt"),
+        s"expected the exchange keyed on (l_orderkey, salt):\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBt)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("s13: fact partitions prune DYNAMICALLY from the joined dim filter") {
     val p = plan("s13_dynamic_pruning")
     assert(p.contains("dynamicpruning"),
