@@ -124,6 +124,45 @@ object DepthOps {
         .orderBy("user_id", "day")
     },
 
+    // TS2: LINEAR-interpolation resample — ts1's spine with the other
+    // standard fill: a missing grid point interpolates between its last and
+    // next OBSERVED neighbors, weighted by day distance (edges fall back to
+    // the nearest observation). The neighbor scan is two window passes over
+    // the spine (no self-join); the lerp is the identical double expression
+    // tree on both engines, so only the final display ROUND is needed.
+    "ts2_linear_interp" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(dsum(col("value")).as("day_value"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("prev_v", last(col("day_value"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_d",
+          last(when(col("day_value").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+        .withColumn("next_v", first(col("day_value"), ignoreNulls = true).over(wNext))
+        .withColumn("next_d",
+          first(when(col("day_value").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day"), col("day_value"),
+          round(
+            when(col("day_value").isNotNull, col("day_value"))
+              .when(col("prev_v").isNull, col("next_v"))
+              .when(col("next_v").isNull, col("prev_v"))
+              .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+                (datediff(col("day"), col("prev_d")).cast("double") /
+                  datediff(col("next_d"), col("prev_d")).cast("double"))),
+            4).as("interp_value"))
+        .orderBy("user_id", "day")
+    },
+
     // S5: partitioned write + partition-pruned read. The write lays the
     // data out hive-style by event_date; the read's date predicate prunes
     // to ONE directory before any IO (PlanAuditSpec asserts the partition
@@ -259,6 +298,46 @@ object DepthOps {
                         ROWS UNBOUNDED PRECEDING) AS filled_value
          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
          ORDER BY s.user_id, s.day""",
+
+    "ts2_linear_interp" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, "value"
+           FROM events WHERE user_id < 20),
+         daily AS (
+           SELECT user_id, day,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS day_value
+           FROM ev GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+         spine AS (
+           SELECT user_id, CAST(g.day AS DATE) AS day
+           FROM bounds, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                               CAST(d1 AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS g(day)),
+         f AS (
+           SELECT s.user_id, s.day, d.day_value,
+                  LAST_VALUE(d.day_value IGNORE NULLS)
+                    OVER (PARTITION BY s.user_id ORDER BY s.day
+                          ROWS UNBOUNDED PRECEDING) AS prev_v,
+                  LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN s.day END IGNORE NULLS)
+                    OVER (PARTITION BY s.user_id ORDER BY s.day
+                          ROWS UNBOUNDED PRECEDING) AS prev_d,
+                  FIRST_VALUE(d.day_value IGNORE NULLS)
+                    OVER (PARTITION BY s.user_id ORDER BY s.day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                  FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN s.day END IGNORE NULLS)
+                    OVER (PARTITION BY s.user_id ORDER BY s.day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+           FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+         SELECT user_id, day, day_value,
+                ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+                           WHEN prev_v IS NULL THEN next_v
+                           WHEN next_v IS NULL THEN prev_v
+                           ELSE prev_v + (next_v - prev_v) *
+                                (CAST(date_diff('day', prev_d, day) AS DOUBLE) /
+                                 CAST(date_diff('day', prev_d, next_d) AS DOUBLE)) END,
+                      4) AS interp_value
+         FROM f ORDER BY user_id, day""",
 
     // The partitioned round trip is value-identity on the filtered day.
     "s5_partition_pruning" ->
