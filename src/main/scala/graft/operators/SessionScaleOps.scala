@@ -18,6 +18,28 @@ object SessionScaleOps {
   private val GAP_MIN = 30 // session gap threshold, minutes
 
   val queries: Map[String, Q] = Map(
+    // A21: ROLLING DISTINCT — 7-day active users per day, exact. Distinct
+    // counts do not merge across window frames, so the scalable exact form
+    // inverts the window: each (user, active-day) pair is exploded into the
+    // 7 report-days it contributes to (constant-width Generate), then one
+    // hash-aggregate counts distinct users per report day. Shuffle volume
+    // is 7×|user-days| — linear, no per-day self-join, no state. (The
+    // approximate alternative is a13's HLL sketches, which DO merge.)
+    "a21_rolling_distinct" -> { (s, d) =>
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = Tables.events(s, d)
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      userDays
+        .withColumn("report_day",
+          explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
+        .crossJoin(broadcast(bounds))
+        .filter(col("report_day") <= col("d1"))
+        .groupBy("report_day")
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+        .orderBy("report_day")
+    },
+
     // F15: FUNNEL analysis — ordered event-sequence conversion (first click
     // → first purchase at-or-after it), the product-analytics shape that
     // pairs with sessionization. Two grouped mins + one join keyed on the
@@ -111,6 +133,21 @@ object SessionScaleOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // replay: report day d counts users active in [d-6, d] — the windowed
+    // form of the same count.
+    "a21_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+          days AS (SELECT CAST(g.d AS DATE) AS report_day
+                   FROM b, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                                  CAST(d1 + INTERVAL 6 DAY AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS g(d)
+                   WHERE CAST(g.d AS DATE) <= b.d1)
+          SELECT d.report_day, COUNT(DISTINCT u.user_id) AS active_users_7d
+          FROM days d JOIN ud u
+            ON u.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
+          GROUP BY 1 ORDER BY 1""",
+
     "f15_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
           c AS (SELECT user_id, MIN(ts) AS first_click FROM e
