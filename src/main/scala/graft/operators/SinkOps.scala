@@ -53,8 +53,41 @@ object SinkOps {
 
   private val stagedAppend = new ConcurrentHashMap[(SparkSession, String), String]()
   private val stagedRebuild = new ConcurrentHashMap[(SparkSession, String), String]()
+  private val stagedJsonl = new ConcurrentHashMap[(SparkSession, String), String]()
 
   val queries: Map[String, Q] = Map(
+    // F16: CORRUPT-RECORD-TOLERANT ingestion — the JSONL reality at corpus
+    // scale: some fraction of lines is malformed, and the load must neither
+    // die (FAILFAST) nor silently drop them (DROPMALFORMED) but quarantine
+    // them for audit. PERMISSIVE mode + an explicit _corrupt_record column
+    // does exactly that: bad lines parse to NULL fields with the raw line
+    // preserved. Staged once per (session, dataset): nation serialized to
+    // JSONL with every 5th line deterministically mangled.
+    "f16_corrupt_json" -> { (s, d) =>
+      val dir = stagedJsonl.computeIfAbsent((s, d), { _ =>
+        val out = Files.createTempDirectory("graft_jsonl_").toString
+        Tables.nation(s, d)
+          .select(when(pmod(col("n_nationkey"), lit(5)) === 0,
+              concat(lit("{bad "), col("n_name")))
+            .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+            .as("line"))
+          .coalesce(1).write.mode("overwrite").text(out)
+        out
+      })
+      val schema = new StructType()
+        .add("n_nationkey", LongType).add("n_name", StringType)
+        .add("_corrupt_record", StringType)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("n_nationkey")).as("n_valid"),
+          sum(col("n_nationkey")).as("valid_key_sum"))
+    },
+
     "s2_schema_probe" -> { (s, d) =>
       import s.implicits._
       Seq("orders", "region")
@@ -98,6 +131,14 @@ object SinkOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // replay of the injection rule: every 5th nation line is corrupt.
+    "f16_corrupt_json" ->
+      """SELECT COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+                CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT) AS valid_key_sum
+         FROM nation""",
+
     "s2_schema_probe" ->
       """SELECT tbl, column_name, column_type FROM (
            SELECT 'orders' AS tbl, column_name, column_type
