@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Structural invariants of the late-round-4 operators: salted join
+  * algebra, funnel ordering, rolling-distinct bounds, and corrupt-record
+  * accounting. These hold by construction at any scale. */
+class LateRoundOpsSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("j14: salted join equals the plain unsalted join") {
+    val salted = SparkEntry.queries("j14_salted_join")(spark, sfDir)
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("f15: conversions are bounded by clickers and delays are non-negative") {
+    val r = SparkEntry.queries("f15_funnel")(spark, sfDir).collect()(0)
+    val (clicked, converted, delay) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(converted <= clicked)
+    assert(delay >= 0L)
+    assert(r.getDouble(3) == converted.toDouble / clicked)
+  }
+
+  test("a21: 7-day active users bound daily actives and total users") {
+    val rolling = SparkEntry.queries("a21_rolling_distinct")(spark, sfDir).cache()
+    val totalUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("report_day"))
+      .agg(countDistinct(col("user_id")).as("daily"))
+    val joined = rolling.join(daily, Seq("report_day"))
+    // the 7-day window can only add users relative to its last day, and
+    // never exceeds the population
+    assert(joined.filter(col("active_users_7d") < col("daily")).count() == 0)
+    assert(rolling.filter(col("active_users_7d") > totalUsers).count() == 0)
+    rolling.unpersist()
+  }
+
+  test("f16: corrupt + valid partition the file, with no silent drops") {
+    val r = SparkEntry.queries("f16_corrupt_json")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2),
+      "every line must be either valid or quarantined")
+    assert(r.getLong(1) > 0, "the staged file must actually contain corrupt lines")
+  }
+}
