@@ -203,6 +203,40 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // DD13: KEEP-BEST dedup manifest — dd9's manifest with the policy a
+    // real corpus build uses: the cluster representative is the HIGHEST-
+    // QUALITY member (here: longest text, ties to the smaller doc_id), not
+    // the smallest id — near-dup clusters usually contain truncated or
+    // boilerplate-padded variants and the keeper choice decides what the
+    // model trains on. One argmax per cluster (max_by on an encoded
+    // (quality, -doc_id) key) over the memoized cluster stage, then the
+    // same left-join manifest shape as dd9.
+    "dd13_keep_best" -> { (s, d) =>
+      val clusters = clustersCache.computeIfAbsent((s, d), { _ =>
+        connectedComponents(
+          pairsCache.computeIfAbsent((s, d), { _ =>
+            queries("dd2_minhash_lsh")(s, d).select("doc_a", "doc_b").persist()
+          })).persist()
+      })
+      val lens = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
+      // encoded argmax key: quality dominates, smaller doc_id wins ties
+      // (doc_len < 10^9, doc_id < 10^9 — the encoding is collision-free).
+      val keepers = clusters.join(lens, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max_by(col("doc_id"),
+          col("doc_len") * lit(1000000000L) - col("doc_id")).as("keeper"))
+      Tables.documents(s, d).select(col("doc_id")).join(lens, "doc_id")
+        .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"), "left")
+        .join(keepers, Seq("cluster_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("doc_len"),
+          (col("keeper").isNull || col("keeper") === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // DD10: SimHash near-dup SEARCH at scale — the byte-band pigeonhole
     // join of Manku/Jain/Sarma (WWW'07, public): a pair within Hamming
     // distance h of a b-band signature must agree on ≥1 whole band when
@@ -451,6 +485,25 @@ object DedupOps {
           FROM documents d
           LEFT JOIN cluster c USING (doc_id)
           LEFT JOIN sizes s USING (cluster_id)
+          ORDER BY d.doc_id""",
+
+    // keep-best manifest: keeper = argmax (doc_len, -doc_id) per cluster,
+    // replayed with the same encoded ordering key.
+    "dd13_keep_best" ->
+      s"""WITH RECURSIVE $ccCtes,
+          lens AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS doc_len FROM documents),
+          keepers AS (
+            SELECT cluster_id, arg_max(c.doc_id, l.doc_len * 1000000000 - c.doc_id) AS keeper
+            FROM cluster c JOIN lens l USING (doc_id)
+            GROUP BY 1)
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 l.doc_len,
+                 (k.keeper IS NULL OR k.keeper = d.doc_id) AS keep
+          FROM documents d
+          JOIN lens l ON l.doc_id = d.doc_id
+          LEFT JOIN cluster c ON c.doc_id = d.doc_id
+          LEFT JOIN keepers k ON k.cluster_id = c.cluster_id
           ORDER BY d.doc_id""",
 
     "dd3_simhash" ->
