@@ -124,6 +124,36 @@ object DepthOps {
         .orderBy("user_id", "day")
     },
 
+    // W12: ROBUST dispersion — median absolute deviation per group, the
+    // outlier-insensitive scale estimate training pipelines normalize with
+    // when means/stddevs are poisoned by heavy tails. Two discrete-median
+    // passes (group median, then median of |x - med|) — disc quantiles are
+    // actual data elements, bit-identical cross-engine — plus a 3-MAD
+    // outlier census whose fence is the same double expression tree on
+    // both sides.
+    "w12_robust_mad" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("w12_lineitem")
+      s.sql(
+        """WITH med AS (
+          |  SELECT l_returnflag,
+          |         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+          |  FROM w12_lineitem GROUP BY 1),
+          |dev AS (
+          |  SELECT l.l_returnflag,
+          |         abs(l.l_extendedprice - m.med) AS adev, m.med
+          |  FROM w12_lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+          |mad AS (
+          |  SELECT l_returnflag,
+          |         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+          |  FROM dev GROUP BY 1)
+          |SELECT d.l_returnflag,
+          |       MAX(d.med) AS med,
+          |       MAX(m.mad) AS mad,
+          |       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // TS2: LINEAR-interpolation resample — ts1's spine with the other
     // standard fill: a missing grid point interpolates between its last and
     // next OBSERVED neighbors, weighted by day distance (edges fall back to
@@ -298,6 +328,23 @@ object DepthOps {
                         ROWS UNBOUNDED PRECEDING) AS filled_value
          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
          ORDER BY s.user_id, s.day""",
+
+    "w12_robust_mad" ->
+      """WITH med AS (
+           SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY 1),
+         dev AS (
+           SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev, m.med
+           FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+         mad AS (
+           SELECT l_returnflag, quantile_disc(adev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.l_returnflag,
+                MAX(d.med) AS med,
+                MAX(m.mad) AS mad,
+                CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
 
     "ts2_linear_interp" ->
       """WITH ev AS (
