@@ -221,6 +221,30 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // TX12: CHARACTER ENTROPY — the Shannon-entropy quality gate that
+    // catches gibberish, binary spill, and single-char padding (too-low or
+    // too-high entropy both flag). Two hash-aggregates (per-(doc, char)
+    // counts, then the per-doc fold); the -p·log2(p) terms are identical
+    // doubles on both engines and the cross-engine SUM order tolerance is
+    // absorbed by the same ROUND(4) convention the stddev gates use.
+    "tx12_char_entropy" -> { (s, d) =>
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_chars"))
+      counts.join(tot, "doc_id")
+        .withColumn("term",
+          -(col("c") / col("n")) * log2(col("c") / col("n")))
+        .groupBy("doc_id")
+        .agg(
+          max(col("n")).as("n_chars"),
+          max(col("n_distinct_chars")).as("n_distinct_chars"),
+          round(sum(col("term")), 4).as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
     // TX11: URL extraction + DOMAIN NORMALIZATION — the web-corpus curation
     // primitive (domain-level quality lists, per-domain caps, domain dedup
     // all key on it). Deterministic URL specimens are injected by doc_id
@@ -391,6 +415,21 @@ object TextOps {
                     '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
                     '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
          FROM injected ORDER BY doc_id""",
+
+    "tx12_char_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, substr(text, i, 1) AS ch
+           FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)),
+         counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                        COUNT(*) AS n_distinct_chars
+                 FROM counts GROUP BY 1)
+         SELECT c.doc_id,
+                MAX(t.n) AS n_chars,
+                MAX(t.n_distinct_chars) AS n_distinct_chars,
+                ROUND(SUM(-(CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 4) AS entropy_bits
+         FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+         GROUP BY 1 ORDER BY 1""",
 
     "tx11_url_extract" ->
       """WITH injected AS (
