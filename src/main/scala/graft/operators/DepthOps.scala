@@ -124,6 +124,34 @@ object DepthOps {
         .orderBy("user_id", "day")
     },
 
+    // W13: WINSORIZATION — clamp each value into its group's [p01, p99]
+    // band, the standard tail-taming transform before training on heavy-
+    // tailed features (keeps the row, unlike outlier DROPS, so no
+    // distribution shift in row counts). Discrete quantile fences (data
+    // elements, exact cross-engine) broadcast to a single clamp scan; the
+    // gate aggregates the winsorized column with the exact decimal sum so
+    // the whole transform is hash-checked.
+    "w13_winsorize" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("w13_lineitem")
+      val fences = s.sql(
+        """SELECT l_returnflag,
+          |       percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice) AS p01,
+          |       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+          |FROM w13_lineitem GROUP BY 1""".stripMargin)
+      Tables.lineitem(s, d)
+        .join(broadcast(fences), Seq("l_returnflag"))
+        .withColumn("wz",
+          least(greatest(col("l_extendedprice"), col("p01")), col("p99")))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p01"), 1L).otherwise(0L)).as("n_clamped_low"),
+          sum(when(col("l_extendedprice") > col("p99"), 1L).otherwise(0L)).as("n_clamped_high"),
+          dsum(col("wz")).as("winsorized_sum"),
+          max(col("p01")).as("p01"), max(col("p99")).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // W12: ROBUST dispersion — median absolute deviation per group, the
     // outlier-insensitive scale estimate training pipelines normalize with
     // when means/stddevs are poisoned by heavy tails. Two discrete-median
@@ -328,6 +356,19 @@ object DepthOps {
                         ROWS UNBOUNDED PRECEDING) AS filled_value
          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
          ORDER BY s.user_id, s.day""",
+
+    "w13_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+                           quantile_disc(l_extendedprice, 0.01) AS p01,
+                           quantile_disc(l_extendedprice, 0.99) AS p99
+                    FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN l.l_extendedprice < f.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+                CAST(SUM(CASE WHEN l.l_extendedprice > f.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+                CAST(ROUND(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, f.p01), f.p99) AS DECIMAL(30,8))), 4) AS DOUBLE) AS winsorized_sum,
+                MAX(f.p01) AS p01, MAX(f.p99) AS p99
+         FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
 
     "w12_robust_mad" ->
       """WITH med AS (
