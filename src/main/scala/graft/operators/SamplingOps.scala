@@ -65,6 +65,28 @@ object SamplingOps {
         .orderBy("lang", "rk")
     },
 
+    // SA6: IMPORTANCE-WEIGHTED sampling — keep probability proportional to
+    // a per-row weight (here n_chars: longer documents upweighted), the
+    // mixture-reweighting primitive corpus blending uses ("sample source X
+    // at 2x"). Deterministic weighted Bernoulli: keep iff
+    // hash_uniform < weight / max_weight, evaluated as the INTEGER cross-
+    // product comparison u * max_w < w * 2^20 — no float boundary, exact in
+    // both engines, append-stable per doc, no RNG state. The max weight is
+    // a one-row broadcast.
+    "sa6_weighted_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("u", pmod(keyHash("graft-weight"), lit(1048576L)))
+        .withColumn("keep", col("u") * col("mx") < col("n_chars") * lit(1048576L))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id"))).as("kept_checksum"))
+        .orderBy("lang")
+    },
+
     // SA4: TEMPORAL split — train on the past, evaluate on the future (the
     // only leakage-safe split for forecasting-shaped tasks; a hash split
     // would let the model peek at later events of the same period). The
@@ -135,6 +157,17 @@ object SamplingOps {
                      FROM documents))
          WHERE rk <= 20
          ORDER BY lang, rk""",
+
+    "sa6_weighted_sample" ->
+      """WITH mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+          k AS (SELECT d.doc_id, d.lang, d.n_chars,
+                       ('0x' || substr(md5('graft-weight' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT % 1048576 AS u,
+                       m.mx
+                FROM documents d, mx m)
+          SELECT lang, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN u * mx < n_chars * 1048576 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN u * mx < n_chars * 1048576 THEN doc_id END) AS BIGINT) AS kept_checksum
+          FROM k GROUP BY 1 ORDER BY 1""",
 
     "sa4_temporal_split" ->
       """WITH sp AS (SELECT event_id, user_id,
