@@ -83,6 +83,28 @@ object MultimodalOps {
         .orderBy("modality")
     },
 
+    // MM4: CONTENT-ADDRESSED chunking — the binary-asset dedup/storage
+    // primitive: split each blob into fixed 256-byte chunks, digest each,
+    // and derive a Merkle-style root over the ordered chunk digests. Chunk
+    // digests dedupe shared prefixes across assets (content-addressed
+    // storage); the root is the asset's identity. Pure expression-level
+    // array work (transform over a sequence — no explode, no shuffle until
+    // the final sort), so it pipelines inside one codegen stage.
+    "mm4_content_address" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+        .withColumn("chunk_md5s", expr(
+          """transform(sequence(0, CAST((byte_len - 1) div 256 AS INT)),
+             i -> md5(substring(payload, i * 256 + 1, 256)))"""))
+        .select(
+          col("doc_id"), col("byte_len"),
+          size(col("chunk_md5s")).cast("long").as("n_chunks"),
+          element_at(col("chunk_md5s"), 1).as("first_chunk_md5"),
+          md5(expr("CAST(array_join(chunk_md5s, '') AS BINARY)")).as("root_md5"))
+        .orderBy("doc_id")
+    },
+
     // MM2: frame sampling over an opaque binary payload — treat the blob as
     // a fixed-stride frame sequence (64-byte "frames", the video-decode
     // stub), take every 4th frame, emit per-frame length + checksum. The
@@ -133,6 +155,21 @@ object MultimodalOps {
                 CAST(SUM(blob_bytes) AS BIGINT) AS total_bytes,
                 MIN(doc_id) AS first_doc
          FROM routed GROUP BY 1 ORDER BY 1""",
+
+    // ASCII text ⇒ 256-byte chunks are substr windows; md5 agrees
+    // byte-for-byte and the root digests the concatenated hex digests.
+    "mm4_content_address" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                  list_transform(generate_series(0, (octet_length(encode(text)) - 1) // 256),
+                                 i -> md5(substr(text, i * 256 + 1, 256))) AS chunk_md5s
+           FROM documents)
+         SELECT doc_id, byte_len,
+                CAST(len(chunk_md5s) AS BIGINT) AS n_chunks,
+                chunk_md5s[1] AS first_chunk_md5,
+                md5(array_to_string(chunk_md5s, '')) AS root_md5
+         FROM c ORDER BY doc_id""",
 
     // ASCII text ⇒ byte slicing == char slicing, so the oracle frames are
     // substr() windows of the text and md5 agrees byte-for-byte.
