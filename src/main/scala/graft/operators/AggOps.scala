@@ -187,6 +187,36 @@ object AggOps {
             .cast("long").as("n_null_ts"))
     },
 
+    // §2.10 quality check beyond the reference's four: REFERENTIAL
+    // INTEGRITY audit — orphaned foreign keys per relationship, the load
+    // gate every warehouse runs after ingestion. The parent set is
+    // deterministically damaged (orders with o_orderkey % 97 = 0 dropped,
+    // simulating a partial parent load) so the census is non-trivial; the
+    // check itself is one left-anti join per relationship, counts rolled
+    // into a single audit frame. Anti joins broadcast the (small, pruned)
+    // key set at this scale and shuffle-partition on the key at 100 TB.
+    "qc_referential" -> { (s, d) =>
+      val damagedOrders = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .select(col("o_orderkey"))
+      val orphanLineitems = Tables.lineitem(s, d)
+        .join(damagedOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val custKeys = Tables.customer(s, d).select(col("c_custkey"))
+      val orphanEvents = Tables.events(s, d)
+        .join(custKeys, col("user_id") === col("c_custkey"), "left_anti")
+      val a = orphanLineitems.agg(
+        count(lit(1)).as("n_orphans"),
+        coalesce(sum(col("l_orderkey")), lit(0L)).as("orphan_key_sum"))
+        .withColumn("relationship", lit("lineitem->orders(damaged)"))
+      val b = orphanEvents.agg(
+        count(lit(1)).as("n_orphans"),
+        coalesce(sum(col("user_id")), lit(0L)).as("orphan_key_sum"))
+        .withColumn("relationship", lit("events->customer"))
+      a.unionByName(b)
+        .select("relationship", "n_orphans", "orphan_key_sum")
+        .orderBy("relationship")
+    },
+
     // §2.10 quality check beyond the reference's four: distributional
     // OUTLIER detection — prices beyond 1.5×IQR of their group. Fences are
     // built from DISCRETE quantiles (actual data elements, bit-identical in
@@ -319,6 +349,23 @@ object AggOps {
                 CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
                 CAST(SUM(CASE WHEN l_shipdate IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    // replay: orphans = children whose parent key is missing from the
+    // damaged parent set (orders % 97 dropped) / the customer table.
+    "qc_referential" ->
+      """SELECT relationship, n_orphans, orphan_key_sum FROM (
+           SELECT 'lineitem->orders(damaged)' AS relationship,
+                  COUNT(*) AS n_orphans,
+                  CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT) AS orphan_key_sum
+           FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey AND o_orderkey % 97 <> 0)
+           UNION ALL
+           SELECT 'events->customer', COUNT(*),
+                  CAST(COALESCE(SUM(user_id), 0) AS BIGINT)
+           FROM events
+           WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id))
+         ORDER BY relationship""",
 
     // fences from DISCRETE quantiles (see the query comment); the fence
     // arithmetic is the identical double expression tree on both engines.
