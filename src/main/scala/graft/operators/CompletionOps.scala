@@ -13,6 +13,32 @@ object CompletionOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // U5: PRIORITY UNION — merging corpus snapshots where the newer drop
+    // wins on key collision (the "latest snapshot wins" reconciliation
+    // every periodically-recrawled corpus needs). The canonical incremental
+    // form: newer drop ∪ (older ANTI-JOIN newer) — one anti join, no
+    // full-row comparison, no window. v2 is a deterministic revision of
+    // every third document; the gate proves exactly those keys carry v2
+    // content and the rest carry v1.
+    "u5_priority_union" -> { (s, d) =>
+      val v1 = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"),
+          lit(1L).as("version"))
+      val v2 = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), md5(concat(col("text"), lit(" v2"))).as("content_md5"),
+          lit(2L).as("version"))
+      val merged = v2.unionByName(
+        v1.join(v2.select("doc_id"), Seq("doc_id"), "left_anti"))
+      merged.groupBy("version")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("doc_id_checksum"),
+          md5(array_join(expr(
+            "array_sort(collect_list(content_md5))"), "")).as("content_checksum"))
+        .orderBy("version")
+    },
+
     // J13: FULL OUTER join of two aggregates with key coalescing — the
     // supplier side is filtered so both unmatched directions occur.
     "j13_full_outer" -> { (s, d) =>
@@ -92,6 +118,19 @@ object CompletionOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // replay: doc_id % 3 = 0 carries v2 content, everything else v1.
+    "u5_priority_union" ->
+      """WITH merged AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS content_md5,
+                  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS version
+           FROM documents)
+         SELECT CAST(version AS BIGINT) AS version,
+                COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum,
+                md5(string_agg(content_md5, '' ORDER BY content_md5)) AS content_checksum
+         FROM merged GROUP BY 1 ORDER BY 1""",
+
     "j13_full_outer" ->
       """WITH su AS (SELECT CAST(s_nationkey AS BIGINT) AS nk_s, COUNT(*) AS n_supp
                      FROM supplier WHERE s_suppkey < 40 GROUP BY 1),

@@ -108,6 +108,39 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // DD15: CONTAINMENT similarity — the asymmetric measure |A∩B| / |A|
+    // that catches near-SUBSET duplication (a short doc embedded inside a
+    // longer one), which symmetric Jaccard structurally under-scores: for
+    // A ⊂ B, jaccard = |A|/|B| can be arbitrarily small while
+    // containment(A→B) = 1. Corpus builds drop the contained side. Same
+    // single-exchange shingle machinery as dd4; only the final projection
+    // differs (directional score, both directions emitted).
+    "dd15_containment" -> { (s, d) =>
+      val grouped = shingles(s, d)
+        .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      val counts = grouped
+        .select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped
+        .filter(size(col("docs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+             transform(slice(docs, i + 2, size(docs)), y ->
+               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))),
+          Seq("doc_a"))
+        .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))),
+          Seq("doc_b"))
+        .withColumn("containment_a_in_b", col("inter").cast("double") / col("n_a"))
+        .withColumn("containment_b_in_a", col("inter").cast("double") / col("n_b"))
+        .filter(col("containment_a_in_b") >= 0.6 || col("containment_b_in_a") >= 0.6)
+        .select("doc_a", "doc_b", "inter", "containment_a_in_b", "containment_b_in_a")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // MinHash + LSH banding: ONE md5 per shingle (28-bit base hash), K
     // affine integer hashes h_i = (a_i*H + b_i) mod 2^31-1 derived from it
     // (16x fewer digest computations than hashing per seed — the per-token
@@ -464,6 +497,22 @@ object DedupOps {
     "dd2_minhash_lsh" ->
       s"""WITH $simPairsCtes
           SELECT doc_a, doc_b, est_sim FROM sim_pairs ORDER BY doc_a, doc_b""",
+
+    "dd15_containment" ->
+      s"""WITH $duckShingles,
+          counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter,
+                 CAST(inter AS DOUBLE) / ca.n_sh AS containment_a_in_b,
+                 CAST(inter AS DOUBLE) / cb.n_sh AS containment_b_in_a
+          FROM inter
+          JOIN counts ca ON ca.doc_id = doc_a
+          JOIN counts cb ON cb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / ca.n_sh >= 0.6
+             OR CAST(inter AS DOUBLE) / cb.n_sh >= 0.6
+          ORDER BY doc_a, doc_b""",
 
     // Connected components via a recursive CTE: walk(src, node) enumerates
     // every node reachable from src (UNION dedup terminates the recursion);
