@@ -15,6 +15,42 @@ object ExtendedOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // J15: NULL-SAFE equi-join (<=>): dimension lookups where NULL is a
+    // legitimate key ("unknown" bucket) must MATCH the dim's NULL row —
+    // a plain equi-join silently drops every NULL-keyed fact row, one of
+    // the classic star-schema data-loss bugs. The fact key is NULL for
+    // negative readings; the dim carries an explicit NULL→'unknown' row,
+    // and the join uses <=> so those rows land in the unknown bucket
+    // instead of vanishing.
+    "j15_nullsafe_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("k", when(col("value") >= 0, col("event_type")))
+      val dim = ev.select(col("k")).distinct()
+        .withColumn("bucket", coalesce(col("k"), lit("unknown")))
+      ev.join(dim, ev("k") <=> dim("k"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("bucket")
+    },
+
+    // F17: BITMASK aggregation — capability-flags rollup: each user's set
+    // of seen event types packed into one integer via bit_or (mergeable,
+    // constant-size state — the exact counterpart of a bloom/HLL summary
+    // for small enumerable sets), then the distribution of masks. The
+    // standard "which feature combinations occur" rollup.
+    "f17_bitmask_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("flag", expr(
+          """shiftleft(1L, CAST(CASE event_type
+             WHEN 'click' THEN 0 WHEN 'view' THEN 1
+             WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS INT))"""))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(bit_or(col("flag")).as("type_mask"))
+        .groupBy("type_mask")
+        .agg(count(lit(1)).as("n_user_days"))
+        .orderBy("type_mask")
+    },
+
     // F7: string-function battery over part names.
     "f7_string_functions" -> { (s, d) =>
       Tables.part(s, d)
@@ -93,6 +129,28 @@ object ExtendedOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "j15_nullsafe_join" ->
+      """WITH ev AS (SELECT CASE WHEN "value" >= 0 THEN event_type END AS k, "value"
+                     FROM events),
+          dim AS (SELECT k, COALESCE(k, 'unknown') AS bucket
+                  FROM (SELECT DISTINCT k FROM ev))
+          SELECT d.bucket, COUNT(*) AS n,
+                 CAST(ROUND(SUM(CAST(ev."value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_value
+          FROM ev JOIN dim d ON ev.k IS NOT DISTINCT FROM d.k
+          GROUP BY 1 ORDER BY 1""",
+
+    "f17_bitmask_agg" ->
+      """WITH flags AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  (CAST(1 AS BIGINT) << (CASE event_type
+                     WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                     WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)) AS flag
+           FROM events),
+          masks AS (SELECT user_id, day, CAST(bit_or(flag) AS BIGINT) AS type_mask
+                    FROM flags GROUP BY 1, 2)
+          SELECT type_mask, COUNT(*) AS n_user_days
+          FROM masks GROUP BY 1 ORDER BY 1""",
+
     "f7_string_functions" ->
       """SELECT p_partkey,
                 UPPER(p_name) AS upper_name,
