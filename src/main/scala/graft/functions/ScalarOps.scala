@@ -18,6 +18,25 @@ object ScalarOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // F18: TEMPORAL BUCKETING battery — the three grains every rollup
+    // pipeline floors to: sub-hour (15-min, via integer epoch division —
+    // exact, no engine truncation conventions involved), ISO week and
+    // calendar month (date_trunc, same Monday-start / first-of-month
+    // conventions in both engines). One pass, three grains, counts per
+    // bucket triple.
+    "f18_time_buckets" -> { (s, d) =>
+      graft.Tables.events(s, d)
+        .withColumn("b15",
+          expr("timestamp_seconds((unix_micros(ts) div 900000000) * 900)"))
+        .withColumn("wk", date_trunc("week", col("ts")))
+        .withColumn("mo", date_trunc("month", col("ts")))
+        .groupBy("wk", "mo")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("b15")).as("n_15min_buckets"))
+        .orderBy("wk", "mo")
+    },
+
     // F1: content-hash ID — md5(concat) trip-id scheme (standardize.py:35).
     "f1_hash_id" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -116,6 +135,17 @@ object ScalarOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "f18_time_buckets" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+          b AS (SELECT date_trunc('week', ts) AS wk,
+                       date_trunc('month', ts) AS mo,
+                       to_timestamp((epoch_us(ts) // 900000000) * 900) AS b15
+                FROM e)
+          SELECT CAST(wk AS TIMESTAMP) AS wk, CAST(mo AS TIMESTAMP) AS mo,
+                 COUNT(*) AS n,
+                 COUNT(DISTINCT b15) AS n_15min_buckets
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "f1_hash_id" ->
       """SELECT l_orderkey, l_linenumber,
                 md5('li' || '|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS row_id
