@@ -187,6 +187,27 @@ object AggOps {
             .cast("long").as("n_null_ts"))
     },
 
+    // §2.10 quality check beyond the reference's four: FRESHNESS audit —
+    // per-stream last-arrival lag against the load watermark (max ts across
+    // the table), the staleness monitor every scheduled pipeline alerts on
+    // ("source X stopped arriving"). One aggregate per stream + a one-row
+    // broadcast of the global watermark; lag measured in whole hours
+    // (integer micros division — exact).
+    "qc_freshness" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val wm = ev.agg(max(col("ts")).as("watermark"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_seen"))
+        .crossJoin(broadcast(wm))
+        .select(
+          col("event_type"), col("n"), col("last_seen"),
+          expr("(unix_micros(watermark) - unix_micros(last_seen)) div 3600000000")
+            .as("lag_hours"),
+          expr("unix_micros(watermark) - unix_micros(last_seen) > 86400000000")
+            .as("stale"))
+        .orderBy("event_type")
+    },
+
     // §2.10 quality check beyond the reference's four: REFERENTIAL
     // INTEGRITY audit — orphaned foreign keys per relationship, the load
     // gate every warehouse runs after ingestion. The parent set is
@@ -349,6 +370,16 @@ object AggOps {
                 CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
                 CAST(SUM(CASE WHEN l_shipdate IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "qc_freshness" ->
+      """WITH wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS watermark FROM events),
+          g AS (SELECT event_type, COUNT(*) AS n,
+                       MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+                FROM events GROUP BY 1)
+          SELECT g.event_type, g.n, g.last_seen,
+                 CAST((epoch_us(w.watermark) - epoch_us(g.last_seen)) // 3600000000 AS BIGINT) AS lag_hours,
+                 (epoch_us(w.watermark) - epoch_us(g.last_seen)) > 86400000000 AS stale
+          FROM g, wm w ORDER BY g.event_type""",
 
     // replay: orphans = children whose parent key is missing from the
     // damaged parent set (orders % 97 dropped) / the customer table.
