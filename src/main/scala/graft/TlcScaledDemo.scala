@@ -482,10 +482,12 @@ object TlcScaledDemo {
             SELECT prd, service_type,
                    COUNT(*) AS trip_count,
                    quantile_cont(total_fare, 0.5) AS median_total_fare,
-                   AVG(price_per_mile) AS avg_ppm,
-                   AVG(surcharges) AS avg_surch,
-                   AVG(CASE WHEN service_type = 'hvfhv' THEN driver_pay END) AS avg_dp,
-                   AVG(CASE WHEN service_type = 'hvfhv' THEN take_rate END) * 100 AS avg_tr
+                   CAST(ROUND(SUM(CAST(price_per_mile AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(price_per_mile) AS avg_ppm,
+                   CAST(ROUND(SUM(CAST(surcharges AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(surcharges) AS avg_surch,
+                   CAST(ROUND(SUM(CAST(CASE WHEN service_type = 'hvfhv' THEN driver_pay END AS DECIMAL(30,8))), 4) AS DOUBLE)
+                     / COUNT(CASE WHEN service_type = 'hvfhv' THEN driver_pay END) AS avg_dp,
+                   CAST(ROUND(SUM(CAST(CASE WHEN service_type = 'hvfhv' THEN take_rate END AS DECIMAL(30,8))), 4) AS DOUBLE)
+                     / COUNT(CASE WHEN service_type = 'hvfhv' THEN take_rate END) * 100 AS avg_tr
             FROM scoped GROUP BY 1, 2),
           before_p AS (
             SELECT service_type, trip_count AS trips_before,

