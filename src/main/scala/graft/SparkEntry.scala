@@ -31,6 +31,7 @@ object SparkEntry {
     operators.DepthOps.queries ++
     operators.SamplingOps.queries ++
     operators.CompletionOps.queries ++
+    operators.CurationOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
     operators.DepthOps.oracles ++
     operators.SamplingOps.oracles ++
     operators.CompletionOps.oracles ++
+    operators.CurationOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

@@ -1,0 +1,384 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact.{davg, dsum, dsumOver}
+
+/** Round-5 curation + layout pack: the dataset-preparation operators a
+  * training-data pipeline reaches for once dedup/sampling are in place —
+  * TF-IDF term salience, SCD-2 range joins re-expressed as chunk-aligned
+  * equi joins, one-pass column profiling, deterministic negative-pair
+  * mining, equal-count decile banding, Z-order layout keys, and
+  * distribution-drift scoring between cohorts.
+  *
+  * All numeric output follows the repo's cross-engine conventions
+  * (graft.functions.Exact): additive aggregates via exact decimal sums,
+  * ratios as IEEE ops on bit-identical inputs, no libm transcendentals in
+  * hash-gated columns (ln/exp differ by ulps across engines — see tx6's
+  * integer-scaled LM for the precedent).
+  */
+object CurationOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TX13: TF-IDF top terms per document. tf from one explode+groupBy,
+    // df from a re-agg of tf (no second scan), corpus size as a 1-row
+    // broadcast. idf is the SMOOTHED RATIO (N+1)/(df+1) — log-free, so the
+    // score is a product/quotient of integers: IEEE-exact and identical in
+    // both engines (ln is libm-dependent; the log is monotone in the ratio
+    // anyway for fixed tf, and the gate's point is the dataflow). Top-3 by
+    // (score desc, term) via rank, the same shuffle shape W7 optimizes.
+    "tx13_tfidf_topterms" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+          col("tf"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+
+    // J16: SCD-2 range join — orders priced against a fee schedule with
+    // NON-calendar-aligned validity windows (30/45/60-day periods), the
+    // shape BETWEEN-joins take when dimensions are slowly changing. Spark
+    // has no native range-join optimization, and a raw non-equi join plans
+    // as BroadcastNestedLoopJoin (per-row interval scan). The scale path
+    // used here: window boundaries are multiples of a 15-day chunk, so each
+    // dim row EXPLODES to the chunks it covers and the join becomes a plain
+    // equi join on chunk id — hash-partitioned, AQE-sizable, no NLJ. The
+    // oracle states the same semantics as a BETWEEN range join.
+    "j16_scd2_range_join" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val span = orders.agg(
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      // period k starts at offset(k) = (k div 3)*135 + [0,30,75][k mod 3]
+      // days after d0 (cycle of 30+45+60 = 135 days); rate = 1 + (k%7)/100.
+      val offs = "CASE (%s) %% 3 WHEN 0 THEN ((%s) div 3) * 135 WHEN 1 THEN ((%s) div 3) * 135 + 30 ELSE ((%s) div 3) * 135 + 75 END"
+      val dim = span
+        .select(col("d0"),
+          explode(expr("sequence(0, (datediff(d1, d0) div 135 + 2) * 3)")).as("k"))
+        .withColumn("off0", expr(offs.format("k", "k", "k", "k")))
+        .withColumn("off1", expr(offs.format("k+1", "k+1", "k+1", "k+1")))
+        .withColumn("valid_from", expr("date_add(d0, cast(off0 as int))"))
+        .withColumn("valid_to", expr("date_add(d0, cast(off1 as int))"))
+        .withColumn("rate", lit(1.0) + (col("k") % 7).cast("double") * lit(0.01))
+        .withColumn("chunk", explode(expr("sequence(off0 div 15, off1 div 15 - 1)")))
+        .select("k", "valid_from", "valid_to", "rate", "chunk")
+      val fact = orders
+        .crossJoin(broadcast(span.select(col("d0").as("f_d0"))))
+        .withColumn("od", to_date(col("o_orderdate")))
+        .withColumn("chunk", expr("datediff(od, f_d0) div 15"))
+      fact.join(broadcast(dim), Seq("chunk"))
+        .groupBy(col("k").as("period_id"), col("valid_from"), col("valid_to"), col("rate"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice") * col("rate")).as("adj_revenue"))
+        .orderBy("period_id")
+    },
+
+    // S14: one-pass column profiler over orders — null count, exact
+    // distinct count, typed min/max per column, emitted long-form. The
+    // single agg carries every metric (one scan); multiple COUNT(DISTINCT)
+    // in one aggregate plans through Expand (rows × #distinct-aggs), which
+    // is the exact-answer cost — at 100 TB swap the distinct counts for
+    // a13's HLL sketches and keep the rest of the pass unchanged. Dates
+    // profile as days-since-epoch (integer, engine-neutral); strings keep
+    // binary collation min/max.
+    "s14_column_profile" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("od_days", datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")))
+      val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_days")
+      val str = Seq("o_orderstatus", "o_orderpriority")
+      val aggs = num.flatMap(c => Seq(
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          round(min(col(c)).cast("double"), 4).as(s"mn_$c"),
+          round(max(col(c)).cast("double"), 4).as(s"mx_$c"))) ++
+        str.flatMap(c => Seq(
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c")))
+      val row = o.agg(aggs.head, aggs.tail: _*)
+      val stacked =
+        num.map(c => s"'$c', nulls_$c, nd_$c, mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        str.map(c => s"'$c', nulls_$c, nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_$c, mx_$c")
+      row.select(expr(
+          s"stack(${stacked.size}, ${stacked.mkString(", ")}) AS " +
+          "(column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"))
+        .orderBy("column_name")
+    },
+
+    // SA7: deterministic negative-pair mining for contrastive training —
+    // each anchor doc draws 2 pseudo-random partners via an LCG over the id
+    // space (constants 48271/7919: MINSTD multiplier, a prime stride), so
+    // the pairing is reproducible across runs AND engines with no RNG. The
+    // id-space modulus is a 1-row broadcast (max+1), the partner fetch is a
+    // plain equi join on the derived key. Self-pairs are dropped; the gate
+    // aggregates the pair matrix by (anchor_lang, partner_lang) with an id
+    // checksum so any pairing drift flips the hash.
+    "sa7_negative_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val mx = docs.agg((max(col("doc_id")) + 1L).as("id_mod"))
+      val drawn = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id").as("anchor_id"), col("lang").as("anchor_lang"),
+          col("id_mod"), explode(array(lit(1L), lit(2L))).as("j"))
+        .withColumn("neg_id",
+          pmod(col("anchor_id") * lit(48271L) + col("j") * lit(7919L) + lit(11L),
+            col("id_mod")))
+        .filter(col("neg_id") =!= col("anchor_id"))
+      drawn.join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+          Seq("neg_id"))
+        .groupBy("anchor_lang", "neg_lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("anchor_id") * lit(3L) + col("neg_id")).as("pair_checksum"))
+        .orderBy("anchor_lang", "neg_lang")
+    },
+
+    // W14: NTILE equal-count banding — order values cut into 10 deciles on
+    // a TOTAL order (price, orderkey tiebreak) so band assignment is
+    // deterministic. A global NTILE windows over a single partition — the
+    // honest cost of exact equal-count bands; at 100 TB cut instead on
+    // quantile fences from a distributed percentile pass (a2/qc_outlier's
+    // shape) and accept boundary-tie drift, or range-partition by the sort
+    // key and offset per-partition row numbers.
+    "w14_ntile_deciles" -> { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 4).as("min_price"),
+          round(max(col("o_totalprice")), 4).as("max_price"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("decile")
+    },
+
+    // S15: Z-order (Morton) layout key — interleave the low 8 bits of two
+    // cluster-prone dimensions so lexicographic ranges of the key are 2-D
+    // tiles, the layout that lets min/max zone maps skip files on EITHER
+    // predicate column. The gate proves the locality contract in data: each
+    // 1024-key bucket (a 32×32 tile) has a bounding box bounded by the tile,
+    // which a linear concatenation (custkey<<8 | orderkey-bits) cannot
+    // achieve on the second column. CurationSpec asserts the file-level
+    // consequence: repartitionByRange on z yields per-partition bounding
+    // boxes ~tile-sized vs hash layout's full-range boxes.
+    "s15_zorder_key" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("x", pmod(col("o_custkey"), lit(256L)))
+        .withColumn("y", pmod(col("o_orderkey"), lit(256L)))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      o.withColumn("z", z)
+        .groupBy((col("z") / 1024L).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          ((max(col("x")) - min(col("x")) + 1L) *
+           (max(col("y")) - min(col("y")) + 1L)).as("bbox_area"))
+        .orderBy("zbucket")
+    },
+
+    // QC: distribution drift between cohorts — the train/serve skew check
+    // run before shipping a dataset refresh. Cohorts split by event-id
+    // parity (deterministic), values banded into 20 fixed-width buckets,
+    // and a chi-square-style statistic Σ (p−q)²/q computed WITHOUT logs
+    // (PSI's ln(p/q) would hash-drift across libm's; the χ² form ranks
+    // drift identically for small deviations). Per-bucket terms are
+    // bit-identical IEEE ops; the total is an exact decimal sum of the
+    // 6-dp-rounded terms, so the global statistic is order-independent.
+    "qc_drift_chi2" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("cohort", pmod(col("event_id"), lit(2L)))
+        .withColumn("bucket", least(floor(col("value") / 25.0), lit(19.0)).cast("long"))
+      val counts = e.groupBy("bucket")
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cnt_b"))
+      val tot = counts.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .withColumn("p", col("cnt_a").cast("double") / col("tot_a"))
+        .withColumn("q", col("cnt_b").cast("double") / col("tot_b"))
+        .withColumn("term",
+          round((col("p") - col("q")) * (col("p") - col("q")) /
+            when(col("q") =!= 0.0, col("q")), 6))
+      terms
+        .withColumn("chi2_total", dsumOver(col("term"), Window.partitionBy()))
+        .select(col("bucket"), col("cnt_a"), col("cnt_b"), col("term"),
+          col("chi2_total"))
+        .orderBy("bucket")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "tx13_tfidf_topterms" ->
+      """WITH tok AS (
+           SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             FROM documents)
+           WHERE length(term) >= 3),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf,
+                  tf * (n_docs + 1.0) / (df + 1.0) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+         SELECT doc_id, rk, term, tf, ROUND(tfidf, 4) AS tfidf
+         FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
+
+    // Stated as the semantic BETWEEN range join; the Spark side executes
+    // the chunk-aligned equi-join rewrite of the same predicate.
+    "j16_scd2_range_join" ->
+      """WITH span AS (
+           SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                  MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+         ks AS (
+           SELECT CAST(unnest(range(0, (SELECT (datediff('day', d0, d1) // 135 + 2) * 3 + 1 FROM span))) AS BIGINT) AS k),
+         dim AS (
+           SELECT k,
+                  (k // 3) * 135 + CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 30 ELSE 75 END AS off0,
+                  ((k + 1) // 3) * 135 + CASE (k + 1) % 3 WHEN 0 THEN 0 WHEN 1 THEN 30 ELSE 75 END AS off1,
+                  1.0 + (k % 7) * 0.01 AS rate
+           FROM ks),
+         dimd AS (
+           SELECT k, d0 + CAST(off0 AS INTEGER) AS valid_from,
+                  d0 + CAST(off1 AS INTEGER) AS valid_to, rate
+           FROM dim CROSS JOIN span)
+         SELECT k AS period_id, valid_from, valid_to, rate,
+                COUNT(*) AS n_orders,
+                CAST(ROUND(SUM(CAST(o_totalprice * rate AS DECIMAL(30,8))), 4) AS DOUBLE) AS adj_revenue
+         FROM orders o JOIN dimd
+           ON CAST(o.o_orderdate AS DATE) >= valid_from
+          AND CAST(o.o_orderdate AS DATE) < valid_to
+         GROUP BY 1, 2, 3, 4
+         ORDER BY period_id""",
+
+    "s14_column_profile" ->
+      """WITH o AS (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od_days FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS column_name,
+                  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                  COUNT(DISTINCT o_orderkey) AS n_distinct,
+                  ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) AS min_num,
+                  ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) AS max_num,
+                  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           FROM o
+           UNION ALL
+           SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                  COUNT(DISTINCT o_custkey),
+                  ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4), ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4),
+                  NULL, NULL FROM o
+           UNION ALL
+           SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                  COUNT(DISTINCT o_totalprice),
+                  ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4), ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4),
+                  NULL, NULL FROM o
+           UNION ALL
+           SELECT 'od_days', SUM(CASE WHEN od_days IS NULL THEN 1 ELSE 0 END),
+                  COUNT(DISTINCT od_days),
+                  ROUND(CAST(MIN(od_days) AS DOUBLE), 4), ROUND(CAST(MAX(od_days) AS DOUBLE), 4),
+                  NULL, NULL FROM o
+           UNION ALL
+           SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                  COUNT(DISTINCT o_orderstatus),
+                  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                  MIN(o_orderstatus), MAX(o_orderstatus) FROM o
+           UNION ALL
+           SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                  COUNT(DISTINCT o_orderpriority),
+                  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                  MIN(o_orderpriority), MAX(o_orderpriority) FROM o)
+         ORDER BY column_name""",
+
+    "sa7_negative_pairs" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS id_mod FROM documents),
+         drawn AS (
+           SELECT d.doc_id AS anchor_id, d.lang AS anchor_lang,
+                  (d.doc_id * 48271 + j.j * 7919 + 11) % mx.id_mod AS neg_id
+           FROM documents d
+           CROSS JOIN mx
+           CROSS JOIN (SELECT unnest([1, 2]) AS j) j
+           WHERE (d.doc_id * 48271 + j.j * 7919 + 11) % mx.id_mod <> d.doc_id)
+         SELECT anchor_lang, n.lang AS neg_lang,
+                COUNT(*) AS n_pairs,
+                CAST(SUM(anchor_id * 3 + neg_id) AS BIGINT) AS pair_checksum
+         FROM drawn JOIN documents n ON drawn.neg_id = n.doc_id
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "w14_ntile_deciles" ->
+      """WITH banded AS (
+           SELECT o_totalprice,
+                  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+           FROM orders)
+         SELECT CAST(decile AS BIGINT) AS decile,
+                COUNT(*) AS n_orders,
+                ROUND(MIN(o_totalprice), 4) AS min_price,
+                ROUND(MAX(o_totalprice), 4) AS max_price,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  / COUNT(o_totalprice) AS avg_price
+         FROM banded GROUP BY 1 ORDER BY 1""",
+
+    "s15_zorder_key" ->
+      """WITH xy AS (
+           SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y FROM orders),
+         zed AS (
+           SELECT x, y,
+                  (((x >> 0) & 1) << 0)  + (((y >> 0) & 1) << 1)  +
+                  (((x >> 1) & 1) << 2)  + (((y >> 1) & 1) << 3)  +
+                  (((x >> 2) & 1) << 4)  + (((y >> 2) & 1) << 5)  +
+                  (((x >> 3) & 1) << 6)  + (((y >> 3) & 1) << 7)  +
+                  (((x >> 4) & 1) << 8)  + (((y >> 4) & 1) << 9)  +
+                  (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) +
+                  (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) +
+                  (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) AS z
+           FROM xy)
+         SELECT CAST(z // 1024 AS BIGINT) AS zbucket,
+                COUNT(*) AS n,
+                MIN(x) AS min_x, MAX(x) AS max_x,
+                MIN(y) AS min_y, MAX(y) AS max_y,
+                CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT) AS bbox_area
+         FROM zed GROUP BY 1 ORDER BY 1""",
+
+    "qc_drift_chi2" ->
+      """WITH e AS (
+           SELECT event_id % 2 AS cohort,
+                  CAST(LEAST(FLOOR("value" / 25.0), 19.0) AS BIGINT) AS bucket
+           FROM events),
+         counts AS (
+           SELECT bucket,
+                  SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS cnt_a,
+                  SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS cnt_b
+           FROM e GROUP BY 1),
+         tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM counts),
+         terms AS (
+           SELECT bucket, cnt_a, cnt_b,
+                  ROUND((CAST(cnt_a AS DOUBLE) / tot_a - CAST(cnt_b AS DOUBLE) / tot_b)
+                      * (CAST(cnt_a AS DOUBLE) / tot_a - CAST(cnt_b AS DOUBLE) / tot_b)
+                      / (CASE WHEN CAST(cnt_b AS DOUBLE) / tot_b <> 0
+                              THEN CAST(cnt_b AS DOUBLE) / tot_b END), 6) AS term
+           FROM counts CROSS JOIN tot)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+                term,
+                CAST(ROUND(SUM(CAST(term AS DECIMAL(30,8))) OVER (), 4) AS DOUBLE) AS chi2_total
+         FROM terms
+         ORDER BY bucket""")
+}

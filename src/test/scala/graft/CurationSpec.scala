@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Round-5 curation/layout pack: the claims the oracle gates can't see —
+  * Z-order's file-level skipping consequence, the chunk-aligned equi join
+  * matching the naive range join it replaces, and TF-IDF/negative-pair
+  * invariants. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("s15: z-order range layout yields tile-local per-partition bounding boxes") {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("x", pmod(col("o_custkey"), lit(256L)))
+      .withColumn("y", pmod(col("o_orderkey"), lit(256L)))
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+      shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val zed = o.withColumn("z", z)
+    def meanBBox(df: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = df
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(((max(col("x")) - min(col("x")) + 1L) *
+              (max(col("y")) - min(col("y")) + 1L)).as("area"))
+        .agg(avg(col("area"))).collect()(0).getDouble(0)
+      boxes
+    }
+    // Z-ordered range layout: contiguous z ranges are 2-D tiles, so each
+    // output file's (x, y) zone map covers a small rectangle. A hash layout
+    // spreads every partition across the full 256×256 domain.
+    val zLayout = meanBBox(zed.repartitionByRange(16, col("z")))
+    val hashLayout = meanBBox(zed.repartition(16, col("z")))
+    assert(zLayout * 4 < hashLayout,
+      s"z-range layout bbox $zLayout should be <1/4 of hash layout $hashLayout")
+  }
+
+  test("j16: chunk-aligned equi join reproduces the naive BETWEEN range join") {
+    val viaChunks = operators.CurationOps.queries("j16_scd2_range_join")(spark, sfDir)
+    // Naive form: non-equi join against the same dim (BroadcastNestedLoop).
+    val orders = Tables.orders(spark, sfDir)
+    val span = orders.agg(
+      min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val offs = "CASE (%s) %% 3 WHEN 0 THEN ((%s) div 3) * 135 WHEN 1 THEN ((%s) div 3) * 135 + 30 ELSE ((%s) div 3) * 135 + 75 END"
+    val dim = span
+      .select(col("d0"),
+        explode(expr("sequence(0, (datediff(d1, d0) div 135 + 2) * 3)")).as("k"))
+      .withColumn("off0", expr(offs.format("k", "k", "k", "k")))
+      .withColumn("off1", expr(offs.format("k+1", "k+1", "k+1", "k+1")))
+      .withColumn("valid_from", expr("date_add(d0, cast(off0 as int))"))
+      .withColumn("valid_to", expr("date_add(d0, cast(off1 as int))"))
+      .withColumn("rate", lit(1.0) + (col("k") % 7).cast("double") * lit(0.01))
+      .select("k", "valid_from", "valid_to", "rate")
+    val naive = orders.withColumn("od", to_date(col("o_orderdate")))
+      .join(broadcast(dim),
+        col("od") >= col("valid_from") && col("od") < col("valid_to"))
+      .groupBy(col("k").as("period_id"), col("valid_from"), col("valid_to"), col("rate"))
+      .agg(count(lit(1)).as("n_orders"),
+        functions.Exact.dsum(col("o_totalprice") * col("rate")).as("adj_revenue"))
+      .orderBy("period_id")
+    assert(viaChunks.collect().toSeq == naive.collect().toSeq)
+  }
+
+  test("tx13: rank-1 term has the maximum tf-idf in its document") {
+    val top = operators.CurationOps.queries("tx13_tfidf_topterms")(spark, sfDir)
+      .filter(col("rk") === 1).select("doc_id", "tfidf")
+      .withColumnRenamed("tfidf", "top_score")
+    val all = operators.CurationOps.queries("tx13_tfidf_topterms")(spark, sfDir)
+      .groupBy("doc_id").agg(max(col("tfidf")).as("max_score"))
+    val bad = top.join(all, "doc_id")
+      .filter(col("top_score") < col("max_score")).count()
+    assert(bad == 0)
+  }
+
+  test("sa7: negative pairing is deterministic and never self-pairs") {
+    val q = operators.CurationOps.queries("sa7_negative_pairs")(spark, sfDir)
+    assert(q.collect().toSeq == q.collect().toSeq)
+    // Rebuild the pair set and check anchor != partner row-by-row.
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val mx = docs.agg((max(col("doc_id")) + 1L).as("id_mod"))
+    val selfPairs = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id").as("anchor_id"), col("id_mod"),
+        explode(array(lit(1L), lit(2L))).as("j"))
+      .withColumn("neg_id",
+        pmod(col("anchor_id") * lit(48271L) + col("j") * lit(7919L) + lit(11L),
+          col("id_mod")))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .filter(col("neg_id") === col("anchor_id")).count()
+    assert(selfPairs == 0)
+  }
+}

@@ -18,6 +18,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "DepthOps" -> operators.DepthOps.queries,
     "SamplingOps" -> operators.SamplingOps.queries,
     "CompletionOps" -> operators.CompletionOps.queries,
+    "CurationOps" -> operators.CurationOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
