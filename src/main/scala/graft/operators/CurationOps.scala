@@ -193,6 +193,71 @@ object CurationOps {
         .orderBy("zbucket")
     },
 
+    // W15: exponentially-weighted moving average, half-life decay — the
+    // recurrence ewma_n = x_n + ewma_{n-1}/2 that SQL windows cannot state
+    // (no recursive aggregates). The Spark shape is the classic secondary
+    // sort: hash-repartition by user, sortWithinPartitions by (user, ts,
+    // id), then ONE sequential pass per partition streaming users back to
+    // back — no per-group materialization, scales to any user's history.
+    // alpha = 1/2 on purpose: multiplying a double by 0.5 is exact (exponent
+    // decrement), so each step is a single correctly-rounded add and the
+    // whole trajectory is bit-identical to the oracle's recursive CTE.
+    "w15_ewma_decay" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        // micros, not a seconds cast: the sort key must replicate DuckDB's
+        // micro-resolution ORDER BY ts or same-second events walk in a
+        // different order and the recurrence diverges
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val walked = ev
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var cur = 0L; var ewma = 0.0; var n = 0L; var open = false
+          def flush(): Unit = if (open) out += ((cur, n, ewma))
+          it.foreach { case (u, _, _, v) =>
+            if (!open || u != cur) { flush(); cur = u; ewma = 0.0; n = 0L; open = true }
+            ewma = v + 0.5 * ewma
+            n += 1
+          }
+          flush()
+          out.iterator
+        }
+      walked.toDF("user_id", "n_events", "ewma_final")
+        .select(col("user_id"), col("n_events"),
+          round(col("ewma_final"), 6).as("ewma_final"))
+        .orderBy("user_id")
+    },
+
+    // U6: snapshot diff — the "what changed in this refresh" audit between
+    // two corpus versions (v2 simulated deterministically: every 3rd doc's
+    // content revised, every 17th doc dropped). One full-outer join on the
+    // key comparing content hashes; statuses aggregate with id checksums so
+    // any misclassification flips the gate hash. The incremental twin of
+    // u5's priority union.
+    "u6_snapshot_diff" -> { (s, d) =>
+      val v1 = Tables.documents(s, d)
+        .select(col("doc_id").as("id1"), md5(col("text")).as("md5_1"))
+      val v2 = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(17)) =!= 1)
+        .select(col("doc_id").as("id2"),
+          when(pmod(col("doc_id"), lit(3)) === 0, md5(concat(col("text"), lit(" v2"))))
+            .otherwise(md5(col("text"))).as("md5_2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(
+          when(col("id2").isNull, "removed")
+            .when(col("id1").isNull, "added")
+            .when(col("md5_1") =!= col("md5_2"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("id1"), col("id2")).as("doc_id"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("status")
+    },
+
     // QC: distribution drift between cohorts — the train/serve skew check
     // run before shipping a dataset refresh. Cohorts split by event-id
     // parity (deterministic), values banded into 20 fixed-width buckets,
@@ -356,6 +421,38 @@ object CurationOps {
                 MIN(y) AS min_y, MAX(y) AS max_y,
                 CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT) AS bbox_area
          FROM zed GROUP BY 1 ORDER BY 1""",
+
+    // The recursive CTE is the SQL statement of the same recurrence the
+    // Spark side walks sequentially; identical op order per step keeps the
+    // doubles bit-identical.
+    "w15_ewma_decay" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, "value",
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         walk AS (
+           SELECT user_id, rn, "value" AS ewma FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn, e."value" + 0.5 * w.ewma
+           FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         SELECT user_id, MAX(rn) AS n_events,
+                ROUND(max_by(ewma, rn), 6) AS ewma_final
+         FROM walk GROUP BY 1 ORDER BY 1""",
+
+    "u6_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id AS id1, md5(text) AS md5_1 FROM documents),
+         v2 AS (
+           SELECT doc_id AS id2,
+                  CASE WHEN doc_id % 3 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS md5_2
+           FROM documents WHERE doc_id % 17 <> 1)
+         SELECT CASE WHEN id2 IS NULL THEN 'removed'
+                     WHEN id1 IS NULL THEN 'added'
+                     WHEN md5_1 <> md5_2 THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                COUNT(*) AS n_docs,
+                CAST(SUM(COALESCE(id1, id2)) AS BIGINT) AS id_checksum
+         FROM v1 FULL OUTER JOIN v2 ON id1 = id2
+         GROUP BY 1 ORDER BY 1""",
 
     "qc_drift_chi2" ->
       """WITH e AS (

@@ -77,6 +77,20 @@ class CurationSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("w15: sequential partition walk matches a per-group in-memory fold") {
+    val viaWalk = operators.CurationOps.queries("w15_ewma_decay")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val ewma = es.sortBy(e => (e._2, e._3)).foldLeft(0.0)((acc, e) => e._4 + 0.5 * acc)
+      u -> (es.length.toLong, BigDecimal(ewma).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(viaWalk == expected)
+  }
+
   test("sa7: negative pairing is deterministic and never self-pairs") {
     val q = operators.CurationOps.queries("sa7_negative_pairs")(spark, sfDir)
     assert(q.collect().toSeq == q.collect().toSeq)
