@@ -88,37 +88,38 @@ object CurationOps {
         .orderBy("period_id")
     },
 
-    // S14: one-pass column profiler over orders — null count, exact
-    // distinct count, typed min/max per column, emitted long-form. The
-    // single agg carries every metric (one scan); multiple COUNT(DISTINCT)
-    // in one aggregate plans through Expand (rows × #distinct-aggs), which
-    // is the exact-answer cost — at 100 TB swap the distinct counts for
-    // a13's HLL sketches and keep the rest of the pass unchanged. Dates
-    // profile as days-since-epoch (integer, engine-neutral); strings keep
-    // binary collation min/max.
+    // S14: column profiler over orders — null count, exact distinct count,
+    // typed min/max per column, emitted long-form. One aggregate PER COLUMN
+    // (union-assembled, each a single-distinct two-phase hash agg), not one
+    // aggregate with six COUNT(DISTINCT)s: Spark plans multi-distinct
+    // through Expand (rows × #distinct-aggs — benched 2.4 s vs 0.3 s here),
+    // and the per-column branches scan the cached table in parallel anyway.
+    // At 100 TB swap the exact distincts for a13's HLL sketches and keep
+    // the pass shape. Dates profile as days-since-epoch (integer,
+    // engine-neutral); strings keep binary collation min/max.
     "s14_column_profile" -> { (s, d) =>
       val o = Tables.orders(s, d)
         .withColumn("od_days", datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")))
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_days")
       val str = Seq("o_orderstatus", "o_orderpriority")
-      val aggs = num.flatMap(c => Seq(
-          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          round(min(col(c)).cast("double"), 4).as(s"mn_$c"),
-          round(max(col(c)).cast("double"), 4).as(s"mx_$c"))) ++
-        str.flatMap(c => Seq(
-          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).as(s"mn_$c"),
-          max(col(c)).as(s"mx_$c")))
-      val row = o.agg(aggs.head, aggs.tail: _*)
-      val stacked =
-        num.map(c => s"'$c', nulls_$c, nd_$c, mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
-        str.map(c => s"'$c', nulls_$c, nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_$c, mx_$c")
-      row.select(expr(
-          s"stack(${stacked.size}, ${stacked.mkString(", ")}) AS " +
-          "(column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"))
-        .orderBy("column_name")
+      val profiles =
+        num.map(c => o.agg(
+          sum(col(c).isNull.cast("long")).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)).cast("double"), 4).as("min_num"),
+          round(max(col(c)).cast("double"), 4).as("max_num"))
+          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+            col("min_num"), col("max_num"),
+            lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))) ++
+        str.map(c => o.agg(
+          sum(col(c).isNull.cast("long")).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_str"),
+          max(col(c)).as("max_str"))
+          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+            lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+            col("min_str"), col("max_str")))
+      profiles.reduce(_ unionByName _).orderBy("column_name")
     },
 
     // SA7: deterministic negative-pair mining for contrastive training —

@@ -188,4 +188,15 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("j16: SCD-2 dim attaches as a broadcast HASH join, not a nested loop") {
+    // The chunk-alignment rewrite exists precisely so the range predicate
+    // never becomes a BroadcastNestedLoopJoin against the fact table. The
+    // only NLJ allowed in this plan is the 1-row span attach (a cross join
+    // with a single-row build side, constant work per row).
+    val p = plan("j16_scd2_range_join")
+    assert(p.contains("BroadcastHashJoin"))
+    val nljs = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nljs <= 1, s"fact-to-dim must not nested-loop:\n$p")
+  }
 }
