@@ -22,6 +22,38 @@ import graft.functions.Exact.{davg, dsum, dsumOver}
 object CurationOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** j18's build side: customers of one nation — a bounded, selective key
+    * set (the shape a dimension predicate produces). */
+  private[graft] def bloomKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_nationkey") === 3)
+      .select(col("c_custkey").as("k"))
+
+  /** j18's probe: orders rows surviving the 4096-bit / 3-hash bloom built
+    * from [[bloomKeys]]. The bloom folds to ONE ROW of 64 longs (bit_or per
+    * word → dense array), broadcast to every probe task, so the probe is a
+    * scan-local filter: no explode, no exchange, bounded fan-out. Exposed
+    * for CurationSpec's false-positive-rate assertion. */
+  private[graft] def bloomCandidates(s: SparkSession, d: String): DataFrame = {
+    val M = 4096L
+    val words = bloomKeys(s, d)
+      .select(explode(array(lit(1), lit(2), lit(3))).as("seed"), col("k"))
+      .withColumn("pos", pmod(xxhash64(col("k"), col("seed")), lit(M)))
+      .select((col("pos") / 64L).cast("long").as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+    val bloom = words
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("wm"))
+      .select(expr("transform(sequence(0L, 63L), w -> coalesce(element_at(wm, w), 0L))")
+        .as("warr"))
+    def mightContain(key: String, seed: Int): org.apache.spark.sql.Column =
+      expr(s"element_at(warr, cast(pmod(xxhash64($key, $seed), $M) / 64 as int) + 1) " +
+        s"& shiftleft(1L, cast(pmod(xxhash64($key, $seed), $M) % 64 as int))") =!= 0L
+    Tables.orders(s, d)
+      .crossJoin(broadcast(bloom))
+      .filter(mightContain("o_custkey", 1) && mightContain("o_custkey", 2) &&
+        mightContain("o_custkey", 3))
+  }
+
   val queries: Map[String, Q] = Map(
     // TX13: TF-IDF top terms per document. tf from one explode+groupBy,
     // df from a re-agg of tf (no second scan), corpus size as a 1-row
@@ -192,6 +224,57 @@ object CurationOps {
           ((max(col("x")) - min(col("x")) + 1L) *
            (max(col("y")) - min(col("y")) + 1L)).as("bbox_area"))
         .orderBy("zbucket")
+    },
+
+    // J17: fact-to-fact interval (band) join — "purchases by the same user
+    // within 1 hour after a click", the attribution-window shape. Spark
+    // plans a raw (user, t2 BETWEEN t1 AND t1+1h) join as equi-on-user plus
+    // a residual filter, which degenerates when one user dominates; the
+    // scale form here buckets time into window-width chunks and EXPLODES
+    // the left side to (bucket, bucket+1), making the join key (user,
+    // bucket) — bounded fan-out (2×), shuffle partitioned on both
+    // dimensions, never the per-user cross product. Each (click, purchase)
+    // pair meets in exactly one bucket (the purchase's own), so no dedup
+    // pass is needed. Delays stay integer microseconds end to end — the
+    // gate is float-free.
+    "j17_interval_join" -> { (s, d) =>
+      val HOUR_US = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("t1"),
+          explode(array((col("t_us") / HOUR_US).cast("long"),
+            (col("t_us") / HOUR_US).cast("long") + 1L)).as("bucket"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us").as("t2"),
+          (col("t_us") / HOUR_US).cast("long").as("bucket"))
+      clicks.join(purchases, Seq("user_id", "bucket"))
+        .filter(col("t2") > col("t1") && col("t2") <= col("t1") + HOUR_US)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("t2") - col("t1")).as("total_delay_us"),
+          min(col("t2") - col("t1")).as("min_delay_us"),
+          max(col("t2") - col("t1")).as("max_delay_us"))
+        .orderBy("user_id")
+    },
+
+    // J18: bloom-filter semi join — the 100 TB pre-filter that drops
+    // non-matching fact rows AT THE SCAN, before any exchange. The build
+    // side (customers of one nation) folds into a 4096-bit / 3-hash bloom
+    // as ONE ROW holding 64 longs (bit_or per word, then a dense array),
+    // broadcast to every probe task; the probe is a scan-local filter — no
+    // explode, no shuffle — followed by the exact semi join over the ~25×
+    // smaller candidate set, so false positives cannot reach the result
+    // (output ≡ the plain semi join the oracle states). At real scale this
+    // is what Spark's runtime row-group/bloom filters automate; stated
+    // explicitly here so the shape is auditable.
+    "j18_bloom_semi" -> { (s, d) =>
+      bloomCandidates(s, d)
+        .join(broadcast(bloomKeys(s, d)), col("o_custkey") === col("k"), "left_semi")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("orderkey_checksum"),
+          countDistinct(col("o_custkey")).as("n_customers"))
     },
 
     // W15: exponentially-weighted moving average, half-life decay — the
@@ -422,6 +505,34 @@ object CurationOps {
                 MIN(y) AS min_y, MAX(y) AS max_y,
                 CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT) AS bbox_area
          FROM zed GROUP BY 1 ORDER BY 1""",
+
+    // Stated as the semantic inequality join; the Spark side executes the
+    // bucket-exploded equi form of the same predicate.
+    "j17_interval_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+           FROM events),
+         pairs AS (
+           SELECT c.user_id, p.t_us - c.t_us AS delay_us
+           FROM ev c JOIN ev p
+             ON c.user_id = p.user_id
+            AND c.event_type = 'click' AND p.event_type = 'purchase'
+            AND p.t_us > c.t_us AND p.t_us <= c.t_us + 3600000000)
+         SELECT user_id, COUNT(*) AS n_pairs,
+                CAST(SUM(delay_us) AS BIGINT) AS total_delay_us,
+                MIN(delay_us) AS min_delay_us,
+                MAX(delay_us) AS max_delay_us
+         FROM pairs GROUP BY 1 ORDER BY 1""",
+
+    // The bloom pre-filter is result-transparent (exact semi join follows),
+    // so the oracle is the plain semi join.
+    "j18_bloom_semi" ->
+      """SELECT COUNT(*) AS n_orders,
+                CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_checksum,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3)""",
 
     // The recursive CTE is the SQL statement of the same recurrence the
     // Spark side walks sequentially; identical op order per step keeps the

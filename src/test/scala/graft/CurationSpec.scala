@@ -77,6 +77,44 @@ class CurationSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("j17: bucket-exploded band join reproduces the naive inequality join") {
+    val viaBuckets = operators.CurationOps.queries("j17_interval_join")(spark, sfDir)
+    val HOUR_US = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t_us").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("t_us").as("t2"))
+    val naive = c.join(p, col("user_id") === col("u2") &&
+        col("t2") > col("t1") && col("t2") <= col("t1") + HOUR_US)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("t2") - col("t1")).as("total_delay_us"),
+        min(col("t2") - col("t1")).as("min_delay_us"),
+        max(col("t2") - col("t1")).as("max_delay_us"))
+      .orderBy("user_id")
+    assert(viaBuckets.collect().toSeq == naive.collect().toSeq)
+  }
+
+  test("j18: bloom pre-filter passes every match and filters hard") {
+    val exact = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir).filter(col("c_nationkey") === 3)
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    val gate = operators.CurationOps.queries("j18_bloom_semi")(spark, sfDir)
+      .collect()(0)
+    assert(gate.getLong(0) == exact, "bloom+exact must equal the plain semi join")
+    // No false negatives (candidates ⊇ matches) and a real reduction: a
+    // 4096-bit / 3-hash bloom over this key set has a sub-1% fp rate, so a
+    // candidate set beyond 1.5x the matches means the bit plumbing broke.
+    val candidates = operators.CurationOps.bloomCandidates(spark, sfDir).count()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(candidates >= exact)
+    assert(candidates <= (exact * 1.5).toLong + 1,
+      s"bloom not filtering: $candidates candidates vs $exact matches of $total")
+  }
+
   test("w15: sequential partition walk matches a per-group in-memory fold") {
     val viaWalk = operators.CurationOps.queries("w15_ewma_decay")(spark, sfDir)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
