@@ -39,7 +39,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Optional comma-separated name-prefix filter (SPARK_GRAFT_BENCH_ONLY):
+    // re-time just the queries a plan change touched, under the same rule,
+    // without paying the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // Warm IMMEDIATELY before timing each query (not one big warm pass):
     // keeps that query's generated classes and JIT state hot when measured
     // (one big warm pass evicted the codegen cache in round 1).
