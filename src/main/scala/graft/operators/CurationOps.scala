@@ -342,6 +342,44 @@ object CurationOps {
         .orderBy("status")
     },
 
+    // TX14: sequence packing — concat-and-chunk the corpus into fixed
+    // 512-token training windows (the sample-packing step before batching).
+    // The global running offset is a DISTRIBUTED two-level prefix sum, not
+    // one giant window: docs bucket by an explicit range key (doc_id div
+    // 64), per-bucket totals cumsum on the tiny bucket table (one row per
+    // bucket), and the per-doc cumsum windows WITHIN each bucket — no
+    // single-partition sort at any point, the pattern that survives 100 TB.
+    // Spans explode to the chunks they overlap ((end-1) div 512 bounded
+    // fan-out); every quantity is an exact integer. Token convention is
+    // tx3's single-space split.
+    "tx14_sequence_pack" -> { (s, d) =>
+      val CHUNK = 512L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens"),
+          (col("doc_id") / 64L).cast("long").as("pid"))
+      val offs = docs.groupBy("pid").agg(sum(col("tokens")).as("psum"))
+        .withColumn("offset", coalesce(sum(col("psum")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = docs.join(broadcast(offs), Seq("pid"))
+        .withColumn("cum_end", sum(col("tokens")).over(wLocal) + col("offset"))
+        .withColumn("cum_start", col("cum_end") - col("tokens"))
+        .filter(col("tokens") > 0)
+      spans
+        .withColumn("chunk_id",
+          explode(expr(s"sequence(cum_start div $CHUNK, (cum_end - 1) div $CHUNK)")))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cum_start") >= col("chunk_id") * CHUNK &&
+                   col("cum_end") <= (col("chunk_id") + 1L) * CHUNK, 1L).otherwise(0L))
+            .as("n_full_docs"),
+          sum(least(col("cum_end"), (col("chunk_id") + 1L) * CHUNK) -
+              greatest(col("cum_start"), col("chunk_id") * CHUNK)).as("filled_tokens"))
+        .orderBy("chunk_id")
+    },
+
     // QC: distribution drift between cohorts — the train/serve skew check
     // run before shipping a dataset refresh. Cohorts split by event-id
     // parity (deterministic), values banded into 20 fixed-width buckets,
@@ -565,6 +603,31 @@ object CurationOps {
                 CAST(SUM(COALESCE(id1, id2)) AS BIGINT) AS id_checksum
          FROM v1 FULL OUTER JOIN v2 ON id1 = id2
          GROUP BY 1 ORDER BY 1""",
+
+    // The oracle may state the prefix sum as ONE window — the equivalence
+    // of the two-level form to the global cumsum is the point of the gate.
+    "tx14_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, tokens,
+                  CAST(SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+           FROM t),
+         spans AS (
+           SELECT doc_id, tokens, cum_end, cum_end - tokens AS cum_start
+           FROM c WHERE tokens > 0),
+         ex AS (
+           SELECT cum_start, cum_end,
+                  unnest(range(cum_start // 512, (cum_end - 1) // 512 + 1)) AS chunk_id
+           FROM spans)
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN cum_start >= chunk_id * 512 AND cum_end <= (chunk_id + 1) * 512
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+                CAST(SUM(LEAST(cum_end, (chunk_id + 1) * 512)
+                       - GREATEST(cum_start, chunk_id * 512)) AS BIGINT) AS filled_tokens
+         FROM ex GROUP BY 1 ORDER BY 1""",
 
     "qc_drift_chi2" ->
       """WITH e AS (

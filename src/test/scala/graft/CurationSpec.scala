@@ -129,6 +129,19 @@ class CurationSpec extends AnyFunSuite {
     assert(viaWalk == expected)
   }
 
+  test("tx14: chunks tile the token stream — every chunk but the last is full") {
+    val chunks = operators.CurationOps.queries("tx14_sequence_pack")(spark, sfDir)
+      .collect()
+    val last = chunks.map(_.getLong(0)).max
+    chunks.foreach { r =>
+      val (id, fill) = (r.getLong(0), r.getLong(3))
+      if (id < last) assert(fill == 512L, s"chunk $id filled $fill")
+      else assert(fill > 0L && fill <= 512L)
+    }
+    // Chunk ids are contiguous from 0 — no hole means no span was dropped.
+    assert(chunks.map(_.getLong(0)).sorted.sameElements(0L to last))
+  }
+
   test("sa7: negative pairing is deterministic and never self-pairs") {
     val q = operators.CurationOps.queries("sa7_negative_pairs")(spark, sfDir)
     assert(q.collect().toSeq == q.collect().toSeq)
