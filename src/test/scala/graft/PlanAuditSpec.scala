@@ -189,6 +189,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tx14: the per-doc cumsum window is hash-partitioned, never global") {
+    // The two-level prefix sum exists so the doc-side window sorts WITHIN
+    // pid partitions; only the tiny per-bucket offset table (one row per
+    // 64-doc bucket) may pass through a SinglePartition window.
+    val qe = SparkEntry.queries("tx14_sequence_pack")(spark, sfDir).queryExecution
+    val phys = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val globalWindows = windows.filter(_.partitionSpec.isEmpty)
+    // every global window must sit on the bucket-totals side (input is the
+    // aggregated per-pid frame, whose row count is |docs| / 64)
+    globalWindows.foreach { w =>
+      assert(w.child.toString.contains("psum"),
+        s"global window over a non-bucket frame:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "doc-side cumsum must window within pid partitions")
+  }
+
   test("j16: SCD-2 dim attaches as a broadcast HASH join, not a nested loop") {
     // The chunk-alignment rewrite exists precisely so the range predicate
     // never becomes a BroadcastNestedLoopJoin against the fact table. The
