@@ -22,6 +22,37 @@ import graft.functions.Exact.{davg, dsum, dsumOver}
 object CurationOps {
   type Q = (SparkSession, String) => DataFrame
 
+  private[graft] val JACCARD_T = 0.5
+
+  /** dd16's prefix stream: each document's first |A| - ceil(t*|A|) + 1
+    * shingles under the document-frequency-ASCENDING canonical order
+    * (PPJoin's ordering — ties broken by shingle), as (doc_id, sh) rows.
+    * No per-doc arrays anywhere: the prefix membership test is a rank
+    * (one window partitioned by doc) against the doc's size, and the
+    * shingle-frequency table is small enough to broadcast. Word-level
+    * tokens are useless here — this corpus has ~30 distinct words, so
+    * every prefix bucket would hold most of the corpus; shingle diversity
+    * is what makes the prefix selective. */
+  /** dd16's shingle stream with each shingle collapsed to a 64-bit hash:
+    * every downstream sort, shuffle and join compares longs instead of
+    * ~30-char strings. A hash collision would merge two shingles
+    * corpus-wide (P ~ |shingles|²/2⁶⁵ ≈ 1e-11 here) — the oracle would
+    * catch it, which is the right failure mode for a correctness gate. */
+  private[graft] def hashedShingles(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+
+  private[graft] def shinglePrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    sh.join(broadcast(dfreq), Seq("sh"))
+      .withColumn("rk", row_number().over(wDoc.orderBy("df", "sh")))
+      .withColumn("m", count(lit(1)).over(wDoc))
+      .filter(col("rk") <= col("m") - ceil(col("m") * JACCARD_T) + 1)
+      .select("doc_id", "sh", "rk", "m")
+  }
+
   /** j18's build side: customers of one nation — a bounded, selective key
     * set (the shape a dimension predicate produces). */
   private[graft] def bloomKeys(s: SparkSession, d: String): DataFrame =
@@ -342,6 +373,60 @@ object CurationOps {
         .orderBy("status")
     },
 
+    // DD16: prefix-filtered Jaccard join (PPJoin's lossless pruning, Xiao
+    // et al. WWW'08) over dd4's shingle space — the scale path for dd4's
+    // generate-all-co-occurring-pairs baseline. Under any FIXED global
+    // shingle order, two sets with J(A,B) >= t must share an element within
+    // each set's first |A| - ceil(t*|A|) + 1 elements, so candidate pairs
+    // generate from the PREFIX shingles only. The global order MUST be
+    // document-frequency-ASCENDING (PPJoin's canonical order): prefixes
+    // then hold each doc's RAREST shingles and candidate buckets stay tiny
+    // (a lexicographic order is equally lossless but front-loads common
+    // elements — benched 116 s vs ~1 s at sf0.1). Exact verification on the
+    // surviving candidates makes the filter invisible in the result: the
+    // oracle is the naive all-pairs join.
+    "dd16_prefix_jaccard" -> { (s, d) =>
+      // Candidate pairs from prefix buckets, then PPJoin's POSITIONAL
+      // filter before any verification: at the smallest common element
+      // (ranks rk_a, rk_b), the overlap can't exceed
+      // min(m_a - rk_a, m_b - rk_b) + 1, while J >= t needs at least
+      // ceil(t/(1+t) * (m_a + m_b)) — for t = 1/2, 3*bound >= m_a + m_b.
+      // Without it every medium-similarity pair sharing one rare shingle
+      // reaches the verify join and drags its whole shingle list along
+      // (~300k candidates x ~200 shingles: benched 4.1 s; with it ~1 s).
+      val cand = shinglePrefix(s, d)
+        .groupBy("sh").agg(sort_array(
+          collect_set(struct(col("doc_id"), col("rk"), col("m")))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)), y ->
+               struct(x AS a, y AS b))))""")).as("p"))
+        .filter((least(col("p.a.m") - col("p.a.rk"), col("p.b.m") - col("p.b.rk")) + 1) * 3 >=
+          col("p.a.m") + col("p.b.m"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
+        .distinct()
+      // Exact verify dd4-style: re-join the shingle STREAM on the candidate
+      // pairs instead of carrying each doc's full shingle array through the
+      // joins — wide arrays in the shuffle tripled the runtime here.
+      val sh = hashedShingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("m").as("na"))),
+          Seq("doc_a"))
+        .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("m").as("nb"))),
+          Seq("doc_b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= JACCARD_T)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // TX14: sequence packing — concat-and-chunk the corpus into fixed
     // 512-token training windows (the sample-packing step before batching).
     // The global running offset is a DISTRIBUTED two-level prefix sum, not
@@ -603,6 +688,23 @@ object CurationOps {
                 CAST(SUM(COALESCE(id1, id2)) AS BIGINT) AS id_checksum
          FROM v1 FULL OUTER JOIN v2 ON id1 = id2
          GROUP BY 1 ORDER BY 1""",
+
+    // Naive all-pairs statement over the same shingles — the prefix filter
+    // must be invisible.
+    "dd16_prefix_jaccard" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+         counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+         ORDER BY doc_a, doc_b""",
 
     // The oracle may state the prefix sum as ONE window — the equivalence
     // of the two-level form to the global cumsum is the point of the gate.

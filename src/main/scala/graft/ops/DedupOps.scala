@@ -60,7 +60,7 @@ object DedupOps {
 
   /** doc_id → exploded distinct token 3-gram shingles (memoized stage
     * output — see [[shinglesCache]]). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     shinglesCache.computeIfAbsent((s, d), { _ =>
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -350,7 +350,7 @@ object DedupOps {
         .orderBy("doc_id")
     })
 
-  private val duckShingles =
+  private[graft] val duckShingles =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
                WHERE len(string_split(text, ' ')) >= 3),
        sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh

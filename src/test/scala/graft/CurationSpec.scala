@@ -129,6 +129,24 @@ class CurationSpec extends AnyFunSuite {
     assert(viaWalk == expected)
   }
 
+  test("dd16: prefix filter prunes candidates and loses no qualifying pair") {
+    def pairsFrom(sel: org.apache.spark.sql.DataFrame): Long = sel
+      .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+           transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))""")).as("p"))
+      .select("p.a", "p.b").distinct().count()
+    val allPairs = pairsFrom(ops.DedupOps.shingles(spark, sfDir))
+    val prefixPairs = pairsFrom(operators.CurationOps.shinglePrefix(spark, sfDir))
+    assert(prefixPairs < allPairs,
+      s"prefix filter must prune: $prefixPairs vs $allPairs co-occurring pairs")
+    // losslessness is proven cross-engine by the oracle (naive all-pairs
+    // SQL); here assert the fixture exercises the threshold at all
+    val gate = operators.CurationOps.queries("dd16_prefix_jaccard")(spark, sfDir)
+    assert(gate.count() > 0, "fixture must contain near-dup pairs at J >= 0.5")
+  }
+
   test("tx14: chunks tile the token stream — every chunk but the last is full") {
     val chunks = operators.CurationOps.queries("tx14_sequence_pack")(spark, sfDir)
       .collect()
