@@ -379,13 +379,13 @@ object TlcScaledDemo {
                  CAST(yellow_trips AS BIGINT) AS yellow_trips,
                  CAST(green_trips AS BIGINT) AS green_trips,
                  CAST(hvfhv_trips AS BIGINT) AS hvfhv_trips,
-                 ROUND(1e-9 + yellow_share * 100, 2) AS yellow_share_pct,
-                 ROUND(1e-9 + green_share * 100, 2) AS green_share_pct,
-                 ROUND(1e-9 + hvfhv_share * 100, 2) AS hvfhv_share_pct,
-                 ROUND(1e-9 + total_revenue, 4) AS total_revenue,
-                 ROUND(1e-9 + yellow_revenue_share * 100, 2) AS yellow_revenue_share_pct,
-                 ROUND(1e-9 + green_revenue_share * 100, 2) AS green_revenue_share_pct,
-                 ROUND(1e-9 + hvfhv_revenue_share * 100, 2) AS hvfhv_revenue_share_pct
+                 ROUND(1e-9 + yellow_share * 100, 2) + 0.0 AS yellow_share_pct,
+                 ROUND(1e-9 + green_share * 100, 2) + 0.0 AS green_share_pct,
+                 ROUND(1e-9 + hvfhv_share * 100, 2) + 0.0 AS hvfhv_share_pct,
+                 ROUND(1e-9 + total_revenue, 4) + 0.0 AS total_revenue,
+                 ROUND(1e-9 + yellow_revenue_share * 100, 2) + 0.0 AS yellow_revenue_share_pct,
+                 ROUND(1e-9 + green_revenue_share * 100, 2) + 0.0 AS green_revenue_share_pct,
+                 ROUND(1e-9 + hvfhv_revenue_share * 100, 2) + 0.0 AS hvfhv_revenue_share_pct
           FROM daily ORDER BY "date"""",
 
     // q06: double zone-dim join, airport trip typing
@@ -407,12 +407,12 @@ object TlcScaledDemo {
             FROM j)
           SELECT trip_type, service_type,
                  COUNT(*) AS trip_count,
-                 ROUND(1e-9 + AVG(trip_distance_miles), 4) AS avg_distance,
-                 ROUND(1e-9 + AVG(trip_duration_minutes), 4) AS avg_duration,
-                 ROUND(1e-9 + AVG(total_fare), 4) AS avg_fare,
-                 ROUND(1e-9 + AVG(airport_fee), 4) AS avg_airport_fee,
-                 ROUND(1e-9 + SUM(airport_fee), 4) AS total_airport_fees,
-                 ROUND(1e-9 + AVG(price_per_mile), 4) AS avg_price_per_mile
+                 ROUND(1e-9 + AVG(trip_distance_miles), 4) + 0.0 AS avg_distance,
+                 ROUND(1e-9 + AVG(trip_duration_minutes), 4) + 0.0 AS avg_duration,
+                 ROUND(1e-9 + AVG(total_fare), 4) + 0.0 AS avg_fare,
+                 ROUND(1e-9 + AVG(airport_fee), 4) + 0.0 AS avg_airport_fee,
+                 ROUND(1e-9 + SUM(airport_fee), 4) + 0.0 AS total_airport_fees,
+                 ROUND(1e-9 + AVG(price_per_mile), 4) + 0.0 AS avg_price_per_mile
           FROM tt GROUP BY 1, 2
           ORDER BY trip_count DESC, trip_type, service_type""",
 
@@ -448,16 +448,16 @@ object TlcScaledDemo {
             FROM j GROUP BY 1, 2, 3, 4, 5
             HAVING COUNT(taxi_ppm) >= 10 AND COUNT(hv_ppm) >= 10)
           SELECT pickup_zone, borough, hour, hour_label, is_peak_hour,
-                 ROUND(1e-9 + tmpm, 2) AS taxi_price_per_mile,
-                 ROUND(1e-9 + tmpmin, 2) AS taxi_price_per_minute,
+                 ROUND(1e-9 + tmpm, 2) + 0.0 AS taxi_price_per_mile,
+                 ROUND(1e-9 + tmpmin, 2) + 0.0 AS taxi_price_per_minute,
                  taxi_trip_count,
-                 ROUND(1e-9 + hmpm, 2) AS hvfhv_price_per_mile,
-                 ROUND(1e-9 + hmpmin, 2) AS hvfhv_price_per_minute,
+                 ROUND(1e-9 + hmpm, 2) + 0.0 AS hvfhv_price_per_mile,
+                 ROUND(1e-9 + hmpmin, 2) + 0.0 AS hvfhv_price_per_minute,
                  hvfhv_trip_count,
-                 ROUND(1e-9 + hmpm - tmpm, 2) AS price_diff_per_mile,
-                 ROUND(1e-9 + hmpmin - tmpmin, 2) AS price_diff_per_minute,
-                 ROUND(1e-9 + (CASE WHEN tmpm <> 0 THEN (hmpm - tmpm) / tmpm END) * 100, 1) AS price_diff_pct_per_mile,
-                 ROUND(1e-9 + (CASE WHEN tmpmin <> 0 THEN (hmpmin - tmpmin) / tmpmin END) * 100, 1) AS price_diff_pct_per_minute,
+                 ROUND(1e-9 + hmpm - tmpm, 2) + 0.0 AS price_diff_per_mile,
+                 ROUND(1e-9 + hmpmin - tmpmin, 2) + 0.0 AS price_diff_per_minute,
+                 ROUND(1e-9 + (CASE WHEN tmpm <> 0 THEN (hmpm - tmpm) / tmpm END) * 100, 1) + 0.0 AS price_diff_pct_per_mile,
+                 ROUND(1e-9 + (CASE WHEN tmpmin <> 0 THEN (hmpmin - tmpmin) / tmpmin END) * 100, 1) + 0.0 AS price_diff_pct_per_minute,
                  CASE WHEN (CASE WHEN tmpm <> 0 THEN (hmpm - tmpm) / tmpm END) > 0.10 THEN 'YES - HVFHV Higher'
                       WHEN (CASE WHEN tmpm <> 0 THEN (hmpm - tmpm) / tmpm END) < -0.10 THEN 'NO - Taxi Higher'
                       ELSE 'Similar' END AS pricing_verdict
@@ -501,24 +501,24 @@ object TlcScaledDemo {
             FROM byp WHERE prd = 'After Jan 5, 2025')
           SELECT b.service_type,
                  b.trips_before,
-                 ROUND(1e-9 + b.b_median_fare, 2) AS median_fare_before,
-                 ROUND(1e-9 + b.b_ppm, 2) AS price_per_mile_before,
-                 ROUND(1e-9 + b.b_surch, 2) AS avg_surcharges_before,
-                 ROUND(1e-9 + b.b_dp, 2) AS driver_pay_before,
-                 ROUND(1e-9 + b.b_tr, 1) AS take_rate_pct_before,
+                 ROUND(1e-9 + b.b_median_fare, 2) + 0.0 AS median_fare_before,
+                 ROUND(1e-9 + b.b_ppm, 2) + 0.0 AS price_per_mile_before,
+                 ROUND(1e-9 + b.b_surch, 2) + 0.0 AS avg_surcharges_before,
+                 ROUND(1e-9 + b.b_dp, 2) + 0.0 AS driver_pay_before,
+                 ROUND(1e-9 + b.b_tr, 1) + 0.0 AS take_rate_pct_before,
                  a.trips_after,
-                 ROUND(1e-9 + a.a_median_fare, 2) AS median_fare_after,
-                 ROUND(1e-9 + a.a_ppm, 2) AS price_per_mile_after,
-                 ROUND(1e-9 + a.a_surch, 2) AS avg_surcharges_after,
-                 ROUND(1e-9 + a.a_dp, 2) AS driver_pay_after,
-                 ROUND(1e-9 + a.a_tr, 1) AS take_rate_pct_after,
-                 ROUND(1e-9 + a.a_median_fare - b.b_median_fare, 2) AS fare_change_dollars,
-                 ROUND(1e-9 + a.a_ppm - b.b_ppm, 2) AS price_per_mile_change,
-                 ROUND(1e-9 + a.a_surch - b.b_surch, 2) AS surcharge_change,
-                 ROUND(1e-9 + a.a_dp - b.b_dp, 2) AS driver_pay_change,
-                 ROUND(1e-9 + a.a_tr - b.b_tr, 1) AS take_rate_change_pct,
-                 ROUND(1e-9 + (CASE WHEN b.b_median_fare <> 0 THEN (a.a_median_fare - b.b_median_fare) / b.b_median_fare END) * 100, 1) AS fare_change_pct,
-                 ROUND(1e-9 + (CASE WHEN b.b_surch <> 0 THEN (a.a_surch - b.b_surch) / b.b_surch END) * 100, 1) AS surcharge_change_pct,
+                 ROUND(1e-9 + a.a_median_fare, 2) + 0.0 AS median_fare_after,
+                 ROUND(1e-9 + a.a_ppm, 2) + 0.0 AS price_per_mile_after,
+                 ROUND(1e-9 + a.a_surch, 2) + 0.0 AS avg_surcharges_after,
+                 ROUND(1e-9 + a.a_dp, 2) + 0.0 AS driver_pay_after,
+                 ROUND(1e-9 + a.a_tr, 1) + 0.0 AS take_rate_pct_after,
+                 ROUND(1e-9 + a.a_median_fare - b.b_median_fare, 2) + 0.0 AS fare_change_dollars,
+                 ROUND(1e-9 + a.a_ppm - b.b_ppm, 2) + 0.0 AS price_per_mile_change,
+                 ROUND(1e-9 + a.a_surch - b.b_surch, 2) + 0.0 AS surcharge_change,
+                 ROUND(1e-9 + a.a_dp - b.b_dp, 2) + 0.0 AS driver_pay_change,
+                 ROUND(1e-9 + a.a_tr - b.b_tr, 1) + 0.0 AS take_rate_change_pct,
+                 ROUND(1e-9 + (CASE WHEN b.b_median_fare <> 0 THEN (a.a_median_fare - b.b_median_fare) / b.b_median_fare END) * 100, 1) + 0.0 AS fare_change_pct,
+                 ROUND(1e-9 + (CASE WHEN b.b_surch <> 0 THEN (a.a_surch - b.b_surch) / b.b_surch END) * 100, 1) + 0.0 AS surcharge_change_pct,
                  CASE WHEN b.service_type = 'hvfhv' THEN
                         CASE WHEN a.a_tr - b.b_tr > 1 THEN 'Platform kept more (driver absorbed fee)'
                              WHEN a.a_tr - b.b_tr < -1 THEN 'Driver got more (platform absorbed fee)'
@@ -541,12 +541,12 @@ object TlcScaledDemo {
               AND f.take_rate BETWEEN 0 AND 1)
           SELECT yr AS "year", mo AS "month", month_name, company_name,
                  COUNT(*) AS trip_count,
-                 ROUND(1e-9 + quantile_cont(take_rate, 0.25) * 100, 4) AS p25_take_rate,
-                 ROUND(1e-9 + quantile_cont(take_rate, 0.5) * 100, 4) AS median_take_rate,
-                 ROUND(1e-9 + quantile_cont(take_rate, 0.75) * 100, 4) AS p75_take_rate,
-                 ROUND(1e-9 + AVG(take_rate) * 100, 4) AS avg_take_rate,
-                 ROUND(1e-9 + stddev(take_rate) * 100, 4) AS stddev_take_rate,
-                 ROUND(1e-9 + (quantile_cont(take_rate, 0.75) - quantile_cont(take_rate, 0.25)) * 100, 4) AS iqr_take_rate
+                 ROUND(1e-9 + quantile_cont(take_rate, 0.25) * 100, 4) + 0.0 AS p25_take_rate,
+                 ROUND(1e-9 + quantile_cont(take_rate, 0.5) * 100, 4) + 0.0 AS median_take_rate,
+                 ROUND(1e-9 + quantile_cont(take_rate, 0.75) * 100, 4) + 0.0 AS p75_take_rate,
+                 ROUND(1e-9 + AVG(take_rate) * 100, 4) + 0.0 AS avg_take_rate,
+                 ROUND(1e-9 + stddev(take_rate) * 100, 4) + 0.0 AS stddev_take_rate,
+                 ROUND(1e-9 + (quantile_cont(take_rate, 0.75) - quantile_cont(take_rate, 0.25)) * 100, 4) + 0.0 AS iqr_take_rate
           FROM hv GROUP BY 1, 2, 3, 4
           ORDER BY "year", "month", company_name""",
 
@@ -568,8 +568,8 @@ object TlcScaledDemo {
             FROM dz GROUP BY 1, 2),
           ws AS (
             SELECT dz.*, t.total_trips,
-                   ROUND(1e-9 + (CAST(dz.trip_count AS DOUBLE) * 100.0) / t.total_trips, 2) AS market_share_pct,
-                   ROUND(1e-9 + dz.avg_price_per_mile, 2) AS ppm_r,
+                   ROUND(1e-9 + (CAST(dz.trip_count AS DOUBLE) * 100.0) / t.total_trips, 2) + 0.0 AS market_share_pct,
+                   ROUND(1e-9 + dz.avg_price_per_mile, 2) + 0.0 AS ppm_r,
                    date_diff('day', DATE '1970-01-01', dz.pickup_date) AS dd
             FROM dz JOIN tot t ON dz.pickup_date = t.pickup_date AND dz.zone = t.zone
             WHERE t.total_trips >= 50),
@@ -603,16 +603,16 @@ object TlcScaledDemo {
             FROM wz
             WHERE total_trips >= 500)
           SELECT zone, borough, service_type,
-                 ROUND(1e-9 + early_share, 1) AS early_share_pct,
-                 ROUND(1e-9 + late_share, 1) AS late_share_pct,
-                 ROUND(1e-9 + late_share - early_share, 2) AS share_change_pct,
+                 ROUND(1e-9 + early_share, 1) + 0.0 AS early_share_pct,
+                 ROUND(1e-9 + late_share, 1) + 0.0 AS late_share_pct,
+                 ROUND(1e-9 + late_share - early_share, 2) + 0.0 AS share_change_pct,
                  share_trend,
-                 ROUND(1e-9 + early_price, 2) AS early_price_per_mile,
-                 ROUND(1e-9 + late_price, 2) AS late_price_per_mile,
-                 ROUND(1e-9 + late_price - early_price, 2) AS price_change_dollars,
-                 ROUND(1e-9 + (CASE WHEN early_price <> 0 THEN (late_price - early_price) / early_price END) * 100, 1) AS price_change_pct,
+                 ROUND(1e-9 + early_price, 2) + 0.0 AS early_price_per_mile,
+                 ROUND(1e-9 + late_price, 2) + 0.0 AS late_price_per_mile,
+                 ROUND(1e-9 + late_price - early_price, 2) + 0.0 AS price_change_dollars,
+                 ROUND(1e-9 + (CASE WHEN early_price <> 0 THEN (late_price - early_price) / early_price END) * 100, 1) + 0.0 AS price_change_pct,
                  pricing_position,
-                 ROUND(1e-9 + avg_price - zone_avg, 2) AS price_premium_vs_zone,
+                 ROUND(1e-9 + avg_price - zone_avg, 2) + 0.0 AS price_premium_vs_zone,
                  CAST(total_trips AS BIGINT) AS total_trips,
                  CAST(days_active AS BIGINT) AS days_active,
                  CASE WHEN share_trend = 'Gaining Share' AND pricing_position = 'Discount Priced' THEN 'Gaining via Lower Price'
@@ -657,19 +657,19 @@ object TlcScaledDemo {
           SELECT service_type, pickup_zone_id, time_period,
                  start_date, end_date,
                  CAST(trip_count AS BIGINT) AS trip_count,
-                 ROUND(1e-9 + avg_trips_per_day, 4) AS avg_trips_per_day,
-                 ROUND(1e-9 + avg_total_fare, 4) AS avg_total_fare,
-                 ROUND(1e-9 + median_total_fare, 4) AS median_total_fare,
-                 ROUND(1e-9 + avg_price_per_mile, 4) AS avg_price_per_mile,
-                 ROUND(1e-9 + median_price_per_mile, 4) AS median_price_per_mile,
+                 ROUND(1e-9 + avg_trips_per_day, 4) + 0.0 AS avg_trips_per_day,
+                 ROUND(1e-9 + avg_total_fare, 4) + 0.0 AS avg_total_fare,
+                 ROUND(1e-9 + median_total_fare, 4) + 0.0 AS median_total_fare,
+                 ROUND(1e-9 + avg_price_per_mile, 4) + 0.0 AS avg_price_per_mile,
+                 ROUND(1e-9 + median_price_per_mile, 4) + 0.0 AS median_price_per_mile,
                  CAST(0 AS BIGINT) AS trips_with_cbd_fee,
                  ROUND(1e-9 + 0.0, 4) AS cbd_fee_adoption_rate,
                  ROUND(1e-9 + 0.0, 4) AS avg_cbd_fee,
                  ROUND(1e-9 + 0.0, 4) AS total_cbd_fee_collected,
-                 ROUND(1e-9 + avg_total_fare, 4) AS avg_fare_excluding_cbd_fee,
+                 ROUND(1e-9 + avg_total_fare, 4) + 0.0 AS avg_fare_excluding_cbd_fee,
                  ROUND(1e-9 + CASE WHEN time_period = 'after'
                                    THEN avg_fare_excluding_cbd_fee - before_excl END, 4)
-                   AS fare_increase_excl_cbd
+                   + 0.0 AS fare_increase_excl_cbd
           FROM w
           ORDER BY service_type, pickup_zone_id, time_period""")
 }

@@ -343,7 +343,7 @@ object CurationOps {
         }
       walked.toDF("user_id", "n_events", "ewma_final")
         .select(col("user_id"), col("n_events"),
-          round(col("ewma_final"), 6).as("ewma_final"))
+          round(col("ewma_final") + lit(1e-9), 6).as("ewma_final"))
         .orderBy("user_id")
     },
 
@@ -546,34 +546,34 @@ object CurationOps {
       """WITH o AS (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od_days FROM orders)
          SELECT * FROM (
            SELECT 'o_orderkey' AS column_name,
-                  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                   COUNT(DISTINCT o_orderkey) AS n_distinct,
                   ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) AS min_num,
                   ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) AS max_num,
                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
            FROM o
            UNION ALL
-           SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   COUNT(DISTINCT o_custkey),
                   ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4), ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4),
                   NULL, NULL FROM o
            UNION ALL
-           SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   COUNT(DISTINCT o_totalprice),
                   ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4), ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4),
                   NULL, NULL FROM o
            UNION ALL
-           SELECT 'od_days', SUM(CASE WHEN od_days IS NULL THEN 1 ELSE 0 END),
+           SELECT 'od_days', CAST(SUM(CASE WHEN od_days IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   COUNT(DISTINCT od_days),
                   ROUND(CAST(MIN(od_days) AS DOUBLE), 4), ROUND(CAST(MAX(od_days) AS DOUBLE), 4),
                   NULL, NULL FROM o
            UNION ALL
-           SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   COUNT(DISTINCT o_orderstatus),
                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                   MIN(o_orderstatus), MAX(o_orderstatus) FROM o
            UNION ALL
-           SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   COUNT(DISTINCT o_orderpriority),
                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                   MIN(o_orderpriority), MAX(o_orderpriority) FROM o)
@@ -671,7 +671,7 @@ object CurationOps {
            SELECT e.user_id, e.rn, e."value" + 0.5 * w.ewma
            FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
          SELECT user_id, MAX(rn) AS n_events,
-                ROUND(max_by(ewma, rn), 6) AS ewma_final
+                ROUND(1e-9 + max_by(ewma, rn), 6) AS ewma_final
          FROM walk GROUP BY 1 ORDER BY 1""",
 
     "u6_snapshot_diff" ->

@@ -17,6 +17,33 @@ def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
 
+def reprhash(df):
+    """Driver-style representation-sensitive digest: stringify every cell
+    (so int64 0 vs float64 0.0, and -0.0 vs +0.0, DIFFER) after sorting
+    columns by name and rows by stringified values. Catches the two oracle
+    representation classes (DuckDB HUGEINT->float64, ROUND IEEE -0.0) that
+    elementwise == comparison cannot see."""
+    import hashlib
+    d = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in d.columns:
+        if pd.api.types.is_float_dtype(d[c]):
+            d[c] = d[c].map(lambda v: repr(float(v)))  # repr(-0.0) == '-0.0'
+        elif pd.api.types.is_datetime64_any_dtype(d[c]):
+            d[c] = pd.to_datetime(d[c]).dt.strftime("%Y-%m-%d %H:%M:%S")
+        else:
+            import datetime as _dt
+            def _r(v):
+                # normalize date/datetime objects to the datetime64 string
+                # form so Spark's datetime.date == DuckDB's Timestamp
+                # (the driver compares these as equal; only float sign and
+                # int-vs-float dtype are the real hash classes)
+                if isinstance(v, (_dt.datetime, _dt.date)):
+                    return pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S")
+                return repr(v)
+            d[c] = d[c].astype(object).map(_r)
+    d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
+    return hashlib.md5(d.to_csv(index=False).encode()).hexdigest()
+
 def cmp_vals(a, b):
     """Exact elementwise comparison with NaN==NaN and dtype laxity."""
     if a.shape != b.shape:
@@ -71,8 +98,25 @@ def main():
             continue
         ok_ord, why = cmp_vals(s, dk)
         if ok_ord:
-            print(f"PASS {name} ({len(s)} rows)")
-            n_pass += 1
+            hs, hd = reprhash(s), reprhash(dk)
+            if hs == hd:
+                print(f"PASS {name} ({len(s)} rows)")
+                n_pass += 1
+            else:
+                # values equal but representation differs (e.g. -0.0 / dtype)
+                # -> find the first differing cell repr for the message
+                detail = ""
+                ss = s.reindex(sorted(s.columns), axis=1)
+                dd2 = dk.reindex(sorted(dk.columns), axis=1)
+                for c in ss.columns:
+                    for i in range(len(ss)):
+                        if repr(ss[c].iloc[i]) != repr(dd2[c].iloc[i]):
+                            detail = f" col {c} row {i}: {ss[c].iloc[i]!r} vs {dd2[c].iloc[i]!r}"
+                            break
+                    if detail:
+                        break
+                print(f"HASHDIFF {name}: values equal, repr differs{detail}")
+                n_fail += 1
         else:
             # retry unordered: sort by all stringified columns
             try:
