@@ -156,14 +156,19 @@ object TlcScaledDemo {
 
   // One standardized fact + dims per session; the fact is persisted so the
   // six gate queries share one standardize pass instead of regenerating.
+  private val tcache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, TlcTables]()
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
 
-  private def analytics(s: SparkSession): Map[String, DataFrame] =
-    cache.computeIfAbsent(s, { _ =>
+  /** The scaled fixture's warehouse tables — shared by the DataFrame gates
+    * below and the SqlRunner file-driven gates (which register these as
+    * temp views). */
+  def tables(s: SparkSession): TlcTables =
+    tcache.computeIfAbsent(s, { _ =>
       val b = base(s)
       val fact = Standardize.all(rawYellow(b), rawGreen(b), rawHvfhv(b)).persist()
-      val tables = TlcTables(
+      TlcTables(
         fact = fact,
         dimZones = Dimensions.dimZones(rawZones(s)),
         dimDate = Dimensions.dimDate(s),
@@ -171,8 +176,13 @@ object TlcScaledDemo {
         dimService = Dimensions.dimService(s),
         dimHvfhsCompany = Dimensions.dimHvfhsCompany(s),
         aggMarketShare = Aggregations.marketShare(fact))
-      Analytics.all(tables) +
-        ("agg_congestion_fee_impact" -> Aggregations.congestionFeeImpact(fact))
+    })
+
+  private def analytics(s: SparkSession): Map[String, DataFrame] =
+    cache.computeIfAbsent(s, { _ =>
+      val t = tables(s)
+      Analytics.all(t) +
+        ("agg_congestion_fee_impact" -> Aggregations.congestionFeeImpact(t.fact))
     })
 
   /** Gate-only canonicalization — TlcDemo.round4's contract, tie-stabilized:
@@ -216,6 +226,19 @@ object TlcScaledDemo {
     "tlc_agg_congestion" -> { (s, _) =>
       round4(analytics(s)("agg_congestion_fee_impact"))
         .orderBy("service_type", "pickup_zone_id", "time_period")
+    },
+    // File-driven SQL path (reference cli.py:279–297 `run-analytics
+    // <file.sql>`): the .sql files under sql/analytics/ execute via
+    // SqlRunner over temp views of the same warehouse tables the DataFrame
+    // gates use — proving a reference user's SQL runs unchanged through
+    // Catalyst and produces the same hash-gated answer.
+    "tlc_sql_q01" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s, "sql/analytics/01_top_zones_by_revenue.sql"))
+    },
+    "tlc_sql_q13" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s, "sql/analytics/13_take_rate_variance.sql"))
     })
 
   // ---- DuckDB oracle: generator + standardize replay -------------------
@@ -337,7 +360,7 @@ object TlcScaledDemo {
                 (base_f >= 0 AND d > p AND dist >= 0 AND dpay >= 0)
          FROM h1)"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // q03: agg_market_share (aggregations.py:131–163) replayed, re-agged to
     // daily, joined to the date dim (03_market_share_trends.sql).
     "tlc_pipeline_q03" ->
@@ -672,4 +695,26 @@ object TlcScaledDemo {
                    + 0.0 AS fare_increase_excl_cbd
           FROM w
           ORDER BY service_type, pickup_zone_id, time_period""")
+
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // File-driven q01 (sql/analytics/01_top_zones_by_revenue.sql over the
+    // SqlRunner temp views): same generator replay, q01's aggregation shape.
+    "tlc_sql_q01" ->
+      s"""WITH $scaledCtes
+          SELECT z.zone AS pickup_zone, z.borough,
+                 COUNT(*) AS total_trips,
+                 ROUND(1e-9 + SUM(total_fare), 4) + 0.0 AS total_revenue,
+                 ROUND(1e-9 + AVG(total_fare), 4) + 0.0 AS avg_fare,
+                 ROUND(1e-9 + AVG(trip_distance_miles), 4) + 0.0 AS avg_distance,
+                 CAST(SUM(CASE WHEN f.service_type = 'yellow' THEN 1 ELSE 0 END) AS BIGINT) AS yellow_trips,
+                 CAST(SUM(CASE WHEN f.service_type = 'green' THEN 1 ELSE 0 END) AS BIGINT) AS green_trips,
+                 CAST(SUM(CASE WHEN f.service_type = 'hvfhv' THEN 1 ELSE 0 END) AS BIGINT) AS hvfhv_trips
+          FROM fact f JOIN zones z ON f.pickup_zone_id = z.location_id
+          WHERE f.is_valid
+          GROUP BY 1, 2
+          ORDER BY total_revenue DESC
+          LIMIT 20""",
+    // File-driven q13 runs through PERCENTILE_CONT … WITHIN GROUP and must
+    // land on the same answer as the DataFrame gate — same oracle.
+    "tlc_sql_q13" -> oraclesBase("tlc_pipeline_q13"))
 }

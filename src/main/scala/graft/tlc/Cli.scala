@@ -20,7 +20,36 @@ object Cli {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
+  /** `run-analytics` subcommand (reference cli.py:279–297): execute a SQL
+    * file against a parquet warehouse previously written by the pipeline.
+    *
+    *   runMain graft.tlc.Cli run-analytics --sql file.sql --warehouse dir [--out dir]
+    */
+  private def runAnalytics(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val missing = Seq("sql", "warehouse").filterNot(opts.contains)
+    require(missing.isEmpty, s"missing arguments: ${missing.map("--" + _).mkString(" ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-tlc-analytics")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val views = SqlRunner.registerWarehouse(spark, opts("warehouse"))
+    System.err.println(s"[graft] registered views: ${views.mkString(", ")}")
+    val result = SqlRunner.runFile(spark, opts("sql"))
+    result.show(50, truncate = false)
+    opts.get("out").foreach(o => result.write.mode("overwrite").parquet(o))
+    println(s"[graft] query returned ${result.count()} rows")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("run-analytics")) return runAnalytics(args.drop(1))
     val opts = parseArgs(args)
     val required = Seq("yellow", "green", "hvfhv", "zones", "out")
     val missing = required.filterNot(opts.contains)
