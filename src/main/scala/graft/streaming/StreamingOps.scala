@@ -88,7 +88,18 @@ object StreamingOps {
     * has to match the bench-scale keyspace. Batch queries are unaffected
     * (conf restored in finally; AQE coalesces batch shuffles anyway).
     */
-  private[streaming] def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+  /** @param noDataBatches keep Spark's no-data micro-batches enabled.
+    * They exist to advance the watermark and fire timers when no new files
+    * arrive — st6's final append-mode emission NEEDS one. Every other drain
+    * here either has no watermark (st1/st4/st5/st8, complete-mode or
+    * append-only sinks) or emits on match during data batches (st7 inner
+    * join), so the extra batch is a full state-commit cycle that changes
+    * nothing — skipped by default. */
+  private[streaming] def withStatePartitions[T](s: SparkSession,
+      noDataBatches: Boolean = false)(body: => T): T = {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.getOption(ndKey)
+    s.conf.set(ndKey, noDataBatches.toString)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "4")
@@ -111,6 +122,10 @@ object StreamingOps {
     }
     try body finally {
       s.conf.set(key, prev)
+      prevNd match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None => s.conf.unset(ndKey)
+      }
       prevCk match {
         case Some(v) => s.conf.set(ckKey, v)
         case None => s.conf.unset(ckKey)
@@ -150,7 +165,7 @@ object StreamingOps {
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      withStatePartitions(s) {
+      withStatePartitions(s, noDataBatches = true) {
         val name = s"st6_out_${runId.incrementAndGet()}"
         val q = agg.writeStream.outputMode("append").format("memory")
           .queryName(name).start()
@@ -166,7 +181,7 @@ object StreamingOps {
           while (stable < 3) {
             val n = s.table(name).count()
             if (n == last) stable += 1 else { stable = 0; last = n }
-            if (stable < 3) Thread.sleep(100)
+            if (stable < 3) Thread.sleep(20)
           }
         } finally q.stop()
         s.table(name)
