@@ -13,6 +13,19 @@ import sys, json
 def main():
     out, ins = sys.argv[1], sys.argv[2:]
     runs = [json.load(open(p)) for p in ins]
+    # Symmetric-sampling invariant: every input must be a FULL-suite run.
+    # A partial detail (SPARK_GRAFT_BENCH_ONLY) merged with full runs would
+    # silently give some queries fewer samples than suite_repeats claims.
+    keysets = [frozenset(r["queries"]) for r in runs]
+    if len(set(keysets)) > 1:
+        common = frozenset.intersection(*keysets)
+        for p, ks in zip(ins, keysets):
+            extra, missing = sorted(ks - common), sorted(
+                frozenset.union(*keysets) - ks)
+            if extra or missing:
+                print(f"{p}: +{extra[:5]} -{missing[:5]}", file=sys.stderr)
+        sys.exit("merge_bench: input runs disagree on query key sets — "
+                 "all merged runs must cover the identical full suite")
     queries = {}
     for r in runs:
         for k, v in r["queries"].items():
