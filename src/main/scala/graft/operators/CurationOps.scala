@@ -23,6 +23,41 @@ object CurationOps {
   type Q = (SparkSession, String) => DataFrame
 
   private[graft] val JACCARD_T = 0.5
+  private[graft] val CONTAIN_T = 0.6
+
+  /** dd17's candidate pairs. dd15's keep condition
+    * (c(A→B) >= t OR c(B→A) >= t) is exactly inter >= t * min(|A|, |B|),
+    * i.e. the SMALLER side's containment clears the threshold. So for every
+    * qualifying pair the smaller doc S has |S∩B| >= ceil(t*|S|), which
+    * forces at least one intersection element into S's first
+    * |S| - ceil(t*|S|) + 1 shingles under the canonical (df, sh) order —
+    * and the globally-first common element in particular (it has the
+    * minimal rank among intersection elements in BOTH docs). Candidates
+    * therefore come from joining the smaller side's PREFIX against the
+    * larger side's FULL stream (containment constrains only the prefix
+    * side's denominator — the larger doc gets no prefix of its own), with
+    * PPJoin's positional bound applied per match: at ranks (ra, rb) the
+    * intersection can't exceed min(ma - ra, mb - rb) + 1, which is valid at
+    * the first common element and only over-prunes later ones. */
+  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame =
+    // Bucket-local prefix-vs-full product: ONE exchange on the shingle key
+    // builds each shingle's occurrence list, and the comprehension ranges
+    // the LHS over the bucket's PREFIX occurrences only (a joins the full
+    // stream against the prefix stream without shuffling two copies of the
+    // ranked stream — the join-shaped first cut computed rankedShingles
+    // twice and benched 1.8 s vs 0.9 s for this form at sf0.1).
+    rankedShingles(s, d)
+      .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("rk"), col("m"))).as("fs"))
+      .filter(size(col("fs")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(
+              filter(fs, a -> a.rk <= a.m - ceil(a.m * $CONTAIN_T) + 1),
+              a -> transform(
+                filter(fs, b -> (a.m < b.m OR (a.m = b.m AND a.doc_id < b.doc_id))
+                            AND least(a.m - a.rk, b.m - b.rk) + 1 >= ceil(a.m * $CONTAIN_T)),
+                b -> struct(a.doc_id AS small, b.doc_id AS big))))""")).as("p"))
+      .select(col("p.small"), col("p.big"))
+      .distinct()
 
   /** dd16's prefix stream: each document's first |A| - ceil(t*|A|) + 1
     * shingles under the document-frequency-ASCENDING canonical order
@@ -42,16 +77,22 @@ object CurationOps {
     graft.ops.DedupOps.shingles(s, d)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
 
-  private[graft] def shinglePrefix(s: SparkSession, d: String): DataFrame = {
+  /** Every shingle of every doc with its rank under the df-ascending
+    * canonical order and the doc's shingle count — the shared basis of the
+    * dd16 (Jaccard) and dd17 (containment) prefix filters. */
+  private[graft] def rankedShingles(s: SparkSession, d: String): DataFrame = {
     val sh = hashedShingles(s, d)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     sh.join(broadcast(dfreq), Seq("sh"))
       .withColumn("rk", row_number().over(wDoc.orderBy("df", "sh")))
       .withColumn("m", count(lit(1)).over(wDoc))
-      .filter(col("rk") <= col("m") - ceil(col("m") * JACCARD_T) + 1)
       .select("doc_id", "sh", "rk", "m")
   }
+
+  private[graft] def shinglePrefix(s: SparkSession, d: String): DataFrame =
+    rankedShingles(s, d)
+      .filter(col("rk") <= col("m") - ceil(col("m") * JACCARD_T) + 1)
 
   /** j18's build side: customers of one nation — a bounded, selective key
     * set (the shape a dimension predicate produces). */
@@ -222,6 +263,37 @@ object CurationOps {
       val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)
         .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 4).as("min_price"),
+          round(max(col("o_totalprice")), 4).as("max_price"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("decile")
+    },
+
+    // W16: w14's scale path — decile banding from DISTRIBUTED quantile
+    // fences instead of a global NTILE. The fence pass is ONE partial-merge
+    // percentile aggregate (nine separate percentile_disc buffers each
+    // re-sorted their own value-count map: 1.2 s vs 0.4 s at sf0.1), the
+    // 1-row fence frame broadcasts, and band assignment is a per-row
+    // projection — nothing in the plan is single-partition over the fact.
+    // Interpolated fences stay hash-gateable HERE (unlike a2's outputs)
+    // because they are never emitted, only compared: a decile fence at
+    // position (n-1)*q is either exactly a data element (both engines use
+    // the type-7 rule, and frac = ((n-1)*q) mod 1 is never within 1e-9 of
+    // 0 or 1 without being 0) or strictly between two adjacent elements,
+    // where last-ulp drift cannot flip any `value < fence` comparison.
+    // The tradeoff vs w14 is equal-count exactness: rows tied AT a fence
+    // all land in the lower band, so bands near mass points deviate from
+    // n/10 — deterministically on both engines.
+    "w16_decile_fences" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val fences = orders.agg(
+        expr("percentile(o_totalprice, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+          .as("fs"))
+      orders.crossJoin(broadcast(fences))
+        .withColumn("decile",
+          (lit(1) + size(expr("filter(fs, x -> x < o_totalprice)"))).cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_orders"),
           round(min(col("o_totalprice")), 4).as("min_price"),
@@ -427,6 +499,44 @@ object CurationOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // DD17: prefix-pruned CONTAINMENT join — dd15's scale path, the same
+    // relationship dd16 has to dd4. dd15 generates every co-occurring pair
+    // (quadratic in bucket size for common shingles); here candidates come
+    // only from the smaller side's rarest-shingle prefix probing the full
+    // stream (see containmentCandidates for why that is lossless for the
+    // asymmetric measure), then the exact dd4-style verify re-joins the
+    // shingle stream so the result — and the oracle — is identical to
+    // dd15's all-pairs form at threshold 0.6.
+    "dd17_prefix_containment" -> { (s, d) =>
+      // Verify explodes the SMALL side's shingles only: inter <= m_small,
+      // so dd15's OR condition collapses to inter / m_small >= t, and the
+      // intermediate is sum-of-small-sizes rows instead of
+      // sum-of-doc_a-sizes (the min-ID side averages the full corpus size;
+      // the small side is by construction the cheaper one).
+      val cand = containmentCandidates(s, d)
+      val sh = hashedShingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("small"), col("sh")), Seq("small"))
+        .join(sh.select(col("doc_id").as("big"), col("sh")), Seq("big", "sh"))
+        .groupBy("small", "big").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(counts.select(col("doc_id").as("small"), col("m").as("ms"))),
+          Seq("small"))
+        .join(broadcast(counts.select(col("doc_id").as("big"), col("m").as("mbig"))),
+          Seq("big"))
+        .filter(col("inter").cast("double") / col("ms") >= CONTAIN_T)
+        .select(least(col("small"), col("big")).as("doc_a"),
+          greatest(col("small"), col("big")).as("doc_b"), col("inter"),
+          (col("inter").cast("double") /
+            when(col("small") < col("big"), col("ms")).otherwise(col("mbig")))
+            .as("containment_a_in_b"),
+          (col("inter").cast("double") /
+            when(col("small") < col("big"), col("mbig")).otherwise(col("ms")))
+            .as("containment_b_in_a"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // TX14: sequence packing — concat-and-chunk the corpus into fixed
     // 512-token training windows (the sample-packing step before batching).
     // The global running offset is a DISTRIBUTED two-level prefix sum, not
@@ -495,6 +605,23 @@ object CurationOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // dd15's naive all-pairs form at t = 0.6 — the prefix filter must be
+    // invisible in the result.
+    "dd17_prefix_containment" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter,
+                 CAST(inter AS DOUBLE) / ca.n_sh AS containment_a_in_b,
+                 CAST(inter AS DOUBLE) / cb.n_sh AS containment_b_in_a
+          FROM inter
+          JOIN counts ca ON ca.doc_id = doc_a
+          JOIN counts cb ON cb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / ca.n_sh >= 0.6
+             OR CAST(inter AS DOUBLE) / cb.n_sh >= 0.6
+          ORDER BY doc_a, doc_b""",
     "tx13_tfidf_topterms" ->
       """WITH tok AS (
            SELECT doc_id, term FROM (
@@ -607,6 +734,26 @@ object CurationOps {
                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
                   / COUNT(o_totalprice) AS avg_price
          FROM banded GROUP BY 1 ORDER BY 1""",
+
+    // Fences via quantile_cont (same type-7 position rule as Spark's
+    // percentile; safe as cut points though not as outputs — see the query
+    // comment); strict < in the band filter mirrors the Spark side: ties
+    // at a fence fall to the lower band.
+    "w16_decile_fences" ->
+      """WITH f AS (SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS fs
+                    FROM orders),
+          banded AS (
+            SELECT o_totalprice,
+                   1 + len(list_filter(f.fs, x -> x < o_totalprice)) AS decile
+            FROM orders, f)
+          SELECT CAST(decile AS BIGINT) AS decile,
+                 COUNT(*) AS n_orders,
+                 ROUND(MIN(o_totalprice), 4) AS min_price,
+                 ROUND(MAX(o_totalprice), 4) AS max_price,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                   / COUNT(o_totalprice) AS avg_price
+          FROM banded GROUP BY 1 ORDER BY 1""",
 
     "s15_zorder_key" ->
       """WITH xy AS (

@@ -147,6 +147,45 @@ class CurationSpec extends AnyFunSuite {
     assert(gate.count() > 0, "fixture must contain near-dup pairs at J >= 0.5")
   }
 
+  test("dd17: containment prefix prunes candidates yet reproduces dd15 exactly") {
+    // Pruning: the prefix-vs-full candidate set must be strictly smaller
+    // than dd15's every-co-occurring-pair set.
+    val allPairs = ops.DedupOps.shingles(spark, sfDir)
+      .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+           transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))""")).as("p"))
+      .select("p.a", "p.b").distinct().count()
+    val candPairs = operators.CurationOps.containmentCandidates(spark, sfDir).count()
+    assert(candPairs < allPairs,
+      s"containment prefix must prune: $candPairs vs $allPairs co-occurring pairs")
+    // Losslessness at the gate threshold: dd17 == dd15 row-for-row (same
+    // 0.6 threshold, same columns).
+    val dd17 = operators.CurationOps.queries("dd17_prefix_containment")(spark, sfDir)
+      .collect().toSeq
+    val dd15 = ops.DedupOps.queries("dd15_containment")(spark, sfDir)
+      .collect().toSeq
+    assert(dd17 == dd15, s"dd17 (${dd17.size} rows) must equal dd15 (${dd15.size} rows)")
+    assert(dd17.nonEmpty, "fixture must contain containment pairs at t >= 0.6")
+  }
+
+  test("w16: fence deciles cover all rows and agree with w14 away from ties") {
+    val w16 = operators.CurationOps.queries("w16_decile_fences")(spark, sfDir).collect()
+    val w14 = operators.CurationOps.queries("w14_ntile_deciles")(spark, sfDir).collect()
+    // Same total row coverage: both bandings partition the orders table.
+    assert(w16.map(_.getLong(1)).sum == w14.map(_.getLong(1)).sum)
+    // Bands are labeled 1..10 and non-empty at this SF.
+    assert(w16.map(_.getLong(0)).toSeq == (1L to 10L))
+    // Fence banding deviates from exact NTILE only by rows tied at fence
+    // values: per-band counts must stay within 1% of n/10 on this data.
+    val total = w16.map(_.getLong(1)).sum.toDouble
+    w16.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10) <= total / 100,
+        s"band ${r.getLong(0)} count ${r.getLong(1)} far from ${total / 10}")
+    }
+  }
+
   test("tx14: chunks tile the token stream — every chunk but the last is full") {
     val chunks = operators.CurationOps.queries("tx14_sequence_pack")(spark, sfDir)
       .collect()

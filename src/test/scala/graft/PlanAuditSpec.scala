@@ -213,6 +213,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "doc-side cumsum must window within pid partitions")
   }
 
+  test("w16: fence deciles plan with no window and no global sort of the fact") {
+    // w14's exact NTILE is the single-partition shape; its scale twin must
+    // be window-free: a partial-merge percentile agg, a 1-row broadcast,
+    // per-row band projection, then a 10-row final sort.
+    val qe = SparkEntry.queries("w16_decile_fences")(spark, sfDir).queryExecution
+    val phys = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"fence banding must not window:\n$phys")
+    // Every global sort must sit above the banded aggregate (a 10-row
+    // frame), never between the scan and the band projection.
+    phys.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.foreach { s =>
+      assert(s.child.toString.contains("HashAggregate(keys=[decile"),
+        s"global sort below the banded aggregate:\n$s")
+    }
+  }
+
   test("j16: SCD-2 dim attaches as a broadcast HASH join, not a nested loop") {
     // The chunk-alignment rewrite exists precisely so the range predicate
     // never becomes a BroadcastNestedLoopJoin against the fact table. The
