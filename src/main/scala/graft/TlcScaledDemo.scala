@@ -161,6 +161,15 @@ object TlcScaledDemo {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
 
+  /** The scaled fixture's RAW service frames + zones, pre-standardize — the
+    * e2e Cli test writes these to disk and drives the full load → fact →
+    * aggregate → analytics path over real files. */
+  private[graft] def rawFixture(s: SparkSession)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val b = base(s)
+    (rawYellow(b), rawGreen(b), rawHvfhv(b), rawZones(s))
+  }
+
   /** The scaled fixture's warehouse tables — shared by the DataFrame gates
     * below and the SqlRunner file-driven gates (which register these as
     * temp views). */

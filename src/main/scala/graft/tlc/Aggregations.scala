@@ -191,9 +191,14 @@ object Aggregations {
   }
 
   /** Partitioned overwrite — the scale-friendly replacement for the
-    * reference's DELETE + INSERT truncate-rebuild. */
+    * reference's DELETE + INSERT truncate-rebuild. Date-grained aggregates
+    * partition by trip_date; period-grained ones (congestion_fee_impact is
+    * a before/after summary, aggregations.py's cbd table) have no date
+    * column and write flat. */
   def write(agg: DataFrame, path: String): Unit =
-    agg.write.mode("overwrite").partitionBy("trip_date").parquet(path)
+    if (agg.columns.contains("trip_date"))
+      agg.write.mode("overwrite").partitionBy("trip_date").parquet(path)
+    else agg.write.mode("overwrite").parquet(path)
 
   /** Incremental rebuild: recompute ONLY the given dates' partitions and
     * overwrite them in place (dynamic partition overwrite), leaving every

@@ -48,8 +48,34 @@ object Cli {
     spark.stop()
   }
 
+  /** `download` subcommand (reference cli.py:44–76): fetch raw months +
+    * zones into --dest. No Spark session — pure driver I/O.
+    *
+    *   runMain graft.tlc.Cli download --start 2024-12 --end 2025-01 \
+    *     --dest dir [--services yellow,green,hvfhv] [--no-skip-existing]
+    */
+  private def runDownload(args: Array[String]): Unit = {
+    val opts = parseArgs(args.filterNot(_ == "--no-skip-existing"))
+    val missing = Seq("start", "end", "dest").filterNot(opts.contains)
+    require(missing.isEmpty, s"missing arguments: ${missing.map("--" + _).mkString(" ")}")
+    val Array(sy, sm) = opts("start").split("-").map(_.toInt)
+    val Array(ey, em) = opts("end").split("-").map(_.toInt)
+    val services = opts.get("services")
+      .map(_.split(",").toSeq).getOrElse(Seq("yellow", "green", "hvfhv"))
+    val results = Downloader.downloadRange(
+      new Downloader.HttpFetcher(), opts("dest"), sy, sm, ey, em, services,
+      skipIfExists = !args.contains("--no-skip-existing"))
+    Downloader.summarize(results).toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(s"[graft] download $k: $v")
+    }
+    results.filter(_.status == "failed").foreach { r =>
+      System.err.println(s"[graft] FAILED ${r.url}: ${r.error.getOrElse("")}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("run-analytics")) return runAnalytics(args.drop(1))
+    if (args.headOption.contains("download")) return runDownload(args.drop(1))
     val opts = parseArgs(args)
     val required = Seq("yellow", "green", "hvfhv", "zones", "out")
     val missing = required.filterNot(opts.contains)
@@ -63,7 +89,13 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    runPipeline(spark, opts)
+    spark.stop()
+  }
 
+  /** The e2e body behind `main`, session-injected so tests can drive it
+    * without the session lifecycle. */
+  private[graft] def runPipeline(spark: SparkSession, opts: Map[String, String]): Unit = {
     // Per-file load audit (reference loader.py:264–333): each raw source
     // load appends an ingestion_log entry with row count, duration, checksum
     // and status, written alongside the data sinks below.
@@ -95,18 +127,27 @@ object Cli {
         spark.read.option("header", true).option("inferSchema", true).csv(zonesPath)
       else spark.read.parquet(zonesPath)
 
+    // Stage retry counts mirror the reference's Prefect task config
+    // (flows.py: load-data 2, transform-to-fact 2, build-aggregates 2,
+    // quality-check 1); see Retry's scaladoc for why retries wrap actions.
     val result = Pipeline.run(spark,
-      loadRaw("yellow", Schemas.rawYellow),
-      loadRaw("green", Schemas.rawGreen),
-      loadRaw("hvfhv", Schemas.rawHvfhv),
+      Retry.withRetries(2, "load-yellow")(loadRaw("yellow", Schemas.rawYellow)),
+      Retry.withRetries(2, "load-green")(loadRaw("green", Schemas.rawGreen)),
+      Retry.withRetries(2, "load-hvfhv")(loadRaw("hvfhv", Schemas.rawHvfhv)),
       zones)
 
     val out = opts("out")
-    Pipeline.writeFact(result.fact, s"$out/fact_trips")
-    result.qualityMetrics.coalesce(1).write.mode("overwrite")
-      .parquet(s"$out/data_quality_metrics")
-    result.aggregates.foreach { case (name, df) =>
-      Aggregations.write(df, s"$out/$name")
+    Retry.withRetries(2, "transform-to-fact") {
+      Pipeline.writeFact(result.fact, s"$out/fact_trips")
+    }
+    Retry.withRetries(1, "quality-check") {
+      result.qualityMetrics.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/data_quality_metrics")
+    }
+    Retry.withRetries(2, "build-aggregates") {
+      result.aggregates.foreach { case (name, df) =>
+        Aggregations.write(df, s"$out/$name")
+      }
     }
     // Dims and analytics results write WITHOUT a coalesce(1) funnel: dims
     // are bounded (3–1826 rows, naturally few partitions) but analytics
@@ -127,6 +168,5 @@ object Cli {
     }
     IngestionLog.write(IngestionLog.build(spark, logEntries.toSeq), s"$out/ingestion_log")
     println(s"[graft] pipeline complete: ${result.fact.count()} fact rows -> $out")
-    spark.stop()
   }
 }
