@@ -537,6 +537,44 @@ object CurationOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // TX15: train/eval decontamination — flag training documents whose
+    // n-grams overlap a held-out benchmark set (the leakage check run
+    // before any corpus ships to training). The benchmark partition is
+    // doc_id % 23 == 0 (a bounded eval set, ~4% of the corpus); its
+    // distinct 3-gram set BROADCASTS, so flagging is scan-local over the
+    // training stream — no shuffle grows with corpus size, which is the
+    // whole point at 100 TB (eval suites stay small while corpora don't).
+    "tx15_decontamination" -> { (s, d) =>
+      val sh = graft.ops.DedupOps.shingles(s, d)
+      val bench = sh.filter(col("doc_id") % 23 === 0)
+        .select("sh").distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 23 =!= 0)
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast("double") / col("n_grams"))
+        .withColumn("is_contaminated", col("contamination_rate") >= 0.5)
+        .orderBy("doc_id")
+    },
+
+    // TX16: n-gram novelty — per document, the share of its 3-grams that
+    // appear NOWHERE else in the corpus (df = 1). High-novelty documents
+    // carry information the rest of the corpus lacks; near-zero novelty
+    // marks boilerplate. One exchange builds gram document-frequencies,
+    // one joins them back — both hash-partitioned on the gram, linear in
+    // corpus size.
+    "tx16_novelty" -> { (s, d) =>
+      val sh = graft.ops.DedupOps.shingles(s, d)
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") === 1, lit(1))).as("n_unique"))
+        .withColumn("novelty_rate", col("n_unique").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+
     // TX14: sequence packing — concat-and-chunk the corpus into fixed
     // 512-token training windows (the sample-packing step before batching).
     // The global running offset is a DISTRIBUTED two-level prefix sum, not
@@ -622,6 +660,32 @@ object CurationOps {
           WHERE CAST(inter AS DOUBLE) / ca.n_sh >= 0.6
              OR CAST(inter AS DOUBLE) / cb.n_sh >= 0.6
           ORDER BY doc_a, doc_b""",
+    "tx15_decontamination" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),
+          tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 23 <> 0)
+          SELECT tr.doc_id,
+                 COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+                 CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS contamination_rate,
+                 CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) >= 0.5 AS is_contaminated
+          FROM tr LEFT JOIN bench b ON tr.sh = b.sh
+          GROUP BY 1 ORDER BY 1""",
+
+    "tx16_novelty" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+          SELECT s.doc_id,
+                 COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                 CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty_rate
+          FROM sh s JOIN dfreq d ON s.sh = d.sh
+          GROUP BY 1 ORDER BY 1""",
+
     "tx13_tfidf_topterms" ->
       """WITH tok AS (
            SELECT doc_id, term FROM (

@@ -186,6 +186,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tx15: benchmark docs never appear in output; rates are coherent") {
+    val out = operators.CurationOps.queries("tx15_decontamination")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(0) % 23 == 0), "eval docs must be excluded")
+    out.foreach { r =>
+      val (n, c, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c <= n && rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - c.toDouble / n) < 1e-15)
+      assert(r.getBoolean(4) == (rate >= 0.5))
+    }
+    // The shared-vocabulary fixture guarantees real overlap to catch.
+    assert(out.exists(_.getBoolean(4)), "fixture must contain contaminated docs")
+  }
+
+  test("tx16: novelty is the df=1 share and bounds are respected") {
+    val out = operators.CurationOps.queries("tx16_novelty")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, u, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u <= n && rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - u.toDouble / n) < 1e-15)
+    }
+    // Every sufficiently-long doc is scored (df >= 1 join drops nothing).
+    val nDocs = graft.ops.DedupOps.shingles(spark, sfDir)
+      .select("doc_id").distinct().count()
+    assert(out.length.toLong == nDocs)
+  }
+
   test("tx14: chunks tile the token stream — every chunk but the last is full") {
     val chunks = operators.CurationOps.queries("tx14_sequence_pack")(spark, sfDir)
       .collect()

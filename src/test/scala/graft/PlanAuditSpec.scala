@@ -236,6 +236,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tx15: the benchmark gram set broadcasts — flagging is scan-local") {
+    // The eval set is bounded while the corpus is not; a shuffle join here
+    // would re-partition the full training gram stream per run.
+    val p = plan("tx15_decontamination")
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join on the gram stream:\n$p")
+  }
+
   test("j16: SCD-2 dim attaches as a broadcast HASH join, not a nested loop") {
     // The chunk-alignment rewrite exists precisely so the range predicate
     // never becomes a BroadcastNestedLoopJoin against the fact table. The
