@@ -129,6 +129,31 @@ object SamplingOps {
           count(lit(1)).as("n_kept"),
           sum(col("vec_id")).as("vec_id_checksum"))
         .orderBy("label")
+    },
+
+    // SA8: domain-MIXTURE plan — the sampling schedule that reshapes the
+    // corpus's natural language distribution into a target training
+    // mixture. Per language: available tokens, corpus share, the target
+    // weight, and sampling_rate = target_share / corpus_share (rate > 1
+    // means the domain repeats — its epoch count — rate < 1 means it
+    // downsamples). One aggregate + a 1-row broadcast total; the plan
+    // itself is dimension-sized output, never data-sized.
+    "sa8_mixture_plan" -> { (s, d) =>
+      val targetW = typedLit(Map(
+        "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125))
+      val perLang = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val total = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("corpus_share",
+          col("n_tokens").cast("double") / col("total_tokens"))
+        .withColumn("target_share", targetW(col("lang")))
+        .withColumn("sampling_rate", col("target_share") / col("corpus_share"))
+        .select("lang", "n_docs", "n_tokens", "corpus_share", "target_share",
+          "sampling_rate")
+        .orderBy("lang")
     })
 
   val oracles: Map[String, String] = Map(
@@ -197,5 +222,24 @@ object SamplingOps {
           SELECT label, COUNT(*) AS n_kept,
                  CAST(SUM(vec_id) AS BIGINT) AS vec_id_checksum
           FROM ranked, cap WHERE rk <= cap
-          GROUP BY label ORDER BY label""")
+          GROUP BY label ORDER BY label""",
+
+    // Division ORDER mirrors the Spark side exactly (share first, then
+    // rate = target / share) so the doubles are bit-identical.
+    "sa8_mixture_plan" ->
+      """WITH per_lang AS (
+           SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+          total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+          shared AS (
+            SELECT lang, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / total_tokens AS corpus_share,
+                   CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                                  WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+                                  WHEN 'zh' THEN 0.125 END AS DOUBLE) AS target_share
+            FROM per_lang, total)
+          SELECT lang, n_docs, n_tokens, corpus_share, target_share,
+                 target_share / corpus_share AS sampling_rate
+          FROM shared ORDER BY lang""")
 }

@@ -33,6 +33,20 @@ class SimHashBandSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sa8: mixture plan conserves tokens and targets sum to one") {
+    val rows = SparkEntry.queries("sa8_mixture_plan")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12,
+      "target shares must form a distribution")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12,
+      "corpus shares must form a distribution")
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0.0, s"${r.getString(0)} rate must be positive")
+      // rate * corpus_share recovers the target (the plan is consistent).
+      assert(math.abs(r.getDouble(5) * r.getDouble(3) - r.getDouble(4)) < 1e-12)
+    }
+  }
+
   test("sa3: splits partition the corpus and are append-stable") {
     val rows = SparkEntry.queries("sa3_split_assign")(spark, sfDir).collect()
     val total = rows.map(_.getLong(1)).sum
