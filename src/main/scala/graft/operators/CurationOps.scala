@@ -575,6 +575,29 @@ object CurationOps {
         .orderBy("doc_id")
     },
 
+    // TX17: token-length histogram + padding-waste audit — the profile a
+    // pipeline reads before choosing pack-vs-pad (tx14 is the packing
+    // path). Per power-of-2 length band: docs, tokens, and what naive
+    // per-document 512-token padding would cost (integer arithmetic, so
+    // the waste columns are exact). Pure scan → per-row projection →
+    // bounded aggregate; linear and shuffle-light at any corpus size.
+    "tx17_length_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("l", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bin_lo",
+          when(col("l") < 32, 0L).when(col("l") < 64, 32L)
+            .when(col("l") < 128, 64L).otherwise(128L))
+        .withColumn("padded", expr("CAST(((l + 511) DIV 512) * 512 AS BIGINT)"))
+        .groupBy("bin_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("l")).as("n_tokens"),
+          sum(col("padded")).as("padded_tokens"),
+          sum(col("padded") - col("l")).as("padding_waste"))
+        .withColumn("waste_share",
+          (col("padding_waste").cast("double")) / col("padded_tokens"))
+        .orderBy("bin_lo")
+    },
+
     // TX14: sequence packing — concat-and-chunk the corpus into fixed
     // 512-token training windows (the sample-packing step before batching).
     // The global running offset is a DISTRIBUTED two-level prefix sum, not
@@ -660,6 +683,22 @@ object CurationOps {
           WHERE CAST(inter AS DOUBLE) / ca.n_sh >= 0.6
              OR CAST(inter AS DOUBLE) / cb.n_sh >= 0.6
           ORDER BY doc_a, doc_b""",
+    "tx17_length_histogram" ->
+      """WITH docs AS (
+           SELECT len(string_split(text, ' ')) AS l FROM documents),
+          binned AS (
+            SELECT l,
+                   CAST(CASE WHEN l < 32 THEN 0 WHEN l < 64 THEN 32
+                             WHEN l < 128 THEN 64 ELSE 128 END AS BIGINT) AS bin_lo,
+                   CAST(((l + 511) // 512) * 512 AS BIGINT) AS padded
+            FROM docs)
+          SELECT bin_lo, COUNT(*) AS n_docs,
+                 CAST(SUM(l) AS BIGINT) AS n_tokens,
+                 CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+                 CAST(SUM(padded - l) AS BIGINT) AS padding_waste,
+                 CAST(SUM(padded - l) AS DOUBLE) / SUM(padded) AS waste_share
+          FROM binned GROUP BY 1 ORDER BY 1""",
+
     "tx15_decontamination" ->
       s"""WITH ${graft.ops.DedupOps.duckShingles},
           bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),

@@ -130,6 +130,22 @@ object WindowSortOps {
         .limit(100)
     },
 
+    // T5: LIMIT/OFFSET page fetch (reference cli.py paginated export,
+    // SURVEY §2.6) — Dataset.offset composes with the same
+    // TakeOrderedAndProject machinery as limit, fetching offset+limit and
+    // dropping the page prefix. A bounded page read is driver-sized BY
+    // DESIGN (it exists to feed a UI/export cursor); the scale path for
+    // full-table export is the partitioned write (S10), not deep offsets —
+    // which is why offset pagination deeper than a few pages should become
+    // keyset pagination (p7's date-range predicate shape) instead.
+    "t5_limit_offset" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    },
+
     // U1: union-by-construction (standardize.py:24,90,168) —
     // heterogeneous branches unified via unionByName(allowMissingColumns).
     "u1_union_by_name" -> { (s, d) =>
@@ -220,6 +236,12 @@ object WindowSortOps {
          SELECT o_orderkey, o_totalprice, o_totalprice - global_avg AS dev
          FROM orders, g
          ORDER BY ABS(o_totalprice - global_avg) DESC, o_orderkey LIMIT 100""",
+
+    "t5_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20 OFFSET 40""",
 
     "u1_union_by_name" ->
       """WITH unioned AS (

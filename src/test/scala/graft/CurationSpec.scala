@@ -215,6 +215,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out.length.toLong == nDocs)
   }
 
+  test("tx17: histogram partitions the corpus; waste identities hold") {
+    val out = operators.CurationOps.queries("tx17_length_histogram")(spark, sfDir)
+      .collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "bins must partition the corpus")
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2), "waste = padded - tokens")
+      val share = r.getDouble(5)
+      assert(share >= 0.0 && share < 1.0)
+    }
+  }
+
   test("tx14: chunks tile the token stream — every chunk but the last is full") {
     val chunks = operators.CurationOps.queries("tx14_sequence_pack")(spark, sfDir)
       .collect()

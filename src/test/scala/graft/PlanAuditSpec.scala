@@ -44,6 +44,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("t5: offset page fetch plans as TakeOrderedAndProject, not a global sort") {
+    // offset+limit must ride the same top-k machinery as t1: fetch
+    // offset+limit per partition, merge, drop the prefix — never a full
+    // sort of the table.
+    val p = plan("t5_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"no global sort for a bounded page:\n$p")
+  }
+
   test("w7: custom operator plans partial -> exchange -> final") {
     val p = plan("w7_topk_native")
     val idx = p.indexOf("TopKPerGroup")
