@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -159,9 +160,76 @@ object JoinOps {
       perPrio.join(totals, Seq("order_month"))
         .withColumn("share", col("n").cast("double") / col("month_total"))
         .orderBy("order_month", "o_orderpriority")
+    },
+
+    // J19: AS-OF join — for each event, the entity's latest order state AT
+    // OR BEFORE the event time (the point-in-time feature lookup every
+    // training pipeline needs: "what did we know about this entity when
+    // the observation was made?" — joining current state would leak the
+    // future). Spark has no native as-of; the distributed form is the
+    // UNION + WINDOW rewrite: tag both sides, union them, and take
+    // last(state payload, ignoreNulls) over (entity, time) — ONE exchange
+    // on the entity key, no range-join row explosion, no per-entity
+    // collect. Both sides pre-aggregate per (entity, t) so the as-of match
+    // is unique and the result engine-independent; probe rows sort AFTER
+    // the state row sharing their timestamp (tag 1 > 0), making the match
+    // inclusive (<=). Integer-microsecond times per j17's convention.
+    "j19_asof_join" -> { (s, d) =>
+      val state = Tables.orders(s, d)
+        .select(col("o_custkey").as("k"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("t"),
+          col("o_orderkey"), col("o_totalprice"))
+        .groupBy("k", "t")
+        .agg(max(col("o_orderkey")).as("last_orderkey"),
+          dsum(col("o_totalprice")).as("day_spend"))
+        .select(col("k"), col("t"), lit(0).as("tag"),
+          col("last_orderkey"), col("day_spend"), col("t").as("state_t"),
+          lit(null).cast("long").as("n_ev"))
+      val probe = Tables.events(s, d)
+        .select(col("user_id").as("k"), expr("unix_micros(ts)").as("t"))
+        .groupBy("k", "t")
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("k"), col("t"), lit(1).as("tag"),
+          lit(null).cast("long").as("last_orderkey"),
+          lit(null).cast("double").as("day_spend"),
+          lit(null).cast("long").as("state_t"), col("n_ev"))
+      val w = Window.partitionBy("k").orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      state.unionByName(probe)
+        .withColumn("asof_t", last(col("state_t"), ignoreNulls = true).over(w))
+        .withColumn("asof_key", last(col("last_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_spend", last(col("day_spend"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("asof_t").isNotNull)
+        .select(col("k").as("user_id"), col("t").as("ev_t_us"), col("n_ev"),
+          col("asof_t").as("order_t_us"),
+          (col("t") - col("asof_t")).as("staleness_us"),
+          col("asof_key").as("last_orderkey"),
+          col("asof_spend").as("day_spend"))
+        .orderBy("user_id", "ev_t_us")
     })
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's NATIVE ASOF JOIN is the oracle — the union+window rewrite
+    // must be semantically invisible. Events pre-aggregate per (entity, t)
+    // on both sides so the greatest-t match is unique.
+    "j19_asof_join" ->
+      """WITH state AS (
+           SELECT o_custkey AS k, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t,
+                  CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS day_spend
+           FROM orders GROUP BY 1, 2),
+          probe AS (
+            SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   COUNT(*) AS n_ev
+            FROM events GROUP BY 1, 2)
+          SELECT p.k AS user_id, p.t AS ev_t_us, p.n_ev,
+                 s.t AS order_t_us,
+                 p.t - s.t AS staleness_us,
+                 s.last_orderkey,
+                 s.day_spend
+          FROM probe p ASOF JOIN state s ON p.k = s.k AND s.t <= p.t
+          ORDER BY user_id, ev_t_us""",
+
     // salting is algebraically invisible: replay as the plain join.
     "j14_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

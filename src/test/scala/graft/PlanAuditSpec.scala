@@ -253,6 +253,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join on the gram stream:\n$p")
   }
 
+  test("j19: as-of join plans as union + one keyed window — no join operator") {
+    // The union+window rewrite exists so the as-of lookup costs ONE
+    // exchange on the entity key: no range-join nested loop, no row
+    // explosion, and the window must be entity-partitioned, never global.
+    val qe = SparkEntry.queries("j19_asof_join")(spark, sfDir).queryExecution
+    val phys = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val s = phys.toString
+    assert(!s.contains("Join"), s"as-of must not plan a join operator:\n$s")
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"as-of window must partition by the entity key:\n$s")
+  }
+
   test("j16: SCD-2 dim attaches as a broadcast HASH join, not a nested loop") {
     // The chunk-alignment rewrite exists precisely so the range predicate
     // never becomes a BroadcastNestedLoopJoin against the fact table. The
