@@ -606,6 +606,89 @@ object CurationOps {
         .orderBy("bin_lo")
     },
 
+    // TX18: sliding-window chunking — split each document into overlapping
+    // fixed-size token windows (window 32, stride 24 → 8-token overlap;
+    // sized to the synthetic corpus' ~100-token docs so multi-chunk
+    // fan-out is actually exercised), the per-document context-window
+    // chunker that feeds retrieval indexes and fine-tuning sets (tx14
+    // packs ACROSS documents; tx18 chunks WITHIN one). Chunk count per doc
+    // is 1 + max(0, ceil((n-W)/S)) so the final window always reaches the
+    // last token and no chunk starts past it. Pure scan → bounded explode
+    // (fan-out n/S per doc) → projection: no shuffle at all,
+    // embarrassingly parallel at any corpus size. The chunk text is
+    // fingerprinted (md5 over the re-joined slice) rather than carried, so
+    // the gate compares exact content without moving it.
+    "tx18_sliding_chunks" -> { (s, d) =>
+      val W = 32L; val S = 24L
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+        .filter(col("n") > 0L)
+        .withColumn("chunk_idx",
+          explode(expr(s"sequence(0L, greatest((n - $W + $S - 1) DIV $S, 0L))")))
+        .withColumn("start_tok", col("chunk_idx") * S)
+        .withColumn("chunk_len", least(lit(W), col("n") - col("start_tok")))
+        .withColumn("chunk_md5", md5(concat_ws(" ",
+          expr("slice(ts, CAST(start_tok + 1 AS INT), CAST(chunk_len AS INT))"))))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("chunk_len"), col("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // DD18: duplicate-span removal manifest — the span-level exact-dedup
+    // step (Lee et al.'s "Deduplicating Training Data Makes Language
+    // Models Better" shape): find every 3-gram occurrence that appears
+    // more than once ANYWHERE in the corpus, merge each document's
+    // overlapping duplicated spans into islands, and emit the per-document
+    // cut list summary (spans to remove, tokens removed, share kept).
+    // dd11 dedups fixed chunks; dd18 marks exact REPEATED SPANS at token
+    // granularity. One exchange builds the gram occurrence counts, one
+    // joins survivors back; island merging is a per-document window
+    // (running max of span end, new island when a span starts at or past
+    // it) — partitioned by doc_id, never global. Integer span arithmetic
+    // throughout, so the manifest is hash-exact across engines.
+    "dd18_span_removal" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+      // positional 3-grams, 1-based start positions 1..n-2
+      val occ = toks.filter(col("n") >= 3L)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ts) - 2),
+             i -> struct(CAST(i AS BIGINT) AS pos,
+                         concat_ws(' ', ts[i-1], ts[i], ts[i+1]) AS gram))"""))
+          .as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      val dupGrams = occ.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1L).select("gram")
+      val spans = occ.join(dupGrams, Seq("gram"))
+        .select(col("doc_id"), col("pos").as("sp_start"),
+          (col("pos") + 3L).as("sp_end"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("sp_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("sp_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = spans
+        .withColumn("prev_max_end", max(col("sp_end")).over(wPrev))
+        .withColumn("new_island",
+          when(col("prev_max_end").isNull ||
+            col("sp_start") >= col("prev_max_end"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy("doc_id", "island")
+        .agg(min(col("sp_start")).as("i_start"), max(col("sp_end")).as("i_end"))
+      val perDoc = islands.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("i_end") - col("i_start")).as("removed_tokens"))
+      toks.select(col("doc_id"), col("n").as("total_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+        .withColumn("removed_tokens", coalesce(col("removed_tokens"), lit(0L)))
+        .withColumn("kept_share",
+          (col("total_tokens") - col("removed_tokens")).cast("double") /
+            col("total_tokens"))
+        .orderBy("doc_id")
+    },
+
     // TX14: sequence packing — concat-and-chunk the corpus into fixed
     // 512-token training windows (the sample-packing step before batching).
     // The global running offset is a DISTRIBUTED two-level prefix sum, not
@@ -706,6 +789,61 @@ object CurationOps {
                  CAST(SUM(padded - l) AS BIGINT) AS padding_waste,
                  CAST(SUM(padded - l) AS DOUBLE) / SUM(padded) AS waste_share
           FROM binned GROUP BY 1 ORDER BY 1""",
+
+    // Window 32 / stride 24, 1 + max(0, ceil((n-W)/S)) chunks per doc —
+    // identical integer arithmetic to the Spark side; chunk content is
+    // compared via md5 of the re-joined token slice.
+    "tx18_sliding_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,
+                             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                      FROM documents),
+          chunks AS (
+            SELECT doc_id, ts, n, i AS chunk_idx, i * 24 AS start_tok
+            FROM tok, UNNEST(generate_series(0,
+                   GREATEST((n - 32 + 24 - 1) // 24, 0))) AS u(i)
+            WHERE n > 0)
+          SELECT doc_id, chunk_idx, start_tok,
+                 LEAST(32, n - start_tok) AS chunk_len,
+                 md5(array_to_string(
+                   ts[start_tok + 1 : start_tok + LEAST(32, n - start_tok)],
+                   ' ')) AS chunk_md5
+          FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    // 1-based 3-gram start positions; spans [pos, pos+3) merged per doc by
+    // the same running-max-end island rule as the Spark window.
+    "dd18_span_removal" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          docs AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS total_tokens FROM tok),
+          occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+                  FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+                  WHERE len(ts) >= 3),
+          dup_grams AS (SELECT gram FROM occ GROUP BY 1 HAVING COUNT(*) > 1),
+          spans AS (SELECT o.doc_id, o.pos AS sp_start, o.pos + 3 AS sp_end
+                    FROM occ o JOIN dup_grams USING (gram)),
+          flagged AS (SELECT doc_id, sp_start, sp_end,
+                 MAX(sp_end) OVER (PARTITION BY doc_id ORDER BY sp_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+               FROM spans),
+          isl AS (SELECT doc_id, sp_start, sp_end,
+                 SUM(CASE WHEN prev_max_end IS NULL OR sp_start >= prev_max_end
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY sp_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM flagged),
+          merged AS (SELECT doc_id, island, MIN(sp_start) AS i_start,
+                            MAX(sp_end) AS i_end
+                     FROM isl GROUP BY 1, 2),
+          summary AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                             CAST(SUM(i_end - i_start) AS BIGINT) AS removed_tokens
+                      FROM merged GROUP BY 1)
+          SELECT d.doc_id, d.total_tokens,
+                 CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                 CAST(COALESCE(s.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+                 CAST(d.total_tokens - COALESCE(s.removed_tokens, 0) AS DOUBLE)
+                   / d.total_tokens AS kept_share
+          FROM docs d LEFT JOIN summary s USING (doc_id)
+          ORDER BY d.doc_id""",
 
     "tx15_decontamination" ->
       s"""WITH ${graft.ops.DedupOps.duckShingles},

@@ -152,6 +152,32 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // SIM5: recall@k evaluation — the ANN quality gate every index change
+    // reruns: per query, how much of the exact top-k (sim1) the LSH path
+    // (sim2) recovered. Both sides reuse the registered pipelines (and
+    // their broadcast plans); the comparison itself is a left join on
+    // (query, neighbor) + a per-query count — distributed end to end, no
+    // collect, so the same evaluation runs over a 10M-query panel. Integer
+    // counts make the gate hash-exact; recall is their IEEE quotient.
+    "sim5_recall_at_k" -> { (s, d) =>
+      val exact = queries("sim1_cosine_topk")(s, d)
+        .select("query_id", "neighbor_id")
+      val ann = queries("sim2_lsh_ann")(s, d)
+        .select("query_id", "neighbor_id")
+      val hits = exact
+        .join(ann.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      hits
+        .join(ann.groupBy("query_id").agg(count(lit(1)).as("n_ann")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TOPK.toDouble)).as("recall_at_k"))
+        .orderBy("query_id")
+    },
+
     // DD12: embedding-space dedup MANIFEST — dd9's corpus-build artifact in
     // vector space: every vector with its near-dup cluster (connected
     // components over dd8's LSH-verified pair graph) and a keep/drop flag.
@@ -273,8 +299,7 @@ object SimilarityOps {
              FROM e, UNNEST(generate_series(1, len(embedding))) AS g(i)),
        n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM u GROUP BY 1)"""
 
-  val oracles: Map[String, String] = Map(
-    "sim1_cosine_topk" ->
+  private val sim1Sql =
       s"""WITH $duckVecs,
           dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                          SUM(a.x * b.x) AS dp
@@ -291,22 +316,9 @@ object SimilarityOps {
                               ORDER BY raw_sim DESC, neighbor_id) AS rk
                      FROM sim)
           SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
-          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
+          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id"""
 
-    "dd6_embedding_neardup" ->
-      s"""WITH $duckVecs,
-          dot AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                         SUM(a.x * b.x) AS dp
-                  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
-                  GROUP BY 1, 2),
-          sim AS (SELECT vec_a, vec_b, dp / (na.nrm * nb.nrm) AS raw_sim
-                  FROM dot
-                  JOIN n na ON na.vec_id = vec_a
-                  JOIN n nb ON nb.vec_id = vec_b)
-          SELECT vec_a, vec_b, ROUND(raw_sim, 4) AS sim
-          FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""",
-
-    "sim2_lsh_ann" ->
+  private val sim2Sql =
       s"""WITH $duckVecs,
           hp AS (SELECT j, i,
                         ((1103515245 * CAST(j * 64 + (i - 1) AS BIGINT) + 12345) % 2147483648)
@@ -336,7 +348,44 @@ object SimilarityOps {
                               ORDER BY raw_sim DESC, neighbor_id) AS rk
                      FROM sim)
           SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
-          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
+          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id"""
+
+  val oracles: Map[String, String] = Map(
+    "sim1_cosine_topk" -> sim1Sql,
+
+    "dd6_embedding_neardup" ->
+      s"""WITH $duckVecs,
+          dot AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         SUM(a.x * b.x) AS dp
+                  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+          sim AS (SELECT vec_a, vec_b, dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = vec_a
+                  JOIN n nb ON nb.vec_id = vec_b)
+          SELECT vec_a, vec_b, ROUND(raw_sim, 4) AS sim
+          FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""",
+
+    "sim2_lsh_ann" -> sim2Sql,
+
+    // SIM5: recall@k of the LSH ANN (sim2) against the exact top-k (sim1)
+    // — both pipelines re-run as subqueries, joined on (query, neighbor).
+    "sim5_recall_at_k" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($sim1Sql) t),
+          ann AS (SELECT query_id, neighbor_id FROM ($sim2Sql) t),
+          hits AS (SELECT e.query_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_exact,
+                          CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+                   FROM exact e LEFT JOIN ann a
+                     ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+                   GROUP BY 1),
+          acount AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+                     FROM ann GROUP BY 1)
+          SELECT h.query_id, h.n_exact,
+                 CAST(COALESCE(ac.n_ann, 0) AS BIGINT) AS n_ann, h.n_hits,
+                 CAST(h.n_hits AS DOUBLE) / $TOPK AS recall_at_k
+          FROM hits h LEFT JOIN acount ac ON ac.query_id = h.query_id
+          ORDER BY h.query_id""",
 
     "dd8_neardup_lsh" ->
       s"""WITH $embPairsCtes

@@ -256,4 +256,67 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("neg_id") === col("anchor_id")).count()
     assert(selfPairs == 0)
   }
+
+  test("tx18: sliding chunks tile each document with the declared overlap") {
+    val (w, s) = (32L, 24L)
+    val rows = operators.CurationOps.queries("tx18_sliding_chunks")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docLen = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = docLen(doc)
+      val sorted = cs.sortBy(_._2)
+      // starts are consecutive multiples of the stride from 0
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx == i && start == i * s, s"doc $doc chunk order broken")
+        assert(len >= 1L && len <= w, s"doc $doc chunk $i len $len")
+        if (i < sorted.length - 1)
+          assert(len == w, s"doc $doc non-final chunk $i not full")
+      }
+      // the final window reaches the last token, and no window starts past it
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == n, s"doc $doc tail uncovered")
+      assert(lastStart < n, s"doc $doc chunk starts past the end")
+    }
+  }
+
+  test("dd18: manifest matches an in-memory recomputation of merged spans") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    // corpus-wide positional 3-gram occurrence counts
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    val perDocGrams = docs.map { case (id, ts) =>
+      val grams = (0 to ts.length - 3).map(i => (i + 1).toLong ->
+        s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}")
+      grams.foreach { case (_, g) => gramCount(g) = gramCount.getOrElse(g, 0) + 1 }
+      id -> grams
+    }
+    val expected = perDocGrams.map { case (id, grams) =>
+      val spans = grams.collect { case (p, g) if gramCount(g) > 1 => (p, p + 3L) }
+      // merge overlapping spans left to right (same rule as the window)
+      var (nSpans, removed) = (0L, 0L)
+      var curStart, curEnd = -1L
+      spans.sortBy(_._1).foreach { case (st, en) =>
+        if (curEnd < 0 || st >= curEnd) {
+          if (curEnd >= 0) { nSpans += 1; removed += curEnd - curStart }
+          curStart = st; curEnd = en
+        } else curEnd = math.max(curEnd, en)
+      }
+      if (curEnd >= 0) { nSpans += 1; removed += curEnd - curStart }
+      id -> ((nSpans, removed))
+    }.toMap
+    val got = operators.CurationOps.queries("dd18_span_removal")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nSpans, removed)) =>
+      assert((nSpans, removed) == expected(id),
+        s"doc $id: got ($nSpans, $removed) expected ${expected(id)}")
+      val total = docs.find(_._1 == id).get._2.length.toLong
+      assert(removed <= total, s"doc $id removes more than it has")
+    }
+  }
 }

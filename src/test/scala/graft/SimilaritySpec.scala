@@ -49,4 +49,23 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("sim").isNull || col("sim") > 1.0001 || col("sim") < -1.0001)
     assert(bad.count() == 0)
   }
+
+  test("sim5: distributed recall@k agrees with the set-intersection recall") {
+    val exact = pairs("sim1_cosine_topk")
+    val ann = pairs("sim2_lsh_ann")
+    val got = SparkEntry.queries("sim5_recall_at_k")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
+      .toMap
+    got.foreach { case (q, (nExact, nHits, recall)) =>
+      val e = exact.filter(_._1 == q).map(_._2)
+      val a = ann.filter(_._1 == q).map(_._2)
+      assert(nExact == e.size.toLong, s"query $q n_exact")
+      assert(nHits == (e & a).size.toLong, s"query $q n_hits")
+      assert(recall == nHits.toDouble / 5 && recall >= 0.0 && recall <= 1.0)
+    }
+    // the panel mean must clear the same sanity floor as the pairwise tests
+    val mean = got.values.map(_._3).sum / got.size
+    assert(mean >= 0.2, s"mean recall $mean too low")
+  }
 }
