@@ -348,6 +348,56 @@ object DedupOps {
         .agg(sum(when(col("bsum") >= 0, expr("shiftleft(1L, CAST(bit AS INT))"))
           .otherwise(0L)).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // DD19: INCREMENTAL dedup — flag a NEW batch against the EXISTING
+    // corpus without re-deduping the corpus itself (the append-time shape:
+    // at 100 TB you dedup the daily delta, never the full history). Batch
+    // = doc_id % 10 == 0 (the 10% delta), corpus = the rest. Two checks
+    // per batch doc, both one-exchange joins keyed on content, not on the
+    // corpus size: (1) exact — tx4's canonical bag-of-words fingerprint
+    // matched against the corpus fingerprint set; (2) near — shingle-key
+    // candidates (batch shingles ⋈ corpus shingles, the asymmetric form of
+    // dd4's machinery) verified with exact 3-gram Jaccard >= 0.5. At real
+    // scale the candidate stage swaps to dd2's minhash bands with the
+    // historical band index kept as a table; the verify and verdict logic
+    // are unchanged. Nullable match ids are part of the gate (f11 pins
+    // null semantics repo-wide).
+    "dd19_incremental_dedup" -> { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"),
+          (pmod(col("doc_id"), lit(10L)) === 0L).as("is_batch"))
+      val corpusFp = fp.filter(!col("is_batch"))
+        .groupBy("fp").agg(min(col("doc_id")).as("exact_match_id"))
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val batchSh = sh.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id").as("b_id"), col("sh"))
+      val corpusSh = sh.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+        .select(col("doc_id").as("c_id"), col("sh"))
+      val near = batchSh.join(corpusSh, Seq("sh"))
+        .groupBy("b_id", "c_id").agg(count(lit(1)).as("inter"))
+        .join(broadcast(counts.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"))),
+          Seq("b_id"))
+        .join(broadcast(counts.select(col("doc_id").as("c_id"), col("n_sh").as("n_c"))),
+          Seq("c_id"))
+        .filter(col("inter").cast("double") /
+          (col("n_b") + col("n_c") - col("inter")) >= 0.5)
+        .groupBy("b_id")
+        .agg(min(col("c_id")).as("near_match_id"), count(lit(1)).as("n_near_dups"))
+      fp.filter(col("is_batch"))
+        .join(corpusFp, Seq("fp"), "left")
+        .join(near.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("exact_match_id").isNotNull.as("is_exact_dup"),
+          col("exact_match_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("near_match_id"),
+          when(col("exact_match_id").isNotNull || col("near_match_id").isNotNull,
+            "drop").otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
     })
 
   private[graft] val duckShingles =
@@ -497,6 +547,43 @@ object DedupOps {
     "dd2_minhash_lsh" ->
       s"""WITH $simPairsCtes
           SELECT doc_a, doc_b, est_sim FROM sim_pairs ORDER BY doc_a, doc_b""",
+
+    // batch = doc_id % 10 = 0; exact via tx4's canonical fingerprint,
+    // near via batch-vs-corpus shingle join at Jaccard >= 0.5.
+    "dd19_incremental_dedup" ->
+      s"""WITH $duckShingles,
+          fpt AS (SELECT doc_id,
+                         md5(array_to_string(list_sort(list_distinct(
+                           string_split(lower(text), ' '))), ' ')) AS fp,
+                         doc_id % 10 = 0 AS is_batch
+                  FROM documents),
+          corpus_fp AS (SELECT fp, MIN(doc_id) AS exact_match_id
+                        FROM fpt WHERE NOT is_batch GROUP BY 1),
+          counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          cand AS (SELECT b.doc_id AS b_id, c.doc_id AS c_id, COUNT(*) AS inter
+                   FROM sh b JOIN sh c ON b.sh = c.sh
+                   WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+                   GROUP BY 1, 2),
+          near AS (SELECT b_id, MIN(c_id) AS near_match_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_near_dups
+                   FROM cand
+                   JOIN counts cb ON cb.doc_id = b_id
+                   JOIN counts cc ON cc.doc_id = c_id
+                   WHERE CAST(inter AS DOUBLE) / (cb.n_sh + cc.n_sh - inter) >= 0.5
+                   GROUP BY 1)
+          SELECT f.doc_id,
+                 e.exact_match_id IS NOT NULL AS is_exact_dup,
+                 e.exact_match_id,
+                 CAST(COALESCE(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+                 n.near_match_id,
+                 CASE WHEN e.exact_match_id IS NOT NULL
+                        OR n.near_match_id IS NOT NULL
+                      THEN 'drop' ELSE 'keep' END AS verdict
+          FROM fpt f
+          LEFT JOIN corpus_fp e ON e.fp = f.fp
+          LEFT JOIN near n ON n.b_id = f.doc_id
+          WHERE f.is_batch
+          ORDER BY f.doc_id""",
 
     "dd15_containment" ->
       s"""WITH $duckShingles,

@@ -62,4 +62,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       "exists(codes, c -> c < 0 OR c > 255)")).count() == 0)
     assert(codes.filter(col("max_err_steps") > 0.5 + 1e-9).count() == 0)
   }
+
+  test("dd19: verdicts match an in-memory recomputation of both dup checks") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def fp(t: String) = t.toLowerCase.split(" ", -1).distinct.sorted.mkString(" ")
+    def grams(t: String): Set[String] = {
+      val ts = t.split(" ", -1)
+      (0 to ts.length - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    }
+    val (batch, corpus) = docs.partition(_._1 % 10 == 0)
+    val corpusFps = corpus.values.map(fp).toSet
+    val corpusGrams = corpus.map { case (id, t) => id -> grams(t) }
+    val out = SparkEntry.queries("dd19_incremental_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(3),
+        r.getString(5))).toList
+    // exactly the batch docs, each exactly once
+    assert(out.map(_._1).toSet == batch.keySet && out.size == batch.size)
+    out.foreach { case (id, isExact, nNear, verdict) =>
+      assert(isExact == corpusFps.contains(fp(docs(id))), s"doc $id exact flag")
+      val g = grams(docs(id))
+      val expectedNear = corpusGrams.count { case (_, cg) =>
+        val inter = (g & cg).size
+        inter > 0 && inter.toDouble / (g.size + cg.size - inter) >= 0.5
+      }
+      assert(nNear == expectedNear.toLong, s"doc $id near count")
+      assert(verdict == (if (isExact || nNear > 0) "drop" else "keep"))
+    }
+    // the check is only meaningful if both verdicts actually occur
+    assert(out.exists(_._4 == "drop") && out.exists(_._4 == "keep"))
+  }
 }

@@ -169,6 +169,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
   }
 
+  test("tx18: sliding chunks are a shuffle-free explode until the final sort") {
+    // The chunker is a pure scan -> bounded explode -> projection; the only
+    // exchange allowed is the range partitioning for the output order.
+    val p = plan("tx18_sliding_chunks")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate") &&
+      !p.contains("BroadcastHashJoin"), s"chunking must not shuffle or join:\n$p")
+  }
+
+  test("dd18: span-merge windows are doc-partitioned, never global") {
+    // Island merging must run per document — a global window here would
+    // serialize the whole span stream through one partition at scale.
+    val qe = SparkEntry.queries("dd18_span_removal")(spark, sfDir).queryExecution
+    val phys = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"dd18 window must partition by doc_id:\n$phys")
+  }
+
   test("u4: unpivot adds no shuffle beyond its aggregate input") {
     val p = plan("u4_unpivot")
     assert(p.contains("Expand") || p.contains("Generate") || p.contains("Union"),
