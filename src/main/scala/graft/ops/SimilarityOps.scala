@@ -178,6 +178,33 @@ object SimilarityOps {
         .orderBy("query_id")
     },
 
+    // SIM6: hard-negative mining — for each query vector, the top-k most
+    // similar vectors of a DIFFERENT label (the contrastive-learning
+    // negative set: negatives that look like positives train the sharpest
+    // margins). Same broadcast-query / corpus-scan shape as sim1 with the
+    // label inequality fused into the join condition, so mismatched pairs
+    // are never scored; per-query top-k via the rank window. At corpus
+    // scale the scan side swaps to sim2's LSH buckets unchanged.
+    "sim6_hard_negatives" -> { (s, d) =>
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val all = vecs(s, d).join(lbl, Seq("vec_id"))
+      val q = all.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+          col("v").as("qv"))
+      val cand = all
+        .select(col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"), col("v"))
+        .join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("raw_sim").desc, col("neighbor_id"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), round(col("raw_sim"), 4).as("sim"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // DD12: embedding-space dedup MANIFEST — dd9's corpus-build artifact in
     // vector space: every vector with its near-dup cluster (connected
     // components over dd8's LSH-verified pair graph) and a keep/drop flag.
@@ -386,6 +413,32 @@ object SimilarityOps {
                  CAST(h.n_hits AS DOUBLE) / $TOPK AS recall_at_k
           FROM hits h LEFT JOIN acount ac ON ac.query_id = h.query_id
           ORDER BY h.query_id""",
+
+    "sim6_hard_negatives" ->
+      s"""WITH $duckVecs,
+          lbl AS (SELECT vec_id, label FROM embeddings),
+          dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         SUM(a.x * b.x) AS dp
+                  FROM u a JOIN u b ON a.i = b.i
+                  JOIN lbl la ON la.vec_id = a.vec_id
+                  JOIN lbl lb ON lb.vec_id = b.vec_id
+                  WHERE a.vec_id < $NQUERY AND la.label <> lb.label
+                  GROUP BY 1, 2),
+          sim AS (SELECT query_id, neighbor_id,
+                         dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = query_id
+                  JOIN n nb ON nb.vec_id = neighbor_id),
+          ranked AS (SELECT query_id, neighbor_id, raw_sim,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY raw_sim DESC, neighbor_id) AS rk
+                     FROM sim)
+          SELECT r.query_id, lq.label AS query_label, r.neighbor_id,
+                 ln.label AS neighbor_label, ROUND(r.raw_sim, 4) AS sim
+          FROM ranked r
+          JOIN lbl lq ON lq.vec_id = r.query_id
+          JOIN lbl ln ON ln.vec_id = r.neighbor_id
+          WHERE r.rk <= $TOPK ORDER BY r.query_id, r.neighbor_id""",
 
     "dd8_neardup_lsh" ->
       s"""WITH $embPairsCtes

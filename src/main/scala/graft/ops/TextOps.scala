@@ -289,6 +289,29 @@ object TextOps {
         .agg(count(lit(1)).as("n_ngrams"),
           countDistinct(col("ngram")).as("n_distinct"))
         .orderBy("doc_id")
+    },
+
+    // TX19: out-of-vocabulary rate against a CORPUS-DERIVED vocabulary —
+    // the tokenizer-coverage audit run before committing a vocab size:
+    // build the top-100 token dictionary (frequency desc, token asc — a
+    // total order, so the cut is deterministic), broadcast it, and score
+    // every document's share of tokens outside it. Two exchanges total
+    // (token frequencies, per-doc regroup); the dictionary is bounded by
+    // construction so the scoring join is scan-local at any corpus size —
+    // same broadcast posture as tx15's benchmark grams.
+    "tx19_oov_rate" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(100)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
     })
 
   private def duckMarkerScore(ms: Seq[String]): String = {
@@ -455,5 +478,20 @@ object TextOps {
                 FROM t, UNNEST(generate_series(1, len(ts) - 2)) AS u(i))
           SELECT doc_id, COUNT(*) AS n_ngrams,
                  COUNT(DISTINCT ngram) AS n_distinct
-          FROM g GROUP BY 1 ORDER BY doc_id""")
+          FROM g GROUP BY 1 ORDER BY doc_id""",
+
+    // top-100 vocabulary by (freq DESC, tok ASC) — a total order, so the
+    // cut is identical across engines.
+    "tx19_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                       FROM documents),
+          vocab AS (SELECT tok FROM toks GROUP BY tok
+                    ORDER BY COUNT(*) DESC, tok LIMIT 100)
+          SELECT t.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+                 CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS oov_rate
+          FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+          GROUP BY 1 ORDER BY t.doc_id""")
 }

@@ -282,6 +282,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tx19: oov counts match an in-memory top-100 vocabulary") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(100).map(_._1).toSet
+    val got = SparkEntry.queries("tx19_oov_rate")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, ts) =>
+      val (nTok, nOov) = got(id)
+      assert(nTok == ts.size.toLong, s"doc $id token count")
+      assert(nOov == ts.count(t => !vocab.contains(t)).toLong, s"doc $id oov")
+    }
+  }
+
   test("dd18: manifest matches an in-memory recomputation of merged spans") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

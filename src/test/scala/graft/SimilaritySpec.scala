@@ -68,4 +68,34 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = got.values.map(_._3).sum / got.size
     assert(mean >= 0.2, s"mean recall $mean too low")
   }
+
+  test("sim6: negatives are cross-label and are the hardest available") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dp, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val got = SparkEntry.queries("sim6_hard_negatives")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q row count")
+      rows.foreach { case (_, ql, n, nl) =>
+        assert(ql == byId(q)._3 && nl == byId(n)._3 && ql != nl,
+          s"query $q neighbor $n label leak")
+      }
+      // hardness: the chosen set IS the brute-force top-5 among cross-label
+      val (_, qv, ql) = byId(q)
+      val expected = vecs.filter(v => v._3 != ql)
+        .map(v => (v._1, cos(qv, v._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      assert(rows.map(_._3).toSet == expected, s"query $q not the hardest set")
+    }
+  }
 }
