@@ -124,6 +124,41 @@ object DepthOps {
         .orderBy("user_id", "day")
     },
 
+    // TS3: rolling-window anomaly detection — per user, each day's value
+    // scored against its own trailing 7-day window (mean + population std
+    // from the sum/sum-of-squares identity), |dev| > 2σ flagged once the
+    // window holds ≥4 points. The metric-drift alarm a pipeline runs over
+    // ingest volumes. ONE exchange on the entity key: both rolling sums
+    // are RANGE-framed windows over the day index (gap-aware — missing
+    // days shrink the window rather than stretching it), decimal-exact via
+    // dsumOver so the frame sums hash-match; squares stable-round (+1e-9)
+    // before the decimal cast per the repo convention. Mean/std/flag are
+    // then IEEE ops on bit-identical inputs.
+    "ts3_rolling_anomaly" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("user_id", "day")
+        .agg(dsum(col("value")).as("day_value"))
+        .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy("user_id").orderBy("dn").rangeBetween(-6, 0)
+      daily
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .withColumn("roll_sum", dsumOver(col("day_value"), w))
+        .withColumn("roll_sumsq",
+          dsumOver(round(col("day_value") * col("day_value") + lit(1e-9), 4), w))
+        .withColumn("roll_mean", col("roll_sum") / col("roll_n"))
+        .withColumn("roll_std", sqrt(greatest(
+          (col("roll_sumsq") - col("roll_sum") * col("roll_sum") / col("roll_n")) /
+            col("roll_n"), lit(0.0))))
+        .withColumn("is_anomaly",
+          col("roll_n") >= 4L && col("roll_std") > 0.0 &&
+            abs(col("day_value") - col("roll_mean")) > col("roll_std") * 2.0)
+        .select(col("user_id"), col("day"), col("day_value"), col("roll_n"),
+          col("roll_mean"), col("roll_std"), col("is_anomaly"))
+        .orderBy("user_id", "day")
+    },
+
     // W13: WINSORIZATION — clamp each value into its group's [p01, p99]
     // band, the standard tail-taming transform before training on heavy-
     // tailed features (keeps the row, unlike outlier DROPS, so no
@@ -356,6 +391,35 @@ object DepthOps {
                         ROWS UNBOUNDED PRECEDING) AS filled_value
          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
          ORDER BY s.user_id, s.day""",
+
+    "ts3_rolling_anomaly" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, "value"
+           FROM events WHERE user_id < 20),
+         daily AS (
+           SELECT user_id, day,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS day_value,
+                  date_diff('day', DATE '1970-01-01', day) AS dn
+           FROM ev GROUP BY 1, 2),
+         stats AS (
+           SELECT user_id, day, day_value,
+                  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+                  CAST(ROUND(SUM(CAST(day_value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE) AS roll_sum,
+                  CAST(ROUND(SUM(CAST(ROUND(1e-9 + day_value * day_value, 4) AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE) AS roll_sumsq
+           FROM daily
+           WINDOW w AS (PARTITION BY user_id ORDER BY dn
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT user_id, day, day_value, roll_n,
+                roll_sum / roll_n AS roll_mean,
+                sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
+                              0.0)) AS roll_std,
+                (roll_n >= 4 AND
+                 sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
+                               0.0)) > 0.0 AND
+                 abs(day_value - roll_sum / roll_n) >
+                   sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
+                                 0.0)) * 2.0) AS is_anomaly
+         FROM stats ORDER BY user_id, day""",
 
     "w13_winsorize" ->
       """WITH f AS (SELECT l_returnflag,

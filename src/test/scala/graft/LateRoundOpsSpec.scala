@@ -53,4 +53,24 @@ class LateRoundOpsSpec extends AnyFunSuite {
       "every line must be either valid or quarantined")
     assert(r.getLong(1) > 0, "the staged file must actually contain corrupt lines")
   }
+
+  test("ts3: rolling window is gap-aware and flags obey their own stats") {
+    val rows = SparkEntry.queries("ts3_rolling_anomaly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6)))
+    val daysByUser = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
+    rows.foreach { case (u, dn, x, n, mean, std, flag) =>
+      // gap-aware frame: n counts only the days that actually exist
+      val expectedN = (dn - 6 to dn).count(daysByUser(u).contains).toLong
+      assert(n == expectedN, s"user $u day $dn window size")
+      assert(std >= 0.0 && n >= 1L)
+      // the flag must be consistent with the emitted stats
+      val expectFlag = n >= 4 && std > 0.0 && math.abs(x - mean) > std * 2.0
+      assert(flag == expectFlag, s"user $u day $dn flag")
+    }
+    // the gate is only meaningful if some window actually fills to 7
+    assert(rows.exists(_._4 == 7L))
+  }
 }
