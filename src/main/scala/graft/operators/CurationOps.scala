@@ -606,6 +606,35 @@ object CurationOps {
         .orderBy("bin_lo")
     },
 
+    // S16: join-key skew profile — the pre-join diagnostic that decides
+    // whether a key needs j14's salting: per-key row counts banded into
+    // power-of-2 buckets (CASE chain, integer-exact — the repo's hash-gated
+    // columns are log-free by convention) plus the max/mean skew ratio
+    // every row carries. Two bounded aggregations (per-key, then per-band)
+    // and a broadcast of the 1-row global stats — at 100 TB this is one
+    // map-side-combined exchange on the key, the same cost as the join's
+    // own shuffle it de-risks.
+    "s16_key_skew_profile" -> { (s, d) =>
+      val per = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val banded = per.withColumn("band_lo",
+        when(col("n") < 2L, 1L).when(col("n") < 4L, 2L)
+          .when(col("n") < 8L, 4L).when(col("n") < 16L, 8L)
+          .when(col("n") < 32L, 16L).when(col("n") < 64L, 32L)
+          .otherwise(64L))
+      val hist = banded.groupBy("band_lo")
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+      val global = per.agg(count(lit(1)).as("total_keys"),
+        sum(col("n")).as("total_rows"), max(col("n")).as("max_key_rows"))
+      hist.crossJoin(broadcast(global))
+        .withColumn("skew_ratio",
+          col("max_key_rows").cast("double") /
+            (col("total_rows").cast("double") / col("total_keys")))
+        .select(col("band_lo"), col("n_keys"), col("n_rows"),
+          col("max_key_rows"), col("skew_ratio"))
+        .orderBy("band_lo")
+    },
+
     // TX18: sliding-window chunking — split each document into overlapping
     // fixed-size token windows (window 32, stride 24 → 8-token overlap;
     // sized to the synthetic corpus' ~100-token docs so multi-chunk
@@ -789,6 +818,27 @@ object CurationOps {
                  CAST(SUM(padded - l) AS BIGINT) AS padding_waste,
                  CAST(SUM(padded - l) AS DOUBLE) / SUM(padded) AS waste_share
           FROM binned GROUP BY 1 ORDER BY 1""",
+
+    "s16_key_skew_profile" ->
+      """WITH per AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+          banded AS (SELECT n,
+                 CAST(CASE WHEN n < 2 THEN 1 WHEN n < 4 THEN 2
+                           WHEN n < 8 THEN 4 WHEN n < 16 THEN 8
+                           WHEN n < 32 THEN 16 WHEN n < 64 THEN 32
+                           ELSE 64 END AS BIGINT) AS band_lo
+               FROM per),
+          hist AS (SELECT band_lo, COUNT(*) AS n_keys,
+                          CAST(SUM(n) AS BIGINT) AS n_rows
+                   FROM banded GROUP BY 1),
+          g AS (SELECT COUNT(*) AS total_keys,
+                       CAST(SUM(n) AS BIGINT) AS total_rows,
+                       CAST(MAX(n) AS BIGINT) AS max_key_rows
+                FROM per)
+          SELECT h.band_lo, h.n_keys, h.n_rows, g.max_key_rows,
+                 CAST(g.max_key_rows AS DOUBLE) /
+                   (CAST(g.total_rows AS DOUBLE) / g.total_keys) AS skew_ratio
+          FROM hist h, g
+          ORDER BY h.band_lo""",
 
     // Window 32 / stride 24, 1 + max(0, ceil((n-W)/S)) chunks per doc —
     // identical integer arithmetic to the Spark side; chunk content is

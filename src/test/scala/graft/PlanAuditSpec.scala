@@ -169,6 +169,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
   }
 
+  test("dd19: per-doc shingle counts broadcast to the candidate verify") {
+    // The near-dup verify joins candidate pairs to the two (tiny) per-doc
+    // count tables; those must broadcast — shuffling them would add two
+    // needless exchanges on every incremental batch.
+    val p = plan("dd19_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"counts must broadcast:\n$p")
+  }
+
+  test("s16: skew profile aggregates partial+final on the key") {
+    // The per-key count must map-side combine — at 100 TB the whole point
+    // of the profiler is that it costs one combined exchange, not a raw
+    // row shuffle.
+    val p = plan("s16_key_skew_profile")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("tx18: sliding chunks are a shuffle-free explode until the final sort") {
     // The chunker is a pure scan -> bounded explode -> projection; the only
     // exchange allowed is the range partitioning for the output order.
