@@ -125,15 +125,19 @@ object DepthOps {
     },
 
     // TS3: rolling-window anomaly detection — per user, each day's value
-    // scored against its own trailing 7-day window (mean + population std
+    // scored against the PRIOR 7 days' baseline (mean + population std
     // from the sum/sum-of-squares identity), |dev| > 2σ flagged once the
-    // window holds ≥4 points. The metric-drift alarm a pipeline runs over
-    // ingest volumes. ONE exchange on the entity key: both rolling sums
-    // are RANGE-framed windows over the day index (gap-aware — missing
-    // days shrink the window rather than stretching it), decimal-exact via
-    // dsumOver so the frame sums hash-match; squares stable-round (+1e-9)
-    // before the decimal cast per the repo convention. Mean/std/flag are
-    // then IEEE ops on bit-identical inputs.
+    // baseline holds ≥4 points. The frame EXCLUDES the current row — an
+    // inclusive window would let a spike inflate its own baseline and
+    // self-mask (with the spike inside, |x−mean|/σ is bounded by √(n−1),
+    // so 2σ is unreachable at n=4). The metric-drift alarm a pipeline
+    // runs over ingest volumes. ONE exchange on the entity key: both
+    // rolling sums are RANGE-framed windows over the day index (gap-aware
+    // — missing days shrink the window rather than stretching it),
+    // decimal-exact via dsumOver so the frame sums hash-match; squares
+    // stable-round (+1e-9) before the decimal cast per the repo
+    // convention. Mean/std/flag are then IEEE ops on bit-identical
+    // inputs; both are NULL until the baseline has at least one day.
     "ts3_rolling_anomaly" -> { (s, d) =>
       val daily = Tables.events(s, d)
         .filter(col("user_id") < 20)
@@ -141,16 +145,18 @@ object DepthOps {
         .groupBy("user_id", "day")
         .agg(dsum(col("value")).as("day_value"))
         .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
-      val w = Window.partitionBy("user_id").orderBy("dn").rangeBetween(-6, 0)
+      val w = Window.partitionBy("user_id").orderBy("dn").rangeBetween(-7, -1)
       daily
         .withColumn("roll_n", count(lit(1)).over(w))
         .withColumn("roll_sum", dsumOver(col("day_value"), w))
         .withColumn("roll_sumsq",
           dsumOver(round(col("day_value") * col("day_value") + lit(1e-9), 4), w))
-        .withColumn("roll_mean", col("roll_sum") / col("roll_n"))
-        .withColumn("roll_std", sqrt(greatest(
-          (col("roll_sumsq") - col("roll_sum") * col("roll_sum") / col("roll_n")) /
-            col("roll_n"), lit(0.0))))
+        .withColumn("roll_mean",
+          when(col("roll_n") > 0L, col("roll_sum") / col("roll_n")))
+        .withColumn("roll_std",
+          when(col("roll_n") > 0L, sqrt(greatest(
+            (col("roll_sumsq") - col("roll_sum") * col("roll_sum") / col("roll_n")) /
+              col("roll_n"), lit(0.0)))))
         .withColumn("is_anomaly",
           col("roll_n") >= 4L && col("roll_std") > 0.0 &&
             abs(col("day_value") - col("roll_mean")) > col("roll_std") * 2.0)
@@ -408,17 +414,18 @@ object DepthOps {
                   CAST(ROUND(SUM(CAST(ROUND(1e-9 + day_value * day_value, 4) AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE) AS roll_sumsq
            FROM daily
            WINDOW w AS (PARTITION BY user_id ORDER BY dn
-                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
          SELECT user_id, day, day_value, roll_n,
-                roll_sum / roll_n AS roll_mean,
-                sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
-                              0.0)) AS roll_std,
-                (roll_n >= 4 AND
+                CASE WHEN roll_n > 0 THEN roll_sum / roll_n END AS roll_mean,
+                CASE WHEN roll_n > 0 THEN
+                  sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
+                                0.0)) END AS roll_std,
+                COALESCE(roll_n >= 4 AND
                  sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
                                0.0)) > 0.0 AND
                  abs(day_value - roll_sum / roll_n) >
                    sqrt(GREATEST((roll_sumsq - roll_sum * roll_sum / roll_n) / roll_n,
-                                 0.0)) * 2.0) AS is_anomaly
+                                 0.0)) * 2.0, FALSE) AS is_anomaly
          FROM stats ORDER BY user_id, day""",
 
     "w13_winsorize" ->

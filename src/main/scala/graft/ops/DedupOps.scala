@@ -365,9 +365,7 @@ object DedupOps {
     // null semantics repo-wide).
     "dd19_incremental_dedup" -> { (s, d) =>
       val fp = Tables.documents(s, d)
-        .select(col("doc_id"),
-          md5(concat_ws(" ",
-            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"),
+        .select(col("doc_id"), TextOps.bagFingerprint.as("fp"),
           (pmod(col("doc_id"), lit(10L)) === 0L).as("is_batch"))
       val corpusFp = fp.filter(!col("is_batch"))
         .groupBy("fp").agg(min(col("doc_id")).as("exact_match_id"))
@@ -552,9 +550,7 @@ object DedupOps {
     // near via batch-vs-corpus shingle join at Jaccard >= 0.5.
     "dd19_incremental_dedup" ->
       s"""WITH $duckShingles,
-          fpt AS (SELECT doc_id,
-                         md5(array_to_string(list_sort(list_distinct(
-                           string_split(lower(text), ' '))), ' ')) AS fp,
+          fpt AS (SELECT doc_id, ${TextOps.duckBagFingerprint} AS fp,
                          doc_id % 10 = 0 AS is_batch
                   FROM documents),
           corpus_fp AS (SELECT fp, MIN(doc_id) AS exact_match_id

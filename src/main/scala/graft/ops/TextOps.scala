@@ -27,6 +27,17 @@ object TextOps {
 
   private def tokens = split(col("text"), " ")
 
+  /** tx4's canonical bag-of-words fingerprint (md5 of the sorted distinct
+    * lowercase token set). Shared with dd19's incremental exact-dup check,
+    * whose contract is "matches tx4's fingerprint" — one definition, no
+    * silent divergence. The DuckDB mirror below must stay in lockstep. */
+  private[graft] def bagFingerprint: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+
+  /** DuckDB form of [[bagFingerprint]] (same canonicalization, same md5). */
+  private[graft] val duckBagFingerprint: String =
+    "md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))"
+
   private def markerScore(ms: Seq[String]): org.apache.spark.sql.Column = {
     val inList = ms.map(m => s"'$m'").mkString(", ")
     expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))")
@@ -86,10 +97,7 @@ object TextOps {
     // tokens, hashed. Robust to token reordering.
     "tx4_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          md5(concat_ws(" ",
-            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fingerprint"))
+        .select(col("doc_id"), bagFingerprint.as("fingerprint"))
         .orderBy("doc_id")
     },
 
@@ -359,9 +367,8 @@ object TextOps {
          FROM documents ORDER BY doc_id""",
 
     "tx4_fingerprint" ->
-      """SELECT doc_id,
-                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
-         FROM documents ORDER BY doc_id""",
+      s"""SELECT doc_id, $duckBagFingerprint AS fingerprint
+          FROM documents ORDER BY doc_id""",
 
     "tx5_rolling_fingerprint" ->
       """SELECT doc_id,

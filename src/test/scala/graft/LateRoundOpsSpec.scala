@@ -54,23 +54,31 @@ class LateRoundOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) > 0, "the staged file must actually contain corrupt lines")
   }
 
-  test("ts3: rolling window is gap-aware and flags obey their own stats") {
+  test("ts3: rolling baseline is gap-aware, excludes today, and flags obey it") {
     val rows = SparkEntry.queries("ts3_rolling_anomaly")(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
-        r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
         r.getBoolean(6)))
     val daysByUser = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
     rows.foreach { case (u, dn, x, n, mean, std, flag) =>
-      // gap-aware frame: n counts only the days that actually exist
-      val expectedN = (dn - 6 to dn).count(daysByUser(u).contains).toLong
+      // gap-aware PRIOR-days frame: today never baselines itself
+      val expectedN = (dn - 7 to dn - 1).count(daysByUser(u).contains).toLong
       assert(n == expectedN, s"user $u day $dn window size")
-      assert(std >= 0.0 && n >= 1L)
+      assert(mean.isDefined == (n > 0) && std.isDefined == (n > 0),
+        s"user $u day $dn stats nullability")
+      std.foreach(s => assert(s >= 0.0))
       // the flag must be consistent with the emitted stats
-      val expectFlag = n >= 4 && std > 0.0 && math.abs(x - mean) > std * 2.0
+      val expectFlag = n >= 4 && std.exists(_ > 0.0) &&
+        std.exists(s => math.abs(x - mean.get) > s * 2.0)
       assert(flag == expectFlag, s"user $u day $dn flag")
     }
-    // the gate is only meaningful if some window actually fills to 7
+    // the gate is only meaningful if some baseline actually fills to 7
     assert(rows.exists(_._4 == 7L))
+    // with the exclusive frame, a genuine spike CAN fire (the inclusive
+    // form provably could not at n=4) — the fixture data must show some
+    assert(rows.exists(_._7), "no anomaly fired anywhere at sf0.001")
   }
 }
