@@ -5,9 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.tlc.Fixtures
 
-/** Structural invariants of the late-round-4 operators: salted join
-  * algebra, funnel ordering, rolling-distinct bounds, and corrupt-record
-  * accounting. These hold by construction at any scale. */
+/** Structural invariants of the late-round operators: salted join
+  * algebra, funnel ordering, rolling-distinct bounds, corrupt-record
+  * accounting, and the rolling-anomaly baseline. These hold by
+  * construction at any scale. */
 class LateRoundOpsSpec extends AnyFunSuite {
   lazy val spark = Fixtures.sparkSession()
   val sfDir = "/root/testdata/sf0.001"
