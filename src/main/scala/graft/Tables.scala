@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-provided testdata tables (TESTDATA.md).
   *
@@ -47,17 +47,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and floor-divide
-    * to microseconds — integer division, since an epoch-nanos value exceeds
-    * 2^53 and would lose precision through a double. DuckDB's TIMESTAMP_NS →
-    * TIMESTAMP cast truncates identically. */
+  /** Normalize a generator timestamp column to session-local TIMESTAMP
+    * (the type every downstream `unix_micros`/`window`/interval operator
+    * expects), whatever physical encoding the testdata generation used:
+    *   - INT64 TIMESTAMP(NANOS) parquet (earlier testdata drops): Spark 4
+    *     refuses to read it as a timestamp, so it arrives as raw nanos via
+    *     the legacy conf; floor-divide to micros with INTEGER division
+    *     (epoch-nanos exceeds 2^53 — a double round-trip loses precision).
+    *     DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates identically.
+    *   - timestamp[us] without UTC adjustment (current drops): Spark reads
+    *     TIMESTAMP_NTZ; cast to LTZ interprets the wall clock in the
+    *     session zone, which all graft sessions pin to UTC — exactly how
+    *     DuckDB's naive TIMESTAMP behaves under epoch_us().
+    * Already-LTZ input passes through untouched. */
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case _: TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeTs(apply(s, d, "events"), "ts")
   }
   /** The text/embedding operators do heavy per-row compute (shingling,
     * hyperplane dots) straight off the scan. The testdata files are single

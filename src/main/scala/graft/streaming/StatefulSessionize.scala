@@ -69,8 +69,9 @@ object StatefulSessionize {
         dd.resolve("events.parquet"), java.nio.file.Paths.get(path))
       (dd.toString, spark.read.parquet(path).schema)
     })
-    val events = spark.readStream.schema(schema).parquet(dir.toString)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val events = graft.Tables
+      .normalizeTs(spark.readStream.schema(schema).parquet(dir.toString), "ts")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
       .as[Event]
     val sessions = events
       .groupByKey(_.user_id)

@@ -44,8 +44,7 @@ object StreamingOps {
       }
       (dd.toString, s.read.parquet(path).schema)
     })
-    s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(s.readStream.schema(schema).parquet(dir), "ts")
   }
 
   /** st6's two file drops (on-time batch, late batch), written ONCE per
