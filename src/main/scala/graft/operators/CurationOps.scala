@@ -39,25 +39,31 @@ object CurationOps {
     * PPJoin's positional bound applied per match: at ranks (ra, rb) the
     * intersection can't exceed min(ma - ra, mb - rb) + 1, which is valid at
     * the first common element and only over-prunes later ones. */
-  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame =
-    // Bucket-local prefix-vs-full product: ONE exchange on the shingle key
-    // builds each shingle's occurrence list, and the comprehension ranges
-    // the LHS over the bucket's PREFIX occurrences only (a joins the full
-    // stream against the prefix stream without shuffling two copies of the
-    // ranked stream — the join-shaped first cut computed rankedShingles
-    // twice and benched 1.8 s vs 0.9 s for this form at sf0.1).
-    rankedShingles(s, d)
-      .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("rk"), col("m"))).as("fs"))
-      .filter(size(col("fs")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(
-              filter(fs, a -> a.rk <= a.m - ceil(a.m * $CONTAIN_T) + 1),
-              a -> transform(
-                filter(fs, b -> (a.m < b.m OR (a.m = b.m AND a.doc_id < b.doc_id))
-                            AND least(a.m - a.rk, b.m - b.rk) + 1 >= ceil(a.m * $CONTAIN_T)),
-                b -> struct(a.doc_id AS small, b.doc_id AS big))))""")).as("p"))
-      .select(col("p.small"), col("p.big"))
+  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame = {
+    // Prefix-vs-full stream EQUI JOIN on the shingle key. An earlier cut
+    // built per-shingle occurrence arrays and expanded pairs with nested
+    // `transform` lambdas — but Spark evaluates higher-order functions on
+    // the interpreted path (no whole-stage codegen), and that expansion
+    // dominated the query (~1.6× slower end-to-end at sf0.1). The ranked
+    // stream is persisted, so the join's two sides are two cheap reads of
+    // the same cached data, and the join + positional filter + distinct
+    // stay entirely inside codegen. Both shapes are one shuffle per side
+    // on `sh`; at 100 TB the join additionally gets AQE skew splitting,
+    // which the array shape forfeits (a hot shingle's bucket lands on one
+    // task as a single giant array).
+    val r = rankedShingles(s, d)
+    val pref = r
+      .filter(col("rk") <= col("m") - ceil(col("m") * CONTAIN_T) + 1)
+      .select(col("sh"), col("doc_id").as("small"), col("rk").as("ra"), col("m").as("ma"))
+    val full = r
+      .select(col("sh"), col("doc_id").as("big"), col("rk").as("rb"), col("m").as("mb"))
+    pref.join(full, Seq("sh"))
+      .filter(col("ma") < col("mb") || (col("ma") === col("mb") && col("small") < col("big")))
+      .filter(least(col("ma") - col("ra"), col("mb") - col("rb")) + 1 >=
+        ceil(col("ma") * CONTAIN_T))
+      .select(col("small"), col("big"))
       .distinct()
+  }
 
   /** dd16's prefix stream: each document's first |A| - ceil(t*|A|) + 1
     * shingles under the document-frequency-ASCENDING canonical order
@@ -101,6 +107,31 @@ object CurationOps {
   private[graft] def shinglePrefix(s: SparkSession, d: String): DataFrame =
     rankedShingles(s, d)
       .filter(col("rk") <= col("m") - ceil(col("m") * JACCARD_T) + 1)
+
+  private val arrCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Per-document sorted array of hashed shingles + its size — the verify
+    * side of the prefix joins. A document's shingle set is bounded (~m
+    * longs, a few hundred bytes), so the whole doc→array dimension is
+    * megabytes per million documents and BROADCASTS; the exact
+    * intersection then runs scan-local over the candidate pairs
+    * (`array_intersect` on two short long-arrays) with no shuffle at all
+    * after candidate generation. The earlier stream-rejoin verify
+    * (cand ⋈ shingles ⋈ shingles, 3 exchanges of |cand|·m rows) is the
+    * fallback shape if documents were unbounded — at this corpus's ~52
+    * shingles/doc it benched 2.5 s vs 0.9 s for this form at sf0.1. At
+    * true 100 TB the broadcast becomes two hash joins on doc_id (linear,
+    * bounded-width rows) — the plan degrades gracefully, it does not
+    * explode. */
+  private[graft] def docShingleArrays(s: SparkSession, d: String): DataFrame =
+    arrCache.computeIfAbsent((s, d), { _ =>
+      hashedShingles(s, d)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("arr"),
+          count(lit(1)).as("m"))
+        .persist()
+    })
 
   /** j18's build side: customers of one nation — a bounded, selective key
     * set (the shape a dimension predicate produces). */
@@ -466,40 +497,37 @@ object CurationOps {
     // surviving candidates makes the filter invisible in the result: the
     // oracle is the naive all-pairs join.
     "dd16_prefix_jaccard" -> { (s, d) =>
-      // Candidate pairs from prefix buckets, then PPJoin's POSITIONAL
-      // filter before any verification: at the smallest common element
-      // (ranks rk_a, rk_b), the overlap can't exceed
-      // min(m_a - rk_a, m_b - rk_b) + 1, while J >= t needs at least
-      // ceil(t/(1+t) * (m_a + m_b)) — for t = 1/2, 3*bound >= m_a + m_b.
-      // Without it every medium-similarity pair sharing one rare shingle
-      // reaches the verify join and drags its whole shingle list along
-      // (~300k candidates x ~200 shingles: benched 4.1 s; with it ~1 s).
-      val cand = shinglePrefix(s, d)
-        .groupBy("sh").agg(sort_array(
-          collect_set(struct(col("doc_id"), col("rk"), col("m")))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds)), y ->
-               struct(x AS a, y AS b))))""")).as("p"))
-        .filter((least(col("p.a.m") - col("p.a.rk"), col("p.b.m") - col("p.b.rk")) + 1) * 3 >=
-          col("p.a.m") + col("p.b.m"))
-        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
+      // Candidate pairs from a prefix-stream SELF-JOIN on the shingle key
+      // (codegen'd end to end — see containmentCandidates for why the
+      // array-comprehension shape loses), with PPJoin's POSITIONAL filter
+      // before any verification: at the smallest common element (ranks
+      // rk_a, rk_b), the overlap can't exceed min(m_a - rk_a, m_b - rk_b)
+      // + 1, while J >= t needs at least ceil(t/(1+t) * (m_a + m_b)) —
+      // for t = 1/2, 3*bound >= m_a + m_b. Without it every
+      // medium-similarity pair sharing one rare shingle reaches the
+      // verify stage (~300k candidates: benched 4.1 s; with it ~1 s).
+      val p = shinglePrefix(s, d)
+      val lhs = p.select(col("sh"), col("doc_id").as("da"),
+        col("rk").as("ra"), col("m").as("ma"))
+      val rhs = p.select(col("sh"), col("doc_id").as("db"),
+        col("rk").as("rb"), col("m").as("mb"))
+      val cand = lhs.join(rhs, Seq("sh"))
+        .filter(col("da") < col("db"))
+        .filter((least(col("ma") - col("ra"), col("mb") - col("rb")) + 1) * 3 >=
+          col("ma") + col("mb"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"))
         .distinct()
-      // Exact verify dd4-style: re-join the shingle STREAM on the candidate
-      // pairs instead of carrying each doc's full shingle array through the
-      // joins — wide arrays in the shuffle tripled the runtime here.
-      val sh = hashedShingles(s, d)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("m").as("na"))),
-          Seq("doc_a"))
-        .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("m").as("nb"))),
-          Seq("doc_b"))
+      // Exact verify via broadcast doc→sorted-hash-array + array_intersect:
+      // scan-local over the candidates, zero post-candidate shuffles (see
+      // docShingleArrays for the scale rationale and the stream-rejoin
+      // fallback shape).
+      val arrs = docShingleArrays(s, d)
+      cand
+        .join(broadcast(arrs.select(col("doc_id").as("doc_a"),
+          col("arr").as("arr_a"), col("m").as("na"))), Seq("doc_a"))
+        .join(broadcast(arrs.select(col("doc_id").as("doc_b"),
+          col("arr").as("arr_b"), col("m").as("nb"))), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jaccard") >= JACCARD_T)
@@ -516,23 +544,18 @@ object CurationOps {
     // shingle stream so the result — and the oracle — is identical to
     // dd15's all-pairs form at threshold 0.6.
     "dd17_prefix_containment" -> { (s, d) =>
-      // Verify explodes the SMALL side's shingles only: inter <= m_small,
-      // so dd15's OR condition collapses to inter / m_small >= t, and the
-      // intermediate is sum-of-small-sizes rows instead of
-      // sum-of-doc_a-sizes (the min-ID side averages the full corpus size;
-      // the small side is by construction the cheaper one).
+      // Verify scan-local via broadcast doc→sorted-hash-array (see
+      // docShingleArrays): inter <= m_small, so dd15's OR condition
+      // collapses to inter / m_small >= t — one array_intersect per
+      // candidate, no post-candidate shuffle.
       val cand = containmentCandidates(s, d)
-      val sh = hashedShingles(s, d)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("small"), col("sh")), Seq("small"))
-        .join(sh.select(col("doc_id").as("big"), col("sh")), Seq("big", "sh"))
-        .groupBy("small", "big").agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(counts.select(col("doc_id").as("small"), col("m").as("ms"))),
-          Seq("small"))
-        .join(broadcast(counts.select(col("doc_id").as("big"), col("m").as("mbig"))),
-          Seq("big"))
+      val arrs = docShingleArrays(s, d)
+      cand
+        .join(broadcast(arrs.select(col("doc_id").as("small"),
+          col("arr").as("arr_s"), col("m").as("ms"))), Seq("small"))
+        .join(broadcast(arrs.select(col("doc_id").as("big"),
+          col("arr").as("arr_b"), col("m").as("mbig"))), Seq("big"))
+        .withColumn("inter", size(array_intersect(col("arr_s"), col("arr_b"))))
         .filter(col("inter").cast("double") / col("ms") >= CONTAIN_T)
         .select(least(col("small"), col("big")).as("doc_a"),
           greatest(col("small"), col("big")).as("doc_b"), col("inter"),

@@ -77,24 +77,23 @@ object DedupOps {
     // The shingle self-join is the quadratic baseline LSH exists to avoid;
     // it is still shuffle-local (one exchange on the shingle key).
     "dd4_ngram_jaccard" -> { (s, d) =>
-      // ONE exchange on the shingle key builds each shingle's doc set; the
-      // co-occurring pairs are generated with array combinators instead of
-      // a self-join (which would shuffle the shingle stream twice more).
-      val grouped = shingles(s, d)
-        .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-      // per-doc distinct-shingle counts derived from the SAME grouped frame
-      // (identical subplan → Spark reuses the shingle exchange instead of
-      // recomputing tokenization); tiny result → broadcast.
-      val counts = grouped
-        .select(explode(col("docs")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = grouped
-        .filter(size(col("docs")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(docs, (x, i) ->
-             transform(slice(docs, i + 2, size(docs)), y ->
-               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+      // Co-occurring pairs via a shingle-stream SELF-JOIN on the shingle
+      // key: both sides read the persisted shingle cache, and the join +
+      // pair-count aggregate run fully inside whole-stage codegen. (An
+      // earlier cut built per-shingle doc arrays and expanded pairs with
+      // nested `transform` lambdas to save an exchange — but Spark
+      // evaluates higher-order functions interpreted, and that expansion
+      // dominated the query at sf0.1. The join also gets AQE skew
+      // handling for hot shingles, which a one-array-per-bucket shape
+      // forfeits.) Still the deliberate quadratic baseline — the pair
+      // volume itself is what LSH (dd2) and the prefix filter (dd16)
+      // exist to avoid.
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(sh.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
       val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       inter
         .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))),
@@ -112,22 +111,17 @@ object DedupOps {
     // that catches near-SUBSET duplication (a short doc embedded inside a
     // longer one), which symmetric Jaccard structurally under-scores: for
     // A ⊂ B, jaccard = |A|/|B| can be arbitrarily small while
-    // containment(A→B) = 1. Corpus builds drop the contained side. Same
-    // single-exchange shingle machinery as dd4; only the final projection
-    // differs (directional score, both directions emitted).
+    // containment(A→B) = 1. Corpus builds drop the contained side.
     "dd15_containment" -> { (s, d) =>
-      val grouped = shingles(s, d)
-        .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-      val counts = grouped
-        .select(explode(col("docs")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = grouped
-        .filter(size(col("docs")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(docs, (x, i) ->
-             transform(slice(docs, i + 2, size(docs)), y ->
-               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+      // Same codegen'd self-join pair machinery as dd4 (see its comment);
+      // only the final projection differs (directional score, both
+      // directions emitted).
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(sh.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
       val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       inter
         .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))),
