@@ -101,6 +101,12 @@ object StreamingOps {
     s.conf.set(ndKey, noDataBatches.toString)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
+    // 4 balances two opposing floors at bench scale: state machinery
+    // (provider init + commit + maintenance per partition per
+    // micro-batch — argues for fewer) against the per-batch data work,
+    // which shuffle.partitions also parallelizes (1 partition benched
+    // st6 at 2.4 s vs 1.5 s here: the windowed agg of ~100k rows went
+    // single-threaded). Production sizes this to peak key cardinality.
     s.conf.set(key, "4")
     // Temp checkpoints go to tmpfs when available: the state store fsyncs
     // its commit log per partition per micro-batch, and for these
@@ -172,16 +178,39 @@ object StreamingOps {
           q.processAllAvailable()
           linkParquets(lateDir, dirP, "late")
           q.processAllAvailable()
-          // the final emission happens in a NO-DATA batch after the last
+          // Any final emission happens in a NO-DATA batch after the last
           // data batch (watermark advance); processAllAvailable does not
-          // wait for it, so poll until the sink stabilizes
-          var stable = 0
-          var last = -1L
-          while (stable < 3) {
-            val n = s.table(name).count()
-            if (n == last) stable += 1 else { stable = 0; last = n }
-            if (stable < 3) Thread.sleep(20)
+          // wait for it — but that batch fires ONLY if the late drop
+          // actually raised the watermark (new wm = max(maxEvent - delay,
+          // old wm)). Deterministic completion, from the progress history
+          // (one snapshot per check):
+          //   - both data batches committed, AND
+          //   - either a trailing zero-input batch committed (the
+          //     emission ran), or the last data batch's max event time
+          //     minus the 2h delay does not exceed its watermark (no
+          //     further batch is coming — everything already emitted).
+          // Sink-count stability polling (the previous shape) can return
+          // before the no-data batch is even planned.
+          val delayMs = 2L * 3600 * 1000
+          def ems(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+              k: String): Option[Long] =
+            Option(p.eventTime.get(k))
+              .map(v => java.time.Instant.parse(v.replace(" ", "T") match {
+                case s if s.endsWith("Z") => s; case s => s + "Z"
+              }).toEpochMilli)
+          def drained: Boolean = {
+            val ps = q.recentProgress.sortBy(_.batchId)
+            val data = ps.filter(_.numInputRows > 0)
+            data.length >= 2 && {
+              val last = data.last
+              ps.exists(p => p.batchId > last.batchId && p.numInputRows == 0) ||
+                (for (mx <- ems(last, "max"); wm <- ems(last, "watermark"))
+                  yield mx - delayMs <= wm).getOrElse(false)
+            }
           }
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (!drained && System.nanoTime() < deadline)
+            Thread.sleep(2)
         } finally q.stop()
         s.table(name)
           .select(col("window.start").as("window_start"), col("event_type"),
@@ -238,7 +267,14 @@ object StreamingOps {
     // an async compactor). The doubled source makes the upsert observable:
     // the log holds 2n rows, the view n.
     "st8_foreach_upsert" -> { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+      // Scratch append-log on tmpfs when available (same rationale as the
+      // throwaway checkpoints in withStatePartitions: this log is
+      // drain-and-discard; a production upsert log lives on durable
+      // storage and pays its fsyncs as real cost).
+      val shm = new java.io.File("/dev/shm")
+      val dir = (if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft_upsert_")
+      else java.nio.file.Files.createTempDirectory("graft_upsert_")).toString
       val src = stagedStream(s, d, 2)
         .select(col("event_id"), col("event_type"), col("value"))
       withStatePartitions(s) {
