@@ -124,6 +124,44 @@ object CurationOps {
     * true 100 TB the broadcast becomes two hash joins on doc_id (linear,
     * bounded-width rows) — the plan degrades gracefully, it does not
     * explode. */
+  /** dd16's verified exact-Jaccard pair stream (unordered) — shared with
+    * dd20's provenance matrix. Candidate pairs from a prefix-stream
+    * SELF-JOIN on the shingle key (codegen'd end to end — see
+    * containmentCandidates for why the array-comprehension shape loses),
+    * with PPJoin's POSITIONAL filter before any verification: at the
+    * smallest common element (ranks rk_a, rk_b), the overlap can't exceed
+    * min(m_a - rk_a, m_b - rk_b) + 1, while J >= t needs at least
+    * ceil(t/(1+t) * (m_a + m_b)) — for t = 1/2, 3*bound >= m_a + m_b.
+    * Without it every medium-similarity pair sharing one rare shingle
+    * reaches the verify stage (~300k candidates: benched 4.1 s; with it
+    * ~1 s). Exact verify via broadcast doc→sorted-hash-array +
+    * array_intersect: scan-local over the candidates, zero post-candidate
+    * shuffles (see docShingleArrays for the scale rationale). */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val p = shinglePrefix(s, d)
+    val lhs = p.select(col("sh"), col("doc_id").as("da"),
+      col("rk").as("ra"), col("m").as("ma"))
+    val rhs = p.select(col("sh"), col("doc_id").as("db"),
+      col("rk").as("rb"), col("m").as("mb"))
+    val cand = lhs.join(rhs, Seq("sh"))
+      .filter(col("da") < col("db"))
+      .filter((least(col("ma") - col("ra"), col("mb") - col("rb")) + 1) * 3 >=
+        col("ma") + col("mb"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      .distinct()
+    val arrs = docShingleArrays(s, d)
+    cand
+      .join(broadcast(arrs.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("m").as("na"))), Seq("doc_a"))
+      .join(broadcast(arrs.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("m").as("nb"))), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   private[graft] def docShingleArrays(s: SparkSession, d: String): DataFrame =
     arrCache.computeIfAbsent((s, d), { _ =>
       hashedShingles(s, d)
@@ -497,42 +535,33 @@ object CurationOps {
     // surviving candidates makes the filter invisible in the result: the
     // oracle is the naive all-pairs join.
     "dd16_prefix_jaccard" -> { (s, d) =>
-      // Candidate pairs from a prefix-stream SELF-JOIN on the shingle key
-      // (codegen'd end to end — see containmentCandidates for why the
-      // array-comprehension shape loses), with PPJoin's POSITIONAL filter
-      // before any verification: at the smallest common element (ranks
-      // rk_a, rk_b), the overlap can't exceed min(m_a - rk_a, m_b - rk_b)
-      // + 1, while J >= t needs at least ceil(t/(1+t) * (m_a + m_b)) —
-      // for t = 1/2, 3*bound >= m_a + m_b. Without it every
-      // medium-similarity pair sharing one rare shingle reaches the
-      // verify stage (~300k candidates: benched 4.1 s; with it ~1 s).
-      val p = shinglePrefix(s, d)
-      val lhs = p.select(col("sh"), col("doc_id").as("da"),
-        col("rk").as("ra"), col("m").as("ma"))
-      val rhs = p.select(col("sh"), col("doc_id").as("db"),
-        col("rk").as("rb"), col("m").as("mb"))
-      val cand = lhs.join(rhs, Seq("sh"))
-        .filter(col("da") < col("db"))
-        .filter((least(col("ma") - col("ra"), col("mb") - col("rb")) + 1) * 3 >=
-          col("ma") + col("mb"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"))
-        .distinct()
-      // Exact verify via broadcast doc→sorted-hash-array + array_intersect:
-      // scan-local over the candidates, zero post-candidate shuffles (see
-      // docShingleArrays for the scale rationale and the stream-rejoin
-      // fallback shape).
-      val arrs = docShingleArrays(s, d)
-      cand
-        .join(broadcast(arrs.select(col("doc_id").as("doc_a"),
-          col("arr").as("arr_a"), col("m").as("na"))), Seq("doc_a"))
-        .join(broadcast(arrs.select(col("doc_id").as("doc_b"),
-          col("arr").as("arr_b"), col("m").as("nb"))), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= JACCARD_T)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      jaccardPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // DD20: cross-SOURCE near-duplicate overlap matrix — the provenance
+    // audit run before mixing corpora: how much of source A is already in
+    // source B? (Heavy off-diagonal mass means the mixture's effective
+    // token count is lower than its row count, and dedup must run ACROSS
+    // the sources, not within them.) Reuses dd16's verified Jaccard >= t
+    // pair stream; the doc→source dimension is dimension-sized and
+    // broadcasts; the matrix itself is |sources|² at most — tiny at any
+    // corpus scale. Cross-source pairs only (the within-source diagonal
+    // is dd16's job); pair-id checksum pins the exact pair set.
+    "dd20_source_overlap" -> { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a0"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b0"))), Seq("doc_b"))
+        .filter(col("src_a0") =!= col("src_b0"))
+        .select(least(col("src_a0"), col("src_b0")).as("source_a"),
+          greatest(col("src_a0"), col("src_b0")).as("source_b"),
+          col("doc_a"), col("doc_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_a") + col("doc_b")).as("pair_id_checksum"))
+        .orderBy("source_a", "source_b")
     },
 
     // DD17: prefix-pruned CONTAINMENT join — dd15's scale path, the same
@@ -1174,6 +1203,32 @@ object CurationOps {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    // Naive all-pairs at the same t = 0.5, aggregated by normalized source
+    // pair — dd20's prefix+broadcast plan must be invisible in the result.
+    "dd20_source_overlap" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+         counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         tagged AS (
+           SELECT LEAST(sa.source, sb.source) AS source_a,
+                  GREATEST(sa.source, sb.source) AS source_b,
+                  p.doc_a, p.doc_b
+           FROM pairs p
+           JOIN documents sa ON sa.doc_id = p.doc_a
+           JOIN documents sb ON sb.doc_id = p.doc_b
+           WHERE sa.source <> sb.source)
+         SELECT source_a, source_b, COUNT(*) AS n_pairs,
+                CAST(SUM(doc_a + doc_b) AS BIGINT) AS pair_id_checksum
+         FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // The oracle may state the prefix sum as ONE window — the equivalence
     // of the two-level form to the global cumsum is the point of the gate.

@@ -22,6 +22,32 @@ object SamplingOps {
     s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
 
   val queries: Map[String, Q] = Map(
+    // SA9: per-DOMAIN document cap — web-scale curation's guard against a
+    // single domain flooding the corpus (the per-domain caps every
+    // Common-Crawl-derived dataset applies). Each source keeps at most K
+    // documents, chosen by salted-hash order (deterministic, append-safe:
+    // a doc's keep/drop never changes as OTHER sources grow; it can only
+    // change as its own source fills). One rank window per source
+    // partition — the exchange is on the domain key, linear in corpus
+    // size; the hot-domain partition is bounded by that domain's own doc
+    // count, the exact skew this operator exists to cut. The gate emits
+    // per-source kept/dropped counts plus a kept-id checksum so the
+    // oracle pins the exact membership.
+    "sa9_domain_cap" -> { (s, d) =>
+      val K = 10
+      val w = Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h", keyHash("graft-domain-cap"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("kept", col("rk") <= K)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("kept"), lit(1))).as("n_kept"),
+          sum(when(col("kept"), col("doc_id")).otherwise(lit(0L))).as("kept_id_checksum"))
+        .orderBy("source")
+    },
+
     // SA1: deterministic ~10% Bernoulli-style sample by hash bucket.
     "sa1_hash_sample" -> { (s, d) =>
       Tables.documents(s, d)
@@ -157,6 +183,19 @@ object SamplingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "sa9_domain_cap" ->
+      """WITH h AS (SELECT doc_id, source,
+                           ('0x' || substr(md5('graft-domain-cap' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+                    FROM documents),
+          r AS (SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+                FROM h)
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS kept_id_checksum
+          FROM r GROUP BY 1 ORDER BY 1""",
+
     "sa1_hash_sample" ->
       """SELECT doc_id, lang, source
          FROM (SELECT *, ('0x' || substr(md5('graft-sample' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h

@@ -18,6 +18,53 @@ object SessionScaleOps {
   private val GAP_MIN = 30 // session gap threshold, minutes
 
   val queries: Map[String, Q] = Map(
+    // A22: GRID-HISTOGRAM approximate quantiles — the mergeable,
+    // constant-state alternative to an exact percentile sort at 100 TB:
+    // one pass for global min/max (a 1-row broadcast), one pass binning
+    // every value into a fixed 1000-cell grid (partial-agg groupBy on the
+    // bucket index — counts merge across partitions/executors/days, which
+    // is the whole point), then the quantile is the first bucket whose
+    // cumulative count clears ceil(q·n). Unlike a13's HLL (rows-only
+    // gate), every output here is deterministically reproducible: bucket
+    // indexes are floor() of the same IEEE double expression on both
+    // engines, thresholds use integer ceil arithmetic, and bucket bounds
+    // re-derive from (min, width) — so this sketch IS hash-gateable.
+    // Max error is one bucket width — reported, not hidden.
+    "a22_grid_quantiles" -> { (s, d) =>
+      import s.implicits._
+      val B = 1000
+      val li = Tables.lineitem(s, d)
+      val bounds = li.agg(
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        count(lit(1)).as("n"))
+      val binned = li.crossJoin(broadcast(bounds))
+        .withColumn("w", (col("hi") - col("lo")) / lit(B))
+        .withColumn("bucket",
+          least(floor((col("l_extendedprice") - col("lo")) / col("w")), lit(B - 1L))
+            .cast("long"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      val cum = binned
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      // quantiles as exact rationals: threshold = ceil(q*n) in integers
+      val qs = Seq((1L, 2L), (9L, 10L), (99L, 100L))
+      val qFrame = qs.map { case (num, den) => (num, den) }
+        .toDF("q_num", "q_den")
+      cum.crossJoin(broadcast(bounds.select(col("lo"), col("hi"), col("n"))))
+        .crossJoin(broadcast(qFrame))
+        .filter(col("cum") * col("q_den") >= col("n") * col("q_num"))
+        .groupBy("q_num", "q_den")
+        .agg(min(col("bucket")).as("bucket"),
+          min(col("lo")).as("lo0"), min(col("hi")).as("hi0"), min(col("n")).as("n"))
+        .withColumn("q", col("q_num").cast("double") / col("q_den"))
+        .withColumn("w", (col("hi0") - col("lo0")) / lit(B))
+        .withColumn("approx_lo", col("lo0") + col("bucket") * col("w"))
+        .withColumn("approx_hi", col("lo0") + (col("bucket") + 1) * col("w"))
+        .select(col("q"), col("bucket"), col("n"), col("approx_lo"), col("approx_hi"))
+        .orderBy("q")
+    },
+
     // A21: ROLLING DISTINCT — 7-day active users per day, exact. Distinct
     // counts do not merge across window frames, so the scalable exact form
     // inverts the window: each (user, active-day) pair is exploded into the
@@ -133,6 +180,30 @@ object SessionScaleOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // Same grid, same integer thresholds; bucket bounds re-derive from
+    // (min, width) with the identical IEEE expression tree.
+    "a22_grid_quantiles" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+                           COUNT(*) AS n
+                    FROM lineitem),
+          binned AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - b.lo) /
+                                             ((b.hi - b.lo) / 1000)), 999) AS BIGINT)
+                              AS bucket
+                     FROM lineitem, b),
+          h AS (SELECT bucket, COUNT(*) AS c FROM binned GROUP BY 1),
+          cum AS (SELECT bucket,
+                         SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM h),
+          q(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100)),
+          sel AS (SELECT q_num, q_den, MIN(bucket) AS bucket
+                  FROM cum, q, b
+                  WHERE cum * q_den >= b.n * q_num
+                  GROUP BY 1, 2)
+          SELECT CAST(q_num AS DOUBLE) / q_den AS q, bucket, b.n AS n,
+                 b.lo + bucket * ((b.hi - b.lo) / 1000) AS approx_lo,
+                 b.lo + (bucket + 1) * ((b.hi - b.lo) / 1000) AS approx_hi
+          FROM sel, b ORDER BY q""",
+
     // replay: report day d counts users active in [d-6, d] — the windowed
     // form of the same count.
     "a21_rolling_distinct" ->

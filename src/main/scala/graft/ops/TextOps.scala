@@ -44,6 +44,66 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // TOK1: the BPE tokenizer-TRAINING inner step — count every adjacent
+    // symbol pair across the corpus and surface the top merge candidates.
+    // (Word-level symbols here; byte/char pairs are the same dataflow with
+    // a different splitter.) This is the step that runs corpus-wide per
+    // merge round at training time, so its shape must be one scan + one
+    // pair-keyed exchange: the per-row pair expansion is a bounded
+    // projection (doc length − 1 structs), the count is a partial-agg
+    // groupBy, and the top-K is TakeOrderedAndProject under a TOTAL order
+    // (count desc, then pair) so the cut is engine-independent.
+    // pair_share = n / total is a ratio of the same integers on both
+    // engines — IEEE-exact.
+    "tok1_bpe_pair_merges" -> { (s, d) =>
+      val pairs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ts"))
+        // sequence(0, -1) DESCENDS in Spark — a 1-token doc must not reach it
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS l, ts[i + 1] AS r))"))
+          .as("p"))
+        .select(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      val counted = pairs.groupBy("left_sym", "right_sym")
+        .agg(count(lit(1)).as("n_pairs"))
+      val total = pairs.agg(count(lit(1)).as("total_pairs"))
+      counted.crossJoin(broadcast(total))
+        .withColumn("pair_share",
+          col("n_pairs").cast("double") / col("total_pairs"))
+        .select("left_sym", "right_sym", "n_pairs", "pair_share")
+        .orderBy(col("n_pairs").desc, col("left_sym"), col("right_sym"))
+        .limit(20)
+    },
+
+    // TX20: per-SOURCE boilerplate n-gram detection — the C4-style "this
+    // line is navigation chrome" filter at gram granularity: a 3-gram that
+    // appears in >= 60% of one source's documents is boilerplate FOR THAT
+    // SOURCE (corpus-global df — tx16 — can't see it: a template shared by
+    // every doc of one domain is rare corpus-wide). Output is the
+    // per-source audit: distinct grams, boilerplate grams, and the share
+    // of (doc, gram) instances a boilerplate strip would remove. Shuffles:
+    // one exchange on (source, gram), one re-agg on source — both linear;
+    // the integer-only threshold compare (5*c >= 3*D) avoids a
+    // cross-engine double.
+    "tx20_boilerplate_grams" -> { (s, d) =>
+      val docSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val grams = graft.ops.DedupOps.shingles(s, d)
+        .join(docSrc, Seq("doc_id"))
+      val srcSizes = docSrc.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val perGram = grams.groupBy("source", "sh")
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(srcSizes), Seq("source"))
+        .withColumn("is_boiler", col("c") * 5 >= col("n_docs") * 3)
+      perGram.groupBy("source")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          count(when(col("is_boiler"), lit(1))).as("n_boiler_grams"),
+          sum(col("c")).as("n_instances"),
+          sum(when(col("is_boiler"), col("c")).otherwise(lit(0L))).as("n_boiler_instances"))
+        .withColumn("boiler_share",
+          col("n_boiler_instances").cast("double") / col("n_instances"))
+        .orderBy("source")
+    },
+
     // Language-ID: score each candidate language by marker-token hits,
     // argmax with 'und' fallback; report the confusion table vs the label.
     "tx1_lang_id" -> { (s, d) =>
@@ -328,6 +388,37 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "tok1_bpe_pair_merges" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+          p AS (SELECT ts[i] AS left_sym, ts[i + 1] AS right_sym
+                FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+          c AS (SELECT left_sym, right_sym, COUNT(*) AS n_pairs FROM p GROUP BY 1, 2),
+          tot AS (SELECT COUNT(*) AS total_pairs FROM p)
+          SELECT left_sym, right_sym, n_pairs,
+                 CAST(n_pairs AS DOUBLE) / total_pairs AS pair_share
+          FROM c, tot
+          ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 20""",
+
+    "tx20_boilerplate_grams" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          src AS (SELECT doc_id, source FROM documents),
+          sizes AS (SELECT source, COUNT(*) AS n_docs FROM src GROUP BY 1),
+          pg AS (SELECT s2.source, sh.sh, COUNT(*) AS c
+                 FROM sh JOIN src s2 ON s2.doc_id = sh.doc_id
+                 GROUP BY 1, 2),
+          flagged AS (SELECT pg.source, pg.c, (pg.c * 5 >= z.n_docs * 3) AS is_boiler
+                      FROM pg JOIN sizes z ON z.source = pg.source)
+          SELECT source, COUNT(*) AS n_distinct_grams,
+                 CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_grams,
+                 CAST(SUM(c) AS BIGINT) AS n_instances,
+                 CAST(SUM(CASE WHEN is_boiler THEN c ELSE 0 END) AS BIGINT)
+                   AS n_boiler_instances,
+                 CAST(SUM(CASE WHEN is_boiler THEN c ELSE 0 END) AS DOUBLE)
+                   / SUM(c) AS boiler_share
+          FROM flagged GROUP BY 1 ORDER BY 1""",
+
     "tx1_lang_id" -> {
       val scores = markers.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }
         .mkString(", ")

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Structural invariants of the round-7 additions: BPE pair counting
+  * (tok1), per-source boilerplate grams (tx20), per-domain caps (sa9),
+  * cross-source overlap matrix (dd20), and grid-histogram quantiles
+  * (a22). Each is re-derived independently in memory at sf0.001 — these
+  * properties hold by construction at every scale. */
+class RoundSevenOpsSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("tok1: top merge candidate matches an in-memory pair recount") {
+    val out = SparkEntry.queries("tok1_bpe_pair_merges")(spark, sfDir)
+      .collect()
+    assert(out.length == 20, "top-20 merge candidates")
+    // independent recount of every adjacent pair
+    val counts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(t => { val w = t.split(" "); w.zip(w.tail) })
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expectedTop = counts.toSeq
+      .sortBy { case ((l, r), n) => (-n, l, r) }.take(20)
+    val got = out.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(got == expectedTop, "top-20 must equal the recount under the same total order")
+    val total = counts.values.sum
+    out.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / total, "pair_share exact")
+    }
+  }
+
+  test("tx20: boilerplate shares are consistent and bounded") {
+    val out = SparkEntry.queries("tx20_boilerplate_grams")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nd, nb) = (r.getLong(1), r.getLong(2))
+      val (ni, nbi) = (r.getLong(3), r.getLong(4))
+      assert(nb <= nd, "boiler grams are a subset of distinct grams")
+      assert(nbi <= ni, "boiler instances are a subset of instances")
+      assert(r.getDouble(5) == nbi.toDouble / ni, "share is the exact ratio")
+    }
+  }
+
+  test("sa9: every source keeps at most K docs and the cap is deterministic") {
+    val a = SparkEntry.queries("sa9_domain_cap")(spark, sfDir).collect()
+    val b = SparkEntry.queries("sa9_domain_cap")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "cap membership must be reproducible")
+    a.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.min(10L, n), s"source ${r.getString(0)}: kept $kept of $n")
+    }
+  }
+
+  test("dd20: matrix totals equal dd16's cross-source pair count") {
+    val pairs = operators.CurationOps.jaccardPairs(spark, sfDir)
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val cross = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    val matrix = SparkEntry.queries("dd20_source_overlap")(spark, sfDir)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    assert(matrix == cross, s"matrix sums to $matrix but dd16 has $cross cross-source pairs")
+  }
+
+  test("a22: each grid quantile bucket brackets the exact percentile") {
+    val out = SparkEntry.queries("a22_grid_quantiles")(spark, sfDir).collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
+    val exact = Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    out.foreach { r =>
+      val q = r.getDouble(0)
+      // the ceil(q*n)-th smallest value (1-based) must land inside the
+      // reported bucket (inclusive bounds — the bucket edge itself may be
+      // the value when it sits exactly on the grid)
+      val v = exact(math.ceil(q * exact.length).toInt - 1)
+      assert(r.getDouble(3) <= v && v <= r.getDouble(4),
+        s"q=$q: exact $v outside bucket [${r.getDouble(3)}, ${r.getDouble(4)}]")
+    }
+  }
+}
