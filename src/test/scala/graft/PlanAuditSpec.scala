@@ -311,6 +311,55 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of window must partition by the entity key:\n$s")
   }
 
+  test("tok1: pair counting is partial+final with a top-k cut, no global sort") {
+    val p = plan("tok1_bpe_pair_merges")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair counts must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 merges must be a top-k, not a full sort:\n$p")
+  }
+
+  test("sa9: the cap window partitions by source — never a global window") {
+    val phys = SparkEntry.queries("sa9_domain_cap")(spark, sfDir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"domain-cap rank must partition by source:\n$phys")
+  }
+
+  test("dd20: the doc->source dimension broadcasts onto the pair stream") {
+    val p = plan("dd20_source_overlap")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both source attachments must broadcast:\n$p")
+  }
+
+  test("a22: grid binning is scan-local — the only window is over the 1000-bucket histogram") {
+    val phys = SparkEntry.queries("a22_grid_quantiles")(spark, sfDir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val p = phys.toString
+    // the bounds frame and quantile frame attach without shuffling the fact
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucket histogram must combine map-side:\n$p")
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // one global cumsum window IS expected — over <= 1000 histogram rows,
+    // not over the fact table; assert it sits above an aggregate, i.e.
+    // its input is the bucket histogram
+    assert(windows.size == 1, s"exactly the cumsum window:\n$p")
+    assert(windows.head.child.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty, s"cumsum must run over the aggregated histogram:\n$p")
+  }
+
   test("j16: SCD-2 dim attaches as a broadcast HASH join, not a nested loop") {
     // The chunk-alignment rewrite exists precisely so the range predicate
     // never becomes a BroadcastNestedLoopJoin against the fact table. The
