@@ -522,6 +522,34 @@ object CurationOps {
         .orderBy("status")
     },
 
+    // U7: INCREMENTAL aggregate maintenance — the materialized-view
+    // refresh discipline that makes a 100 TB warehouse affordable: never
+    // recompute the world, merge the standing partial aggregates with the
+    // delta batch's partials. Only MERGEABLE state is kept (count + exact
+    // decimal sum; avg/ratios derive at read time), and the display
+    // rounding happens ONCE, after the merge — rounding partials first
+    // would make the incremental path diverge from a recompute. The gate's
+    // oracle IS the from-scratch recompute over the full table, so the
+    // merge-equals-rebuild contract is what the hash checks. Base = 90%
+    // of orders, delta = the orderkey%10 batch, mirroring dd19's
+    // batch-vs-corpus split.
+    "u7_incremental_refresh" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("mon", month(col("o_orderdate")))
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("o_orderpriority", "mon")
+          .agg(count(lit(1)).as("pn"),
+            sum(expr("CAST(o_totalprice AS DECIMAL(30,8))")).as("prev"))
+      val base = partials(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+      val delta = partials(o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority", "mon")
+        .agg(sum(col("pn")).as("n_orders"),
+          round(sum(col("prev")), 4).cast("double").as("revenue"))
+        .withColumn("avg_price", col("revenue") / col("n_orders"))
+        .orderBy("o_orderpriority", "mon")
+    },
+
     // DD16: prefix-filtered Jaccard join (PPJoin's lossless pruning, Xiao
     // et al. WWW'08) over dd4's shingle space — the scale path for dd4's
     // generate-all-co-occurring-pairs baseline. Under any FIXED global
@@ -1203,6 +1231,17 @@ object CurationOps {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    // The oracle is the FROM-SCRATCH recompute over the full table — the
+    // merge-equals-rebuild contract is exactly what the hash verifies.
+    "u7_incremental_refresh" ->
+      """SELECT o_orderpriority, CAST(month(o_orderdate) AS INT) AS mon,
+                COUNT(*) AS n_orders,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  AS revenue,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  / COUNT(*) AS avg_price
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Naive all-pairs at the same t = 0.5, aggregated by normalized source
     // pair — dd20's prefix+broadcast plan must be invisible in the result.

@@ -68,6 +68,21 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(matrix == cross, s"matrix sums to $matrix but dd16 has $cross cross-source pairs")
   }
 
+  test("u7: merged partials equal a from-scratch recompute, bit for bit") {
+    val merged = SparkEntry.queries("u7_incremental_refresh")(spark, sfDir)
+      .collect().toSeq
+    val rebuilt = Tables.orders(spark, sfDir)
+      .withColumn("mon", month(col("o_orderdate")))
+      .groupBy("o_orderpriority", "mon")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(expr("CAST(o_totalprice AS DECIMAL(30,8))")), 4)
+          .cast("double").as("revenue"))
+      .withColumn("avg_price", col("revenue") / col("n_orders"))
+      .orderBy("o_orderpriority", "mon")
+      .collect().toSeq
+    assert(merged == rebuilt, "incremental refresh must be indistinguishable from rebuild")
+  }
+
   test("a22: each grid quantile bucket brackets the exact percentile") {
     val out = SparkEntry.queries("a22_grid_quantiles")(spark, sfDir).collect()
     assert(out.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
