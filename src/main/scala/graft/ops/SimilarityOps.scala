@@ -235,11 +235,27 @@ object SimilarityOps {
   /** (vec_id, v, tbl, bucket) — every vector's bucket in each of the TABLES
     * independent hyperplane tables (see sim2 scaladoc for the weight
     * formula, shared verbatim with the oracles). */
+  /** Hyperplane j's 64 weights, precomputed once on the driver — the same
+    * LCG formula the oracle states in SQL; embedding them as a LITERAL
+    * array removes the per-row re-derivation the expression form paid. */
+  private def planeWeights(j: Int): Seq[Double] = (0 until 64).map { i =>
+    val k = j * 64L + i
+    ((1103515245L * k + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+  }
+
   private def lshBuckets(all: DataFrame): DataFrame = {
+    // Bucketing consumes only the SIGN of each hyperplane dot, and
+    // sign(dot(v, w)) == sign(cosine(v, w)) (norms are positive) — so the
+    // dot routes through the codegen'd CosineSimilarity primitive loop
+    // instead of interpreted aggregate/zip_with lambdas (Spark never
+    // codegens higher-order functions). At sf0.1 the query is stage-floor
+    // bound either way; at corpus scale the per-vector signature cost is
+    // the linear term and the primitive loop wins. Both engines
+    // accumulate in index order, so the sign agrees bit-for-bit with the
+    // oracle's plain dot.
     val planeDot = (0 until PLANES).map { j =>
-      val w = s"transform(sequence(0, 63), i -> " +
-        s"((1103515245 * CAST($j * 64 + i AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
-      expr(s"aggregate(zip_with(v, $w, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val arr = planeWeights(j).mkString("array(", "D, ", "D)")
+      expr(s"cosine_sim(v, $arr)")
     }
     val tables = (0 until TABLES).map { t =>
       val bucket = (0 until ROWS_PER_TABLE).map { r =>
