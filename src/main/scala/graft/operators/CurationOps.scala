@@ -522,6 +522,37 @@ object CurationOps {
         .orderBy("status")
     },
 
+    // DD21: the staged DEDUP FUNNEL — production dedup runs cheapest-first
+    // (exact fingerprint, linear) and only sends the survivors to the
+    // expensive near-dup stage (prefix-pruned Jaccard), so the attribution
+    // "which stage caught each document" is the funnel's operating metric:
+    // it prices the near-dup stage's remaining workload and catches
+    // regressions where a broken cheap stage silently shifts load
+    // downstream. Statuses: exact_dup (same bag fingerprint as an earlier
+    // doc), near_dup (not exact, but Jaccard >= t against ANY smaller
+    // doc_id — partner status irrelevant, keeping the rule one join
+    // deep and engine-independent), kept otherwise. Both stages reuse
+    // the shared machinery (bagFingerprint, jaccardPairs); the id
+    // checksum pins the exact per-doc attribution.
+    "dd21_dedup_funnel" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.TextOps.bagFingerprint.as("fp"))
+      val firstFp = docs.groupBy("fp").agg(min(col("doc_id")).as("first_id"))
+      val exact = docs.join(broadcast(firstFp), Seq("fp"))
+        .select(col("doc_id"), (col("doc_id") > col("first_id")).as("is_exact"))
+      val nearIds = jaccardPairs(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("has_near", lit(true))
+      exact.join(nearIds, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("is_exact"), "exact_dup")
+            .when(coalesce(col("has_near"), lit(false)), "near_dup")
+            .otherwise("kept"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("status")
+    },
+
     // U7: INCREMENTAL aggregate maintenance — the materialized-view
     // refresh discipline that makes a 100 TB warehouse affordable: never
     // recompute the world, merge the standing partial aggregates with the
@@ -1231,6 +1262,32 @@ object CurationOps {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    // Funnel replay: exact via the shared bag fingerprint, near via the
+    // naive all-pairs Jaccard (doc_b side of any qualifying pair).
+    "dd21_dedup_funnel" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          fpt AS (SELECT doc_id, ${graft.ops.TextOps.duckBagFingerprint} AS fp
+                  FROM documents),
+          firstfp AS (SELECT fp, MIN(doc_id) AS first_id FROM fpt GROUP BY 1),
+          ex AS (SELECT f.doc_id, f.doc_id > ff.first_id AS is_exact
+                 FROM fpt f JOIN firstfp ff ON ff.fp = f.fp),
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          nearids AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+                      JOIN counts ca ON ca.doc_id = doc_a
+                      JOIN counts cb ON cb.doc_id = doc_b
+                      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          tagged AS (SELECT e.doc_id,
+                            CASE WHEN e.is_exact THEN 'exact_dup'
+                                 WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                                 ELSE 'kept' END AS status
+                     FROM ex e LEFT JOIN nearids n ON n.doc_id = e.doc_id)
+          SELECT status, COUNT(*) AS n_docs,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+          FROM tagged GROUP BY 1 ORDER BY 1""",
 
     // The oracle is the FROM-SCRATCH recompute over the full table — the
     // merge-equals-rebuild contract is exactly what the hash verifies.

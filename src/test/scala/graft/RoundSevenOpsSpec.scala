@@ -83,6 +83,25 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(merged == rebuilt, "incremental refresh must be indistinguishable from rebuild")
   }
 
+  test("dd21: funnel statuses partition the corpus and stages are ordered") {
+    val out = SparkEntry.queries("dd21_dedup_funnel")(spark, sfDir).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sfDir).count(),
+      "every document gets exactly one funnel status")
+    val byStatus = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact stage runs first: an exact dup must never be counted as near
+    val exactIds = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.ops.TextOps.bagFingerprint.as("fp"))
+      .withColumn("first", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") > col("first"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearIds = operators.CurationOps.jaccardPairs(spark, sfDir)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(byStatus.getOrElse("exact_dup", 0L) == exactIds.size)
+    assert(byStatus.getOrElse("near_dup", 0L) == (nearIds -- exactIds).size)
+  }
+
   test("a22: each grid quantile bucket brackets the exact percentile") {
     val out = SparkEntry.queries("a22_grid_quantiles")(spark, sfDir).collect()
     assert(out.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
