@@ -65,6 +65,43 @@ object SessionScaleOps {
         .orderBy("q")
     },
 
+    // W18: ROLLING exact QUANTILE — trailing-7-day median of the daily
+    // total, the robust-trend smoother dashboards put next to the rolling
+    // mean. Spark has no exact-quantile window function, and a
+    // per-frame sort in a window would re-sort every frame; the scalable
+    // rewrite is a21's inversion: each daily total contributes itself to
+    // the 7 report-days whose trailing window contains it (constant-width
+    // Generate), then ONE percentile_disc group-aggregate per report day.
+    // Shuffle volume is 7×|days| rows — linear, mergeable, no window
+    // state. Daily totals are decimal-exact (dsum), and the DISCRETE
+    // median picks an actual element of that set, so the gate is
+    // bit-exact cross-engine with no interpolation arithmetic at all.
+    "w18_rolling_median" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("day_value"))
+      val bounds = Tables.events(s, d)
+        .agg(max(to_date(col("ts"))).as("d1"))
+      daily
+        .withColumn("report_day",
+          explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
+        .crossJoin(broadcast(bounds))
+        .filter(col("report_day") <= col("d1"))
+        // report days are OBSERVED days (a gap day inside someone's
+        // trailing window is not a report row — keeps the day set
+        // identical to the oracle's self-join over the daily frame)
+        .join(broadcast(daily.select(col("day").as("report_day"))),
+          Seq("report_day"), "left_semi")
+        .createOrReplaceTempView("w18_contrib")
+      s.sql(
+        """SELECT report_day,
+          |       COUNT(*) AS n_days,
+          |       percentile_disc(0.5) WITHIN GROUP (ORDER BY day_value)
+          |         AS median_7d
+          |FROM w18_contrib
+          |GROUP BY report_day ORDER BY report_day""".stripMargin)
+    },
+
     // A21: ROLLING DISTINCT — 7-day active users per day, exact. Distinct
     // counts do not merge across window frames, so the scalable exact form
     // inverts the window: each (user, active-day) pair is exploded into the
@@ -206,6 +243,22 @@ object SessionScaleOps {
 
     // replay: report day d counts users active in [d-6, d] — the windowed
     // form of the same count.
+    // Windowed replay: report day d takes the discrete median of daily
+    // totals in [d-6, d] — same dsum day values, same discrete rule.
+    "w18_rolling_median" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE)
+                    AS day_value
+           FROM events GROUP BY 1),
+          b AS (SELECT MAX(day) AS d1 FROM daily)
+          SELECT d.day AS report_day, COUNT(*) AS n_days,
+                 quantile_disc(c.day_value, 0.5) AS median_7d
+          FROM daily d
+          JOIN daily c ON c.day BETWEEN d.day - INTERVAL 6 DAY AND d.day, b
+          WHERE d.day <= b.d1
+          GROUP BY 1 ORDER BY 1""",
+
     "a21_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
           b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
