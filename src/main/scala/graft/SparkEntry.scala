@@ -32,6 +32,7 @@ object SparkEntry {
     operators.SamplingOps.queries ++
     operators.CompletionOps.queries ++
     operators.CurationOps.queries ++
+    operators.GraphOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
     operators.SamplingOps.oracles ++
     operators.CompletionOps.oracles ++
     operators.CurationOps.oracles ++
+    operators.GraphOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

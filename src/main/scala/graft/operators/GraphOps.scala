@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-analysis centrality over the verified near-duplicate graph.
+  *
+  * Web-scale corpus curation ranks pages/documents by graph centrality
+  * (PageRank over the link graph is the classic crawl-quality prior; the
+  * same iteration over a SIMILARITY graph surfaces "template hubs" —
+  * documents near-duplicated across many sources, which deserve either a
+  * boost as canonical content or a cut as boilerplate). The testdata has
+  * no hyperlink column, so the edge list is dd16's verified Jaccard
+  * pair stream ([[CurationOps.jaccardPairs]], t = 0.5) made symmetric —
+  * a real graph the engine already computes, and the op composes with
+  * the dedup stack instead of inventing data.
+  *
+  * Spark-first shape: classic Pregel-style iteration as join + hash-agg.
+  * Each round is `adj ⋈ ranks → groupBy(dst).sum` — ONE exchange on the
+  * edge key per round, partial aggregation on the map side, no windows,
+  * no driver-side data movement (only localCheckpoint's lineage cut, the
+  * same pattern [[graft.ops.DedupOps.connectedComponents]] documents: the
+  * plan would otherwise double per round). `adj` (edges ⋈ out-degree) is
+  * iteration-invariant and persisted once. At 100 TB this is exactly
+  * GraphX/Pregel's dataflow; ranks re-shuffle on the same key each round
+  * so AQE reuses the exchange layout.
+  *
+  * Cross-engine exactness: doubles summed in engine-dependent order can't
+  * hash-gate an ITERATIVE fixpoint (error compounds per round), so ranks
+  * are scaled integers (1e12 = rank 1.0) and the recurrence
+  *   r'(v) = tele + Σ_{u→v} (85 · (r(u) div deg(u))) div 100,
+  *   tele  = (15 · (1e12 div N)) div 100
+  * uses only integer multiply/floor-divide — associative, commutative,
+  * order-independent, bit-identical in Spark (`div`) and DuckDB (`//`).
+  * The floor losses make total mass drift down a few units per round —
+  * deterministic, and asserted conserved-within-bound in GraphOpsSpec.
+  *
+  * Reference scope: the reference pipeline has no graph operator — this is
+  * part of the beyond-reference training-data pack (builder brief), sited
+  * with dd7/dd12 (iterative min-label CC) as the weighted-centrality twin.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 1e12 — fixed-point scale for ranks (rank 1.0 = 1e12). */
+  private val SCALE = 1000000000000L
+  private[graft] val ITERS = 5
+
+  /** Shared by the query and GraphOpsSpec's in-memory replay. */
+  private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = CurationOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // One row: N plus the two per-node constants derived from it.
+    val consts = deg.agg(count(lit(1)).as("n"))
+      .select(expr(s"${SCALE}L div n").as("r0"),
+        expr(s"(15L * (${SCALE}L div n)) div 100L").as("tele"))
+    val adj = edges.join(deg, "src").persist()
+    var ranks = deg.crossJoin(broadcast(consts))
+      .select(col("src").as("node"), col("r0").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to ITERS) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("(85L * (r div deg)) div 100L").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+        .crossJoin(broadcast(consts))
+        .select(col("dst").as("node"), (col("tele") + col("contrib")).as("r"))
+        .localCheckpoint()
+    }
+    val out = ranks.select(col("node").as("doc_id"), col("r").as("rank_scaled"))
+      .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+      .orderBy(col("rank_scaled").desc, col("doc_id"))
+    adj.unpersist()
+    out
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g1_pagerank" -> { (s, d) => pagerank(s, d) })
+
+  /** The oracle unrolls the same integer recurrence as chained CTEs
+    * (r1..r5) over the naive all-pairs edge list (dd20's pair CTEs) —
+    * DuckDB's `//` is the same positive-operand floor division as
+    * Spark's `div`, so every iterate is bit-equal. */
+  private val iterCtes = (1 to ITERS).map { k =>
+    s"""r$k AS (
+         SELECT e.dst AS node,
+                (SELECT tele FROM con) + SUM((85 * (r.r // d.deg)) // 100) AS r
+         FROM edges e
+         JOIN r${k - 1} r ON r.node = e.src
+         JOIN deg d ON d.src = e.src
+         GROUP BY e.dst)"""
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "g1_pagerank" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          con AS (SELECT 1000000000000 // COUNT(*) AS r0,
+                         (15 * (1000000000000 // COUNT(*))) // 100 AS tele
+                  FROM deg),
+          r0 AS (SELECT src AS node, (SELECT r0 FROM con) AS r FROM deg),
+          $iterCtes
+          SELECT r.node AS doc_id, CAST(r.r AS BIGINT) AS rank_scaled, d.deg
+          FROM r$ITERS r JOIN deg d ON d.src = r.node
+          ORDER BY rank_scaled DESC, doc_id""")
+}

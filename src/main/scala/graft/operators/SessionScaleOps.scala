@@ -148,6 +148,51 @@ object SessionScaleOps {
         .withColumn("conversion_rate", col("n_converted") / col("n_clicked"))
     },
 
+    // F19: PMI co-occurrence of event types within sessions — the
+    // association score behind word2vec-era negative sampling tables and
+    // item-item co-occurrence features: which event types appear in the
+    // SAME session more than independence predicts. Shares w6's gap
+    // sessionization, reduces each session to its DISTINCT type set, then
+    // expands pairs via a session-local self-join (bounded fan-out: the
+    // type vocabulary caps per-session distinct types, so the expansion
+    // is ≤ |V|² per session, not |events|²; every exchange — window,
+    // distinct, pair join, pair count — is keyed on session- or
+    // type-scoped keys, all linear in events; an array-comprehension
+    // pair expansion would leave codegen, see dd16's HOF note). The
+    // score is
+    // LOG-FREE (tx13's idiom): pmi_ratio = n_ab·S / (n_a·n_b) — all-
+    // integer numerator/denominator, one IEEE division, bit-equal cross-
+    // engine; log of a ratio is monotone in the ratio so ranking is
+    // unchanged and the gate hash-checks exactly.
+    "f19_session_pmi" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val st = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GAP_MIN * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "session_id", "event_type").distinct()
+      val nSess = st.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val nT = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val lhs = st.select(col("user_id"), col("session_id"), col("event_type").as("ta"))
+      val rhs = st.select(col("user_id"), col("session_id"), col("event_type").as("tb"))
+      lhs.join(rhs, Seq("user_id", "session_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(nT.select(col("event_type").as("ta"), col("n_t").as("n_a"))), Seq("ta"))
+        .join(broadcast(nT.select(col("event_type").as("tb"), col("n_t").as("n_b"))), Seq("tb"))
+        .crossJoin(broadcast(nSess))
+        .withColumn("pmi_ratio",
+          (col("n_ab") * col("n_sessions")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+        .select("ta", "tb", "n_ab", "n_a", "n_b", "n_sessions", "pmi_ratio")
+        .orderBy("ta", "tb")
+    },
+
     // Sessionization: a session breaks after a >30 min gap per user.
     // Two windows + two aggregations; at scale this is one shuffle on
     // user_id (the windows and both group-bys share the partitioning).
@@ -288,6 +333,44 @@ object SessionScaleOps {
           SELECT a.n_clicked, b.n_converted, b.total_delay_us,
                  CAST(b.n_converted AS DOUBLE) / a.n_clicked AS conversion_rate
           FROM a, b""",
+
+    // Same session CTEs as w6 with event_type carried through; the pair
+    // CTE mirrors the self-join, the score the same integer ratio.
+    "f19_session_pmi" ->
+      s"""WITH g AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events),
+          flagged AS (
+            SELECT user_id, event_id, event_type, us,
+                   CASE WHEN prev_us IS NULL
+                          OR us - prev_us > ${GAP_MIN * 60L * 1000000L}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM g),
+          numbered AS (
+            SELECT user_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged),
+          st AS (SELECT DISTINCT user_id, session_id, event_type FROM numbered),
+          ns AS (SELECT COUNT(*) AS n_sessions
+                 FROM (SELECT DISTINCT user_id, session_id FROM st)),
+          nt AS (SELECT event_type, COUNT(*) AS n_t FROM st GROUP BY 1),
+          p AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_ab
+                FROM st a
+                JOIN st b ON a.user_id = b.user_id
+                         AND a.session_id = b.session_id
+                         AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+          SELECT ta, tb, n_ab,
+                 na.n_t AS n_a, nb.n_t AS n_b, ns.n_sessions,
+                 CAST(n_ab * ns.n_sessions AS DOUBLE) / (na.n_t * nb.n_t) AS pmi_ratio
+          FROM p
+          JOIN nt na ON na.event_type = ta
+          JOIN nt nb ON nb.event_type = tb, ns
+          ORDER BY ta, tb""",
 
     "w6_sessionize" ->
       s"""WITH g AS (

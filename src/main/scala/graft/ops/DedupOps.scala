@@ -230,6 +230,35 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // SA10: LEAKAGE-SAFE (cluster-aware) train/val/test split. sa3's
+    // salted-hash split assigns per DOCUMENT, so two near-duplicates can
+    // land in train and test — the eval-contamination path every serious
+    // corpus build closes by splitting on the DEDUP CLUSTER instead: hash
+    // the cluster representative id, and every member inherits the
+    // cluster's split. Composes dd9's manifest (docs ⋈ CC clusters,
+    // singletons = their own cluster) with sa3's md5-bucket assignment —
+    // one broadcast-sized join over the corpus scan, append-safe (a new
+    // doc can only join an existing cluster's split or hash its own).
+    // No-span-across-splits is by construction; the spec re-derives the
+    // full aggregate from an in-memory md5 replay.
+    "sa10_cluster_split" -> { (s, d) =>
+      val m = queries("dd9_dedup_manifest")(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val h = expr("CAST(conv(substring(md5(concat('graft-cluster-split', " +
+        "CAST(cluster_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
+      m.withColumn("h", h)
+        .withColumn("split",
+          when(pmod(col("h"), lit(100)) < 90, "train")
+            .when(pmod(col("h"), lit(100)) < 95, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("doc_id_checksum"))
+        .orderBy("split")
+    },
+
     // DD13: KEEP-BEST dedup manifest — dd9's manifest with the policy a
     // real corpus build uses: the cluster representative is the HIGHEST-
     // QUALITY member (here: longest text, ties to the smaller doc_id), not
@@ -612,6 +641,23 @@ object DedupOps {
           LEFT JOIN cluster c USING (doc_id)
           LEFT JOIN sizes s USING (cluster_id)
           ORDER BY d.doc_id""",
+
+    // Cluster-aware split: dd9's COALESCE manifest shape + sa3's md5
+    // bucket arithmetic, keyed on cluster_id instead of doc_id.
+    "sa10_cluster_split" ->
+      s"""WITH RECURSIVE $ccCtes,
+          asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                  FROM documents d LEFT JOIN cluster c USING (doc_id)),
+          hb AS (SELECT doc_id, cluster_id,
+                        ('0x' || substr(md5('graft-cluster-split' || CAST(cluster_id AS VARCHAR)), 1, 7))::BIGINT AS h
+                 FROM asg)
+          SELECT CASE WHEN h % 100 < 90 THEN 'train'
+                      WHEN h % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split,
+                 COUNT(*) AS n_docs,
+                 CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                 CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+          FROM hb GROUP BY 1 ORDER BY 1""",
 
     // keep-best manifest: keeper = argmax (doc_len, -doc_id) per cluster,
     // replayed with the same encoded ordering key.

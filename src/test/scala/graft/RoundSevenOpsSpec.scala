@@ -7,9 +7,10 @@ import graft.tlc.Fixtures
 
 /** Structural invariants of the round-7 additions: BPE pair counting
   * (tok1), per-source boilerplate grams (tx20), per-domain caps (sa9),
-  * cross-source overlap matrix (dd20), and grid-histogram quantiles
-  * (a22). Each is re-derived independently in memory at sf0.001 — these
-  * properties hold by construction at every scale. */
+  * cross-source overlap matrix (dd20), grid-histogram quantiles (a22),
+  * and the leakage-safe cluster split (sa10). Each is re-derived
+  * independently in memory at sf0.001 — these properties hold by
+  * construction at every scale. */
 class RoundSevenOpsSpec extends AnyFunSuite {
   lazy val spark = Fixtures.sparkSession()
   val sfDir = "/root/testdata/sf0.001"
@@ -115,6 +116,53 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       val v = exact(math.ceil(q * exact.length).toInt - 1)
       assert(r.getDouble(3) <= v && v <= r.getDouble(4),
         s"q=$q: exact $v outside bucket [${r.getDouble(3)}, ${r.getDouble(4)}]")
+    }
+  }
+
+  test("sa10: cluster split equals an in-memory md5 replay and never splits a cluster") {
+    def mdBucket(clusterId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("graft-cluster-split" + clusterId.toString)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 100
+    }
+    val manifest = SparkEntry.queries("dd9_dedup_manifest")(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = manifest
+      .map { case (doc, cl) =>
+        val b = mdBucket(cl)
+        val split = if (b < 90) "train" else if (b < 95) "val" else "test"
+        (split, doc, cl)
+      }
+      .groupBy(_._1).map { case (split, xs) =>
+        split -> (xs.length.toLong, xs.map(_._3).distinct.length.toLong,
+          xs.map(_._2).sum)
+      }
+    val got = SparkEntry.queries("sa10_cluster_split")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, "split aggregate must equal the md5 replay")
+    // no-span invariant: if any cluster reached two splits it would be
+    // counted once per split and the per-split cluster counts would
+    // overshoot the global distinct count
+    assert(got.values.map(_._2).sum == manifest.map(_._2).distinct.length.toLong,
+      "sum of per-split cluster counts = total distinct clusters")
+    assert(got.values.map(_._1).sum == manifest.length.toLong,
+      "every document is assigned exactly one split")
+  }
+
+  test("f19: PMI counts are consistent and the ratio is the exact integer quotient") {
+    val out = SparkEntry.queries("f19_session_pmi")(spark, sfDir).collect()
+    assert(out.nonEmpty, "events must yield co-occurring type pairs")
+    out.foreach { r =>
+      val (nAb, nA, nB, nS) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getString(0) < r.getString(1), "pairs are ordered ta < tb")
+      assert(nAb <= math.min(nA, nB), "co-occurrence bounded by each marginal")
+      assert(math.max(nA, nB) <= nS, "marginals bounded by session count")
+      assert(r.getDouble(6) == (nAb * nS).toDouble / (nA * nB).toDouble,
+        "pmi_ratio is exactly the integer quotient")
     }
   }
 }

@@ -19,6 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "SamplingOps" -> operators.SamplingOps.queries,
     "CompletionOps" -> operators.CompletionOps.queries,
     "CurationOps" -> operators.CurationOps.queries,
+    "GraphOps" -> operators.GraphOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
