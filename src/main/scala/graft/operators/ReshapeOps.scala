@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -70,6 +71,35 @@ object ReshapeOps {
           element_at(col("tags"), "region2x").as("tag_region2x"),
           size(col("tags")).cast("long").as("n_tags"))
         .orderBy("n_nationkey")
+    },
+
+    // U8: CDC changelog compaction — the MERGE/latest-wins apply every
+    // lakehouse table format (Delta CDF, Hudi, Debezium topic compaction)
+    // performs before serving a snapshot: order each key's change records,
+    // keep the newest, drop keys whose newest record is a tombstone. The
+    // event stream is read as a changelog on per-user account state:
+    // signup/purchase upsert the state value, error is a tombstone,
+    // click/view are non-state events and never reach the compactor
+    // (filter pushed to the scan). One exchange on the key; the ranking
+    // window and the per-key op count share it; rk=1 + anti-tombstone
+    // filter is the standard compaction shape — no global sort anywhere
+    // but the gate's output ordering. At 100 TB this is exactly the
+    // shuffle a MERGE INTO's matched-clause resolution pays, with
+    // row_number (not max+self-join) keeping it single-pass.
+    "u8_changelog_compact" -> { (s, d) =>
+      val byUserDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val perUser = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .withColumn("rk", row_number().over(byUserDesc))
+        .withColumn("n_ops", count(lit(1)).over(perUser))
+        .filter(col("rk") === 1 && col("op") === "U")
+        .select(col("user_id"), col("event_type").as("last_op"),
+          col("value").as("last_value"), col("n_ops"))
+        .orderBy("user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -108,5 +138,23 @@ object ReshapeOps {
                 MAP(['key', 'region2x'], [n_nationkey, n_regionkey * 2])['key'][1] AS tag_key,
                 MAP(['key', 'region2x'], [n_nationkey, n_regionkey * 2])['region2x'][1] AS tag_region2x,
                 CAST(cardinality(MAP(['key', 'region2x'], [n_nationkey, n_regionkey * 2])) AS BIGINT) AS n_tags
-         FROM nation ORDER BY n_nationkey""")
+         FROM nation ORDER BY n_nationkey""",
+
+    // Same window shape; tombstoned keys vanish via the rk=1 + op filter.
+    "u8_changelog_compact" ->
+      """WITH ops AS (
+           SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "value",
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+           FROM events
+           WHERE event_type IN ('signup', 'purchase', 'error')),
+         r AS (
+           SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rk,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+           FROM ops)
+         SELECT user_id, event_type AS last_op, "value" AS last_value,
+                CAST(n_ops AS BIGINT) AS n_ops
+         FROM r WHERE rk = 1 AND op = 'U'
+         ORDER BY user_id""")
 }

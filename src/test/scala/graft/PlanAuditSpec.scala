@@ -370,4 +370,28 @@ class PlanAuditSpec extends AnyFunSuite {
     val nljs = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(nljs <= 1, s"fact-to-dim must not nested-loop:\n$p")
   }
+
+  test("f19: PMI marginals broadcast; no cartesian pair explosion") {
+    // The pair expansion must stay a keyed self-join on (user, session)
+    // with the type-marginal and session-count dimensions broadcast onto
+    // it; the only nested-loop joins allowed are 1-row broadcast attaches
+    // (the n_sessions scalar). A CartesianProduct would mean the session
+    // key fell out of the join and the expansion went corpus-quadratic.
+    val p = plan("f19_session_pmi")
+    assert(p.contains("BroadcastHashJoin"), s"marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join lost its key:\n$p")
+  }
+
+  test("sa10: cluster split is manifest-join + one partial+final aggregate") {
+    // Split assignment is arithmetic over the manifest scan — the only
+    // shuffles are the manifest's own join and the final 3-group
+    // aggregate, which must show a map-side partial (the distinct-cluster
+    // count rides the same Expand+partial pipeline). No window, no sort
+    // wider than the 3-row output.
+    val p = plan("sa10_cluster_split")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"split aggregate must be partial+final:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -8,7 +8,8 @@ import graft.tlc.Fixtures
 /** Structural invariants of the round-7 additions: BPE pair counting
   * (tok1), per-source boilerplate grams (tx20), per-domain caps (sa9),
   * cross-source overlap matrix (dd20), grid-histogram quantiles (a22),
-  * and the leakage-safe cluster split (sa10). Each is re-derived
+  * the leakage-safe cluster split (sa10), CDC changelog compaction (u8),
+  * and session PMI (f19). Each is re-derived
   * independently in memory at sf0.001 — these properties hold by
   * construction at every scale. */
 class RoundSevenOpsSpec extends AnyFunSuite {
@@ -150,6 +151,30 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       "sum of per-split cluster counts = total distinct clusters")
     assert(got.values.map(_._1).sum == manifest.length.toLong,
       "every document is assigned exactly one split")
+  }
+
+  test("u8: compaction equals a sequential latest-wins replay of the changelog") {
+    val log = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)),
+        r.getString(3), r.getDouble(4)))
+    assert(log.nonEmpty)
+    // latest record per key = max (ts_micros, event_id)
+    val expected = log.groupBy(_._1).flatMap { case (user, recs) =>
+      val last = recs.maxBy(_._2)
+      if (last._3 == "error") None
+      else Some(user -> (last._3, last._4, recs.length.toLong))
+    }
+    val got = SparkEntry.queries("u8_changelog_compact")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, "compacted snapshot must equal the replay")
+    // tombstoned keys are really gone
+    val tombstoned = log.groupBy(_._1)
+      .filter { case (_, recs) => recs.maxBy(_._2)._3 == "error" }.keySet
+    assert(tombstoned.forall(!got.contains(_)), "tombstones must drop their key")
   }
 
   test("f19: PMI counts are consistent and the ratio is the exact integer quotient") {
