@@ -259,6 +259,50 @@ object DedupOps {
         .orderBy("split")
     },
 
+    // G2: MODULARITY of the near-dup clustering — the partition-quality
+    // audit run before trusting a dedup manifest: Q = Σ_c [ e_c/m −
+    // (deg_c/2m)² ]. High per-cluster terms = tight template families;
+    // a near-zero total means the pair graph is degree-dominated and the
+    // clustering adds little structure. Under a CC partition every edge
+    // is intra-cluster by construction, so e_c is just the cluster's
+    // pair count — the score still discriminates because the degree²
+    // penalty scales with cluster mass. All inputs are integers (e_c,
+    // deg_c, m); each term is one identical IEEE expression per engine
+    // rounded at 6 dp (stableRound bias), and the total is an exact
+    // decimal sum attached as a broadcast 1-row join — no global window
+    // (qc_drift's shape, scale-clean). Only the edge-count scalar m
+    // reaches the driver (dd7's convergence-scalar contract).
+    "g2_modularity" -> { (s, d) =>
+      val pairs = pairsCache.computeIfAbsent((s, d), { _ =>
+        queries("dd2_minhash_lsh")(s, d).select("doc_a", "doc_b").persist()
+      })
+      val clusters = clustersCache.computeIfAbsent((s, d), { _ =>
+        connectedComponents(pairs).persist()
+      })
+      val m = pairs.count()
+      val deg = pairs.select(col("doc_a").as("src"))
+        .unionAll(pairs.select(col("doc_b").as("src")))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      val ec = pairs
+        .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("e_c"))
+      val dc = deg
+        .join(clusters.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
+        .groupBy("cluster_id")
+        .agg(sum(col("deg")).as("deg_c"), count(lit(1)).as("n_members"))
+      val terms = dc.join(ec, Seq("cluster_id"))
+        .withColumn("half", col("deg_c").cast("double") / lit(2.0 * m))
+        .withColumn("term",
+          round(lit(1e-9) + col("e_c").cast("double") / lit(m.toDouble) -
+            col("half") * col("half"), 6))
+      val qTotal = terms
+        .agg(round(sum(col("term").cast("decimal(30,8)")), 4).cast("double").as("q_total"))
+      terms.crossJoin(broadcast(qTotal))
+        .select(col("cluster_id"), col("n_members"), col("e_c"), col("deg_c"),
+          col("term"), col("q_total"))
+        .orderBy("cluster_id")
+    },
+
     // DD13: KEEP-BEST dedup manifest — dd9's manifest with the policy a
     // real corpus build uses: the cluster representative is the HIGHEST-
     // QUALITY member (here: longest text, ties to the smaller doc_id), not
@@ -641,6 +685,30 @@ object DedupOps {
           LEFT JOIN cluster c USING (doc_id)
           LEFT JOIN sizes s USING (cluster_id)
           ORDER BY d.doc_id""",
+
+    // Modularity over the same recursive-CTE clusters; the ccCtes edges
+    // CTE is already symmetric, so degree falls out of one GROUP BY.
+    "g2_modularity" ->
+      s"""WITH RECURSIVE $ccCtes,
+          degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          mm AS (SELECT COUNT(*) AS m FROM sim_pairs),
+          ec AS (SELECT c.cluster_id, COUNT(*) AS e_c
+                 FROM sim_pairs p JOIN cluster c ON c.doc_id = p.doc_a
+                 GROUP BY 1),
+          dc AS (SELECT c.cluster_id, CAST(SUM(dg.deg) AS BIGINT) AS deg_c,
+                        COUNT(*) AS n_members
+                 FROM degs dg JOIN cluster c ON c.doc_id = dg.src
+                 GROUP BY 1),
+          terms AS (
+            SELECT dc.cluster_id, dc.n_members, ec.e_c, dc.deg_c,
+                   ROUND(1e-9 + CAST(ec.e_c AS DOUBLE) / (SELECT m FROM mm)
+                         - (CAST(dc.deg_c AS DOUBLE) / (2 * (SELECT m FROM mm)))
+                         * (CAST(dc.deg_c AS DOUBLE) / (2 * (SELECT m FROM mm))), 6) AS term
+            FROM dc JOIN ec USING (cluster_id))
+          SELECT cluster_id, n_members, e_c, deg_c, term,
+                 (SELECT CAST(ROUND(SUM(CAST(term AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  FROM terms) AS q_total
+          FROM terms ORDER BY cluster_id""",
 
     // Cluster-aware split: dd9's COALESCE manifest shape + sa3's md5
     // bucket arithmetic, keyed on cluster_id instead of doc_id.

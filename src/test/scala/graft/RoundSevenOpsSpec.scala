@@ -153,6 +153,27 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       "every document is assigned exactly one split")
   }
 
+  test("g2: modularity bookkeeping closes — edges and degrees partition exactly") {
+    val out = SparkEntry.queries("g2_modularity")(spark, sfDir).collect()
+    assert(out.nonEmpty, "the LSH pair graph must yield clusters")
+    val m = SparkEntry.queries("dd2_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").distinct().count()
+    // under a CC partition every edge is intra-cluster: cluster pair
+    // counts and degree masses must tile the whole graph
+    assert(out.map(_.getLong(2)).sum == m, "sum e_c = m")
+    assert(out.map(_.getLong(3)).sum == 2 * m, "sum deg_c = 2m")
+    out.foreach { r =>
+      val (nm, ec, dc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ec >= nm - 1, "a connected component has >= n-1 edges")
+      assert(dc == out.filter(_.getLong(0) == r.getLong(0)).map(_.getLong(3)).head)
+      assert(r.getDouble(4) <= ec.toDouble / m + 1e-9, "term <= e_c/m")
+    }
+    // the broadcast total equals the decimal replay of the terms
+    val replay = out.map(r => BigDecimal(r.getDouble(4)).setScale(8))
+      .sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(5) == replay, "q_total = exact decimal sum")
+  }
+
   test("u8: compaction equals a sequential latest-wins replay of the changelog") {
     val log = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("signup", "purchase", "error"))
