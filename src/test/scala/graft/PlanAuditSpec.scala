@@ -382,6 +382,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"pair join lost its key:\n$p")
   }
 
+  test("g2: the modularity total attaches as a 1-row broadcast, never a window") {
+    // The per-cluster terms must not pay a global single-partition window
+    // for the corpus-wide total: the only nested-loop join allowed is the
+    // 1-row q_total attach, and no Window operator belongs in the plan.
+    val p = plan("g2_modularity")
+    assert(!p.contains("Window"), s"no global window for the total:\n$p")
+    val nljs = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nljs <= 1, s"only the 1-row total attach may nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sa10: cluster split is manifest-join + one partial+final aggregate") {
     // Split assignment is arithmetic over the manifest scan — the only
     // shuffles are the manifest's own join and the final 3-group
