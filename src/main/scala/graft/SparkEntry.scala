@@ -33,6 +33,8 @@ object SparkEntry {
     operators.CompletionOps.queries ++
     operators.CurationOps.queries ++
     operators.GraphOps.queries ++
+    operators.StatOps.queries ++
+    operators.LayoutOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -63,6 +65,8 @@ object SparkEntry {
     operators.CompletionOps.oracles ++
     operators.CurationOps.oracles ++
     operators.GraphOps.oracles ++
+    operators.StatOps.oracles ++
+    operators.LayoutOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Exact.stableRound
 
 /** Link-analysis centrality over the verified near-duplicate graph.
   *
@@ -100,8 +101,48 @@ object GraphOps {
       .orderBy(col("rank_scaled").desc, col("doc_id"))
   }
 
+  /** G3: triangle census + global clustering coefficient over the same
+    * near-dup graph — the cohesion audit next to g2's modularity (a
+    * near-dup graph whose clusters are cliques is template duplication;
+    * one with many open wedges is chained drift). Degree-ordered
+    * orientation (each edge points low→high (deg, id)) is the standard
+    * scale trick: every triangle is counted exactly once and the wedge
+    * join's fan-out per node is bounded by its ORIENTED out-degree
+    * (≤ O(√m) for any graph), so the join never explodes on hub nodes —
+    * this is why a 100 TB triangle count is feasible at all. Pure
+    * integer compares/counts end to end: nothing to round, bit-exact. */
+  private[graft] def triangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = CurationOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+    val (_, deg) = adjacency(s, d)
+    val da = deg.select(col("src").as("doc_a"), col("deg").as("dega"))
+    val db = deg.select(col("src").as("doc_b"), col("deg").as("degb"))
+    val lowFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
+    val oriented = pairs.join(da, "doc_a").join(db, "doc_b")
+      .select(
+        when(lowFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(lowFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(lowFirst, col("degb")).otherwise(col("dega")).as("degd"))
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("degd").as("dv"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("degd").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wcount = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = pairs.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(wcount)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        stableRound(lit(3.0) * col("n_triangles") /
+          when(col("n_wedges") =!= 0, col("n_wedges")), 6).as("closed_share"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "g1_pagerank" -> { (s, d) => pagerank(s, d) })
+    "g1_pagerank" -> { (s, d) => pagerank(s, d) },
+    "g3_triangles" -> { (s, d) => triangles(s, d) })
 
   /** The oracle unrolls the same integer recurrence as chained CTEs
     * (r1..r5) over the naive all-pairs edge list (dd20's pair CTEs) —
@@ -140,5 +181,44 @@ object GraphOps {
           $iterCtes
           SELECT r.node AS doc_id, CAST(r.r AS BIGINT) AS rank_scaled, d.deg
           FROM r$ITERS r JOIN deg d ON d.src = r.node
-          ORDER BY rank_scaled DESC, doc_id""")
+          ORDER BY rank_scaled DESC, doc_id""",
+
+    "g3_triangles" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          ori AS (
+            SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+                        THEN p.doc_a ELSE p.doc_b END AS src,
+                   CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+                        THEN p.doc_b ELSE p.doc_a END AS dst,
+                   CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+                        THEN db.deg ELSE da.deg END AS degd
+            FROM pairs p
+            JOIN deg da ON da.src = p.doc_a
+            JOIN deg db ON db.src = p.doc_b),
+          wedges AS (
+            SELECT e1.dst AS v, e2.dst AS w
+            FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+            WHERE (e1.degd < e2.degd) OR (e1.degd = e2.degd AND e1.dst < e2.dst)),
+          tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM wedges wd JOIN ori o ON o.src = wd.v AND o.dst = wd.w),
+          wcount AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+          nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+          ne AS (SELECT COUNT(*) AS n_edges FROM pairs)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 ROUND(1e-9 + 3.0 * n_triangles / NULLIF(n_wedges, 0), 6) AS closed_share
+          FROM nn, ne, wcount, tri""")
 }

@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Physical-layout planning and ordered-sweep operators:
+  *
+  *  - s17: small-file compaction planning — the table-maintenance pass every
+  *    large parquet lake runs (Delta OPTIMIZE / Iceberg rewrite-data-files):
+  *    assign files to target-size output bins by first-fit over a
+  *    deterministic size-descending order, entirely as a partitioned window
+  *    cumsum (no driver-side packing loop).
+  *  - w19: peak-concurrency interval sweep — the classic +1/−1 boundary
+  *    sweep (max concurrent sessions/trips/connections), as a partitioned
+  *    running sum over a total order; no interval self-join, no
+  *    per-timestamp explosion.
+  *  - dd22: sorted-neighborhood dedup (Hernández & Stolfo SIGMOD'95) — the
+  *    third classic candidate-generation family next to LSH banding (dd2)
+  *    and prefix filtering (dd16): sort by a blocking key, compare each
+  *    record only to its W−1 successors. Candidate generation is a window
+  *    rank + an EQUI join on (block, rank+δ) — linear in corpus size,
+  *    tunable recall via W, no all-pairs product anywhere.
+  *
+  * All three are window-over-partition + hash-agg shapes: one exchange on
+  * the partition key, then scan-local math — they hold at 100 TB as long as
+  * the partition key (source / event_type / block prefix) has bounded skew,
+  * which is the same assumption every SNM/compaction implementation makes.
+  *
+  * Reference scope: none of these exist in the reference (its maintenance
+  * story is single-node file rebuilds); beyond-reference pack per the
+  * builder brief.
+  */
+object LayoutOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Compaction target size, bytes (n_chars stands in for file bytes). */
+  private val TARGET = 8192L
+  /** SNM neighborhood width (compare each record to W-1 successors). */
+  private val W = 4
+
+  val queries: Map[String, Q] = Map(
+    // S17: first-fit-by-sorted-order bin packing as a window cumsum: files
+    // sorted size-descending (the classic FFD layout heuristic) fill bin
+    // k = floor(bytes-before / TARGET). Integer cumsum — exact, and the
+    // assignment is a pure function of the (source, size, id) total order,
+    // so re-running the planner on the same snapshot is idempotent.
+    "s17_compaction_plan" -> { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("bin", (col("before") / TARGET).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("bytes"))
+        .withColumn("fill_ratio",
+          stableRound(col("bytes").cast("double") / TARGET.toDouble, 6))
+        .orderBy("source", "bin")
+    },
+
+    // W19: peak concurrency per event type. Each interval contributes a
+    // (+1 at start, −1 at end) boundary; the running sum over the total
+    // order (t, delta, event_id) — ends sort before starts at the same
+    // instant, so touching intervals don't double-count — peaks at the
+    // max concurrency. One exchange on event_type, one window pass;
+    // the interval self-join this replaces is quadratic per key.
+    "w19_max_concurrent" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("t0"),
+          floor(col("value") * 60000000d).cast("long").as("dur_us"))
+      val bounds = ev.select(col("event_type"), col("t0").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionAll(ev.select(col("event_type"),
+          (col("t0") + col("dur_us")).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds.withColumn("run", sum(col("delta")).over(w))
+        .groupBy("event_type")
+        .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+          max(col("run")).as("peak_concurrent"))
+        .orderBy("event_type")
+    },
+
+    // F21: interval coalescing (merge overlapping intervals per user) —
+    // the usage-metering primitive (billable connected time, machine
+    // uptime, session stitching): islands form where an interval starts
+    // at-or-after the running max end of everything before it (half-open
+    // semantics: touching intervals stay separate), detected with ONE
+    // window pass — prev-max-end + a cumulative island counter — instead
+    // of the quadratic overlap self-join. All integer microseconds.
+    "f21_interval_merge" -> { (s, d) =>
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t0"),
+          (expr("unix_micros(ts)") + floor(col("value") * 60000000d).cast("long")).as("t1"))
+      val order = Window.partitionBy("user_id")
+        .orderBy(col("t0"), col("t1"), col("event_id"))
+      val prevMax = order.rowsBetween(Window.unboundedPreceding, -1)
+      val islands = iv
+        .withColumn("pmax", max(col("t1")).over(prevMax))
+        .withColumn("flag",
+          when(col("pmax").isNull || col("t0") >= col("pmax"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("flag")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("cnt"), min(col("t0")).as("s"), max(col("t1")).as("e"))
+      islands.groupBy("user_id")
+        .agg(sum(col("cnt")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("covered_us"))
+        .orderBy("user_id")
+    },
+
+    // F22: cohort retention triangle — users bucketed by first-seen week,
+    // counted per weeks-since-first-seen (the activation/retention table
+    // every growth dashboard starts from). Integer epoch-week buckets,
+    // two hash-aggs (per-user min, then per-(cohort, k) count over the
+    // already-distinct (user, week) grid) — no windows, no date math that
+    // could diverge across engines.
+    "f22_cohort_retention" -> { (s, d) =>
+      val WEEK_US = 604800000000L
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $WEEK_US").as("wk"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+
+    // DD22: sorted-neighborhood dedup. Block = first text char (bounds
+    // window skew); sort key = 16-char prefix; each doc pairs with its
+    // next W−1 neighbors in block-sorted order via an EQUI join on
+    // (block, rn + δ), δ ∈ 1..W−1 — bounded fan-out, no band join. Exact
+    // token-Jaccard verify runs only on those ≤ (W−1)·N candidates via
+    // codegen'd array_intersect.
+    "dd22_sorted_neighborhood" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(col("text"), 1, 1).as("block"),
+          substring(col("text"), 1, 16).as("key"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("m", size(col("toks")).cast("long"))
+      val rn = docs.withColumn("rn",
+        row_number().over(Window.partitionBy("block").orderBy("key", "doc_id")))
+      val lhs = rn.select(col("block"), col("rn"), col("doc_id").as("da"),
+          col("toks").as("ta"), col("m").as("ma"))
+        .withColumn("delta", explode(array((1 until W).map(lit(_)): _*)))
+        .withColumn("rn", col("rn") + col("delta"))
+      val rhs = rn.select(col("block"), col("rn"), col("doc_id").as("db"),
+        col("toks").as("tb"), col("m").as("mb"))
+      lhs.join(rhs, Seq("block", "rn"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("ma") + col("mb") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("inter"), stableRound(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "s17_compaction_plan" ->
+      s"""WITH f AS (
+            SELECT source, doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (
+                     PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM documents),
+          b AS (SELECT source, before // $TARGET AS bin, n_chars FROM f)
+          SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+                 CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                 ROUND(1e-9 + CAST(SUM(n_chars) AS DOUBLE) / $TARGET.0, 6) AS fill_ratio
+          FROM b GROUP BY source, bin ORDER BY source, bin""",
+
+    "w19_max_concurrent" ->
+      """WITH ev AS (
+           SELECT event_type, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+                  CAST(FLOOR(value * 60000000.0) AS BIGINT) AS dur_us
+           FROM events),
+         bounds AS (
+           SELECT event_type, t0 AS t, 1 AS delta, event_id FROM ev
+           UNION ALL
+           SELECT event_type, t0 + dur_us AS t, -1 AS delta, event_id FROM ev),
+         runs AS (
+           SELECT event_type,
+                  SUM(delta) OVER (PARTITION BY event_type
+                    ORDER BY t, delta, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM bounds)
+         SELECT event_type,
+                CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+                CAST(MAX(run) AS BIGINT) AS peak_concurrent
+         FROM runs GROUP BY event_type ORDER BY event_type""",
+
+    "f21_interval_merge" ->
+      """WITH iv AS (
+           SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+                  epoch_us(CAST(ts AS TIMESTAMP)) +
+                    CAST(FLOOR(value * 60000000.0) AS BIGINT) AS t1
+           FROM events),
+         flagged AS (
+           SELECT user_id, t0, t1,
+                  MAX(t1) OVER (PARTITION BY user_id ORDER BY t0, t1, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+                  event_id
+           FROM iv),
+         isl AS (
+           SELECT user_id, t0, t1,
+                  SUM(CASE WHEN pmax IS NULL OR t0 >= pmax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY t0, t1, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM flagged),
+         grp AS (
+           SELECT user_id, island, COUNT(*) AS cnt,
+                  MIN(t0) AS s, MAX(t1) AS e
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+                COUNT(*) AS n_islands,
+                CAST(SUM(e - s) AS BIGINT) AS covered_us
+         FROM grp GROUP BY user_id ORDER BY user_id""",
+
+    "f22_cohort_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+           FROM events),
+         f AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1)
+         SELECT f.cohort_week, uw.wk - f.cohort_week AS weeks_since,
+                COUNT(*) AS n_users
+         FROM uw JOIN f ON f.user_id = uw.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "dd22_sorted_neighborhood" ->
+      s"""WITH docs AS (
+            SELECT doc_id, substring(text, 1, 1) AS block,
+                   substring(text, 1, 16) AS key,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+          r AS (
+            SELECT doc_id, block, toks, len(toks) AS m,
+                   ROW_NUMBER() OVER (PARTITION BY block ORDER BY key, doc_id) AS rn
+            FROM docs),
+          cand AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.toks, b.toks)) AS inter,
+                   a.m AS ma, b.m AS mb
+            FROM r a JOIN r b
+              ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + ${W - 1}),
+          j AS (
+            SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(inter AS DOUBLE) / (ma + mb - inter) AS jaccard
+            FROM cand)
+          SELECT doc_a, doc_b, inter, ROUND(1e-9 + jaccard, 6) AS jaccard
+          FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")
+}

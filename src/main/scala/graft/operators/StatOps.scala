@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Statistical profiling operators — the "does this corpus/feature behave"
+  * audits a training-data pipeline runs before it trusts a column: Pearson
+  * correlation and OLS trend (drift of a metric over time), a Benford
+  * first-digit audit (fabricated/synthetic-value detection on money-like
+  * columns), and per-dimension embedding statistics (the dead-dimension /
+  * scale-mismatch check run before any ANN index build).
+  *
+  * Cross-engine exactness strategy (shared by all four): every SUM is over
+  * INTEGERS — the input doubles are integer-valued (quantity), have a fixed
+  * 2-decimal scale (money → ×100), or are deterministically scaled-and-
+  * rounded floats (embeddings → FLOOR(x·1e6 + 0.5)) — so partials merge in
+  * any order with no FP drift; the closing formula (one short chain of IEEE
+  * double ops: a few ×/−, one sqrt, one ÷) runs on identical double inputs
+  * in both engines and is bit-identical, with [[Exact.stableRound]]'s 1e-9
+  * bias absorbing the residual half-boundary risk of the final ROUND.
+  * That makes even sqrt-bearing statistics hash-gateable.
+  *
+  * At scale: every op here is a partial-aggregable groupBy (map-side
+  * combine, one exchange on the group key) followed by per-group
+  * constant-time math — the textbook mergeable-statistics shape; nothing
+  * sorts, nothing windows, nothing collects.
+  *
+  * Reference scope: the reference pipeline computes plain AVG/STDDEV
+  * aggregates (02_analytics_queries.sql) but no second-moment cross
+  * statistics; this pack is part of the beyond-reference training-data ops
+  * (builder brief), sited with qc_drift_chi2 (distribution drift) as the
+  * column-level statistical audit family.
+  */
+object StatOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F20: Pearson correlation per group, exact-sum formulation.
+    // corr is scale-invariant, so both variables are integer-scaled
+    // (quantity is integral; price has exactly 2 decimals → ×100) and the
+    // five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    // integer aggregates — the same mergeable-moments shape a 1000-executor
+    // partial agg produces. Σy² reaches ~1.5e21 at sf0.1, past int64, so
+    // the squared terms accumulate in DECIMAL(38,0) (exact, order-free).
+    "f20_pearson_corr" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("ix", col("l_quantity").cast("long"))
+        .withColumn("iy", round(col("l_extendedprice") * 100).cast("long"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("ix")).as("sx"),
+          sum(col("iy")).as("sy"),
+          sum((col("ix") * col("iy")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("ix") * col("ix")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("iy") * col("iy")).cast("decimal(38,0)")).as("syy"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("n"),
+          stableRound(
+            (col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TS4: grouped OLS trend — slope/intercept of daily revenue over time
+    // per order priority (the "is this metric drifting" audit). Two-level:
+    // an exact integer day-revenue rollup (cents), then the closed-form
+    // normal equations over (day-index, revenue) per group. x is an
+    // integer day offset, y integer cents, so all five sums are exact in
+    // int64 (Σxy ≤ ~3e16 at sf0.1); the slope/intercept division chain is
+    // the only double math.
+    "ts4_ols_trend" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .withColumn("x", datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"), col("x"))
+        .agg(sum(col("cents")).as("y"))
+      val slope = (col("nd") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("nd") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      daily.groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("nd", col("n_days").cast("double"))
+        .select(
+          col("o_orderpriority"), col("n_days"),
+          stableRound(slope / 100.0, 6).as("slope_per_day"),
+          stableRound(((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("nd")) / 100.0, 4).as("intercept"))
+        .orderBy("o_orderpriority")
+    },
+
+    // QC-BENFORD: first-significant-digit census of order totals vs the
+    // Benford expectation — the classic fabricated-data audit. The digit
+    // is taken from the DECIMAL(18,2) string form (both engines print the
+    // same plain decimal; no log10 — logs are engine-library-dependent),
+    // the expected shares are 6-dp literals of log10(1+1/d), and the
+    // per-digit share is one double division. One tiny hash-agg (9 groups)
+    // + a 1-row broadcast total: scan-bound at any scale.
+    "qc_benford" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .withColumn("digit",
+          substring(col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+            .cast("int"))
+      val total = orders.agg(count(lit(1)).as("n_total"))
+      val expected = typedLit(Map(
+        1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+        5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+        9 -> 0.045757))
+      orders.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("obs_share", col("n").cast("double") / col("n_total"))
+        .withColumn("exp_share", expected(col("digit")))
+        .select(
+          col("digit"), col("n"),
+          stableRound(col("obs_share"), 6).as("obs_share"),
+          col("exp_share"),
+          stableRound(abs(col("obs_share") - col("exp_share")), 6).as("abs_dev"))
+        .orderBy("digit")
+    },
+
+    // QC-WELCH: Welch's t-statistic of every cohort against a reference
+    // cohort — the A/B-comparison audit ("did this segment's spend shift,
+    // or is it noise"). t is scale-invariant, so the math runs entirely in
+    // integer cents: each cohort reduces to exact (n, Σ, Σ²) moments
+    // (int64 / DECIMAL(38,0), mergeable partials), the reference cohort's
+    // moments attach as a broadcast 1-row join, and the closing chain
+    // (two sample variances, one sqrt, one division) is identical IEEE
+    // both engines. No p-value on purpose: the t→p transform needs the
+    // incomplete beta function, which is engine-library-dependent —
+    // consumers threshold |t| directly.
+    "qc_welch_ttest" -> { (s, d) =>
+      val moments = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sx"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sxx"))
+        .withColumn("m", col("sx").cast("double") / col("n"))
+        .withColumn("v",
+          (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+            (col("n") - 1))
+      val ref = moments.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("n").as("n0"), col("m").as("m0"), col("v").as("v0"))
+      moments.crossJoin(broadcast(ref))
+        .select(
+          col("o_orderpriority"), col("n"),
+          stableRound(col("m") / 100.0, 4).as("mean_price"),
+          stableRound((col("m") - col("m0")) /
+            sqrt(col("v") / col("n") + col("v0") / col("n0")), 6).as("t_vs_urgent"))
+        .orderBy("o_orderpriority")
+    },
+
+    // EMB1: per-dimension embedding statistics — the dead-dimension /
+    // scale-mismatch audit before any ANN index or quantizer is fit
+    // (a dimension with ~zero variance wastes index bits; one with a
+    // wildly different scale dominates L2). posexplode → one groupBy(dim):
+    // 64 groups, partial-aggregated, one exchange. Means/RMS go through
+    // the deterministic float scaling (FLOOR(v·1e6 + 0.5), exact int64
+    // sums); min/max are selections of the raw float (no rounding needed —
+    // both engines pick the same value).
+    "emb1_dim_stats" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("vd", col("v").cast("double"))
+        .withColumn("v6", floor(col("vd") * 1e6 + 0.5).cast("long"))
+        .withColumn("sq9", floor(col("vd") * col("vd") * 1e9 + 0.5).cast("long"))
+        .groupBy("dim")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v6")).as("s6"),
+          sum(col("sq9")).as("s9"),
+          min(col("vd")).as("min_v"),
+          max(col("vd")).as("max_v"))
+        .select(
+          col("dim"), col("n"),
+          stableRound(col("s6").cast("double") / col("n") / 1e6, 6).as("mean_v"),
+          col("min_v"), col("max_v"),
+          stableRound(sqrt(col("s9").cast("double") / col("n") / 1e9), 6).as("rms_v"))
+        .orderBy("dim")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "f20_pearson_corr" ->
+      """WITH t AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS BIGINT) AS ix,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS iy
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, l_linestatus,
+                  COUNT(*) AS n,
+                  SUM(ix) AS sx, SUM(iy) AS sy,
+                  SUM(CAST(ix * iy AS DECIMAL(38,0))) AS sxy,
+                  SUM(CAST(ix * ix AS DECIMAL(38,0))) AS sxx,
+                  SUM(CAST(iy * iy AS DECIMAL(38,0))) AS syy
+           FROM t GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, n,
+                ROUND(1e-9 +
+                  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  AS corr_qty_price
+         FROM m ORDER BY l_returnflag, l_linestatus""",
+
+    "ts4_ols_trend" ->
+      """WITH daily AS (
+           SELECT o_orderpriority,
+                  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+           FROM orders GROUP BY 1, 2),
+         m AS (
+           SELECT o_orderpriority, COUNT(*) AS n_days,
+                  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT o_orderpriority, n_days,
+                ROUND(1e-9 +
+                  ((n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  / 100.0, 6) AS slope_per_day,
+                ROUND(1e-9 +
+                  ((CAST(sy AS DOUBLE) -
+                    ((n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                   / CAST(n_days AS DOUBLE)) / 100.0, 4) AS intercept
+         FROM m ORDER BY o_orderpriority""",
+
+    "qc_welch_ttest" ->
+      """WITH m AS (
+           SELECT o_orderpriority, COUNT(*) AS n,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sx,
+                  SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) *
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx
+           FROM orders GROUP BY 1),
+         mv AS (
+           SELECT o_orderpriority, n,
+                  CAST(sx AS DOUBLE) / n AS m,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS v
+           FROM m),
+         ref AS (SELECT n AS n0, m AS m0, v AS v0 FROM mv
+                 WHERE o_orderpriority = '1-URGENT')
+         SELECT mv.o_orderpriority, mv.n,
+                ROUND(1e-9 + mv.m / 100.0, 4) AS mean_price,
+                ROUND(1e-9 + (mv.m - ref.m0) /
+                  SQRT(mv.v / mv.n + ref.v0 / ref.n0), 6) AS t_vs_urgent
+         FROM mv CROSS JOIN ref ORDER BY mv.o_orderpriority""",
+
+    "qc_benford" ->
+      """WITH t AS (
+           SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                       AS INTEGER) AS digit
+           FROM orders),
+         g AS (SELECT digit, COUNT(*) AS n FROM t GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n_total FROM t),
+         e(digit, exp_share) AS (VALUES
+           (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+           (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+           (9, 0.045757))
+         SELECT g.digit, g.n,
+                ROUND(1e-9 + CAST(g.n AS DOUBLE) / tot.n_total, 6) AS obs_share,
+                CAST(e.exp_share AS DOUBLE) AS exp_share,
+                ROUND(1e-9 + ABS(CAST(g.n AS DOUBLE) / tot.n_total
+                                 - CAST(e.exp_share AS DOUBLE)), 6) AS abs_dev
+         FROM g JOIN e ON e.digit = g.digit CROSS JOIN tot
+         ORDER BY g.digit""",
+
+    "emb1_dim_stats" ->
+      """WITH x AS (
+           SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS vd
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+         t AS (
+           SELECT dim, vd,
+                  CAST(FLOOR(vd * 1e6 + 0.5) AS BIGINT) AS v6,
+                  CAST(FLOOR(vd * vd * 1e9 + 0.5) AS BIGINT) AS sq9
+           FROM x)
+         SELECT dim, COUNT(*) AS n,
+                ROUND(1e-9 + CAST(SUM(v6) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_v,
+                MIN(vd) AS min_v, MAX(vd) AS max_v,
+                ROUND(1e-9 + SQRT(CAST(SUM(sq9) AS DOUBLE) / COUNT(*) / 1e9), 6) AS rms_v
+         FROM t GROUP BY dim ORDER BY dim""")
+}

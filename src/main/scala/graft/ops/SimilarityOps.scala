@@ -127,6 +127,56 @@ object SimilarityOps {
 
     "sim3_ivf_ann" -> ivfQuery,
 
+    // SIM7: reciprocal-rank fusion of two retrieval modalities — the
+    // standard way hybrid search merges rankings that don't share a score
+    // scale (RRF, Cormack et al. SIGIR'09): here the exact cosine ranking
+    // (sim1's modality) fused with a sketch-agreement ranking (number of
+    // LSH tables where the candidate collides with the query — sim2's
+    // modality, integer votes). score = Σ_modality 1/(60 + rank), missing
+    // from a list contributes 0. Ranks are deterministic (desc value,
+    // neighbor_id tie-break); the fused score is a two-term sum of exact
+    // reciprocals in fixed order, so it hash-gates. Each modality is a
+    // broadcast-join + per-partition top-k — fusion adds one full-outer
+    // join on (query, neighbor), both sides already tiny (≤ k per query).
+    "sim7_rank_fusion" -> { (s, d) =>
+      val all = vecs(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+      val q = all.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val exact = all.select(col("vec_id").as("neighbor_id"), col("v"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+        .withColumn("ra", row_number().over(
+          w.orderBy(col("raw_sim").desc, col("neighbor_id"))))
+        .filter(col("ra") <= TOPK)
+        .select("query_id", "neighbor_id", "ra")
+      val bucketed = lshBuckets(all).select("vec_id", "tbl", "bucket")
+      val qb = bucketed.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val sketch = bucketed
+        .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+        .join(broadcast(qb), Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rb", row_number().over(
+          w.orderBy(col("votes").desc, col("neighbor_id"))))
+        .filter(col("rb") <= TOPK)
+        .select("query_id", "neighbor_id", "rb")
+      exact.join(sketch, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("rrf").desc, col("neighbor_id"))))
+        .filter(col("rk") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.Exact.stableRound(col("rrf"), 6).as("rrf_score"),
+          col("ra").isNotNull.as("in_exact"), col("rb").isNotNull.as("in_sketch"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // SIM4: int8 SCALAR QUANTIZATION of the embedding column — the storage
     // path for vector corpora (4x smaller than float32, 8x than float64).
     // Per-vector affine codes: q = floor((x - lo) / (hi - lo) * 255 + 0.5).
@@ -410,6 +460,62 @@ object SimilarityOps {
           FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""",
 
     "sim2_lsh_ann" -> sim2Sql,
+
+    // SIM7: both modality rankings recomputed from scratch (sim1's dot
+    // ranking + sim2's bucket machinery reduced to collision votes),
+    // fused with the same fixed-order two-term reciprocal sum.
+    "sim7_rank_fusion" ->
+      s"""WITH $duckVecs,
+          dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         SUM(a.x * b.x) AS dp
+                  FROM u a JOIN u b ON a.i = b.i
+                  WHERE a.vec_id < $NQUERY AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2),
+          sim AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = query_id
+                  JOIN n nb ON nb.vec_id = neighbor_id),
+          ex AS (SELECT query_id, neighbor_id, ra FROM (
+                   SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id) AS ra
+                   FROM sim) t WHERE ra <= $TOPK),
+          hp AS (SELECT j, i,
+                        ((1103515245 * CAST(j * 64 + (i - 1) AS BIGINT) + 12345) % 2147483648)
+                          / 2147483648.0 - 0.5 AS w
+                 FROM (SELECT UNNEST(generate_series(0, ${PLANES - 1})) AS j) pj,
+                      (SELECT UNNEST(generate_series(1, 64)) AS i) pi),
+          pdot AS (SELECT u.vec_id, hp.j, SUM(u.x * hp.w) AS pd
+                   FROM u JOIN hp ON u.i = hp.i GROUP BY 1, 2),
+          bkt AS (SELECT vec_id, (j // $ROWS_PER_TABLE) AS tbl,
+                         CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << (j % $ROWS_PER_TABLE)) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM pdot GROUP BY 1, 2),
+          votes AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                           COUNT(*) AS votes
+                    FROM bkt qa JOIN bkt nb
+                      ON qa.tbl = nb.tbl AND qa.bucket = nb.bucket
+                    WHERE qa.vec_id < $NQUERY AND qa.vec_id <> nb.vec_id
+                    GROUP BY 1, 2),
+          sk AS (SELECT query_id, neighbor_id, rb FROM (
+                   SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, neighbor_id) AS rb
+                   FROM votes) t WHERE rb <= $TOPK),
+          fused AS (SELECT COALESCE(e.query_id, s.query_id) AS query_id,
+                           COALESCE(e.neighbor_id, s.neighbor_id) AS neighbor_id,
+                           COALESCE(CAST(1 AS DOUBLE) / (60 + e.ra), 0.0) +
+                           COALESCE(CAST(1 AS DOUBLE) / (60 + s.rb), 0.0) AS rrf,
+                           e.ra IS NOT NULL AS in_exact,
+                           s.rb IS NOT NULL AS in_sketch
+                    FROM ex e FULL OUTER JOIN sk s
+                      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id),
+          rk AS (SELECT query_id, neighbor_id, rrf, in_exact, in_sketch,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, neighbor_id) AS rk
+                 FROM fused)
+          SELECT query_id, neighbor_id, ROUND(1e-9 + rrf, 6) AS rrf_score,
+                 in_exact, in_sketch
+          FROM rk WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
 
     // SIM5: recall@k of the LSH ANN (sim2) against the exact top-k (sim1)
     // — both pipelines re-run as subqueries, joined on (query, neighbor).

@@ -1,0 +1,248 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** In-memory re-derivations of the statistical-profiling (StatOps), layout
+  * (LayoutOps), and triangle (GraphOps.g3) operators at sf0.001 — every
+  * property here is scale-free, so the check on 50-document data covers
+  * the semantics at any SF; the driver's DuckDB hash gate covers the
+  * cross-engine representation. */
+class StatLayoutOpsSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("f20: Pearson r matches a direct double-precision recomputation") {
+    val out = SparkEntry.queries("f20_pearson_corr")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), math.round(r.getDouble(3) * 100).toDouble)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val xs = rows((r.getString(0), r.getString(1))).map(_._2)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val expect = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-5,
+        s"group ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getDouble(3).abs <= 1.0, "corr in [-1, 1]")
+    }
+  }
+
+  test("ts4: OLS slope/intercept match the normal equations on the daily rollup") {
+    val out = SparkEntry.queries("ts4_ols_trend")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val daily = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority",
+        "CAST(datediff(to_date(o_orderdate), '1992-01-01') AS LONG) AS x",
+        "o_totalprice").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).map { case ((p, x), xs) => (p, x.toDouble, xs.map(_._2).sum.toDouble) }
+      .toSeq.groupBy(_._1)
+    out.foreach { r =>
+      val pts = daily(r.getString(0))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._2).sum; val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(2) - slope / 100.0) < 1e-5, "slope")
+      assert(math.abs(r.getDouble(3) - ((sy - slope * sx) / n) / 100.0) < 1e-3, "intercept")
+      assert(r.getLong(1) == n.toLong, "n_days")
+    }
+  }
+
+  test("qc_benford: digit census is exhaustive and shares are exact ratios") {
+    val out = SparkEntry.queries("qc_benford")(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == total, "every order has a first digit")
+    assert(out.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / total) < 1e-6)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) < 1, "abs deviation bounded")
+    }
+  }
+
+  test("emb1: dim 0 stats match an in-memory recount; all dims covered") {
+    val out = SparkEntry.queries("emb1_dim_stats")(spark, sfDir).collect()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getInt(0)).toSeq == out.indices.toSeq, "dims are 0..d-1, no gaps")
+    out.foreach(r => assert(r.getLong(1) == nVec, "every vector contributes to every dim"))
+    val d0 = Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(embedding[0] AS DOUBLE) AS v").collect().map(_.getDouble(0))
+    val r0 = out.find(_.getInt(0) == 0).get
+    assert(math.abs(r0.getDouble(2) - d0.sum / d0.length) < 1e-5, "mean")
+    assert(r0.getDouble(3) == d0.min && r0.getDouble(4) == d0.max, "min/max exact")
+    assert(math.abs(r0.getDouble(5) -
+      math.sqrt(d0.map(v => v * v).sum / d0.length)) < 1e-4, "rms")
+  }
+
+  test("s17: bin assignment equals an in-memory first-fit replay; bins fill in order") {
+    val out = SparkEntry.queries("s17_compaction_plan")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val replay = docs.toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (-d._3, d._2)).toSeq.map { d =>
+        val bin = cum / 8192L; cum += d._3; ((src, bin), d._3)
+      }
+    }.groupBy(_._1).map { case (k, xs) => k -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(out == replay, "per-(source, bin) file count and bytes match the replay")
+    replay.keys.groupBy(_._1).foreach { case (_, bins) =>
+      val ids = bins.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.length).toSeq, "bins are contiguous from 0")
+    }
+  }
+
+  test("w19: peak concurrency matches a brute-force sweep") {
+    val out = SparkEntry.queries("w19_max_concurrent")(spark, sfDir).collect()
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) AS t0",
+        "CAST(FLOOR(value * 60000000.0) AS BIGINT) AS dur").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val iv = evs(r.getString(0))
+      assert(r.getLong(1) == iv.length.toLong, "n_intervals")
+      // brute force: concurrency just after each start (half-open intervals)
+      val peak = iv.map { case (_, s0, _) =>
+        iv.count { case (_, s1, d1) => s1 <= s0 && s0 < s1 + d1 }
+      }.max
+      assert(r.getLong(2) == peak.toLong, s"peak for ${r.getString(0)}")
+    }
+  }
+
+  test("dd22: SNM output equals an in-memory sorted-neighborhood replay") {
+    val out = SparkEntry.queries("dd22_sorted_neighborhood")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // .toSeq before flatMap: flatMapping a Map with a tuple-yielding
+    // function re-collects into a Map and silently collapses pairs by key
+    val replay = docs.groupBy(_._2.take(1)).toSeq.flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(d => (d._2.take(16), d._1))
+      for {
+        i <- sorted.indices; j <- (i + 1) until math.min(i + 4, sorted.length)
+        a = sorted(i); b = sorted(j)
+        ta = a._2.split(" ").toSet; tb = b._2.split(" ").toSet
+        inter = (ta & tb).size
+        if inter.toDouble / (ta.size + tb.size - inter) >= 0.5
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1))
+    }.toSet
+    assert(out == replay, "matched pair set equals the replay")
+  }
+
+  test("qc_welch: reference row is exactly 0; t matches a direct recomputation") {
+    val out = SparkEntry.queries("qc_welch_ttest")(spark, sfDir).collect()
+    val ref = out.find(_.getString(0) == "1-URGENT").get
+    assert(ref.getDouble(3) == 0.0, "cohort vs itself must be exactly 0")
+    val cohorts = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100).toDouble))
+      .groupBy(_._1).map { case (k, xs) =>
+        val v = xs.map(_._2); val n = v.length.toDouble
+        val m = v.sum / n
+        (k, (n, m, v.map(x => (x - m) * (x - m)).sum / (n - 1)))
+      }
+    val (n0, m0, v0) = cohorts("1-URGENT")
+    out.filterNot(_.getString(0) == "1-URGENT").foreach { r =>
+      val (n1, m1, v1) = cohorts(r.getString(0))
+      val t = (m1 - m0) / math.sqrt(v1 / n1 + v0 / n0)
+      assert(math.abs(r.getDouble(3) - t) < 1e-4, s"t for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - m1 / 100.0) < 1e-2, "mean")
+    }
+  }
+
+  test("f21: islands cover no more than span, at least max single interval") {
+    val out = SparkEntry.queries("f21_interval_merge")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val iv = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS t0",
+        "unix_micros(ts) + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val u = iv(r.getLong(0))
+      assert(r.getLong(1) == u.length.toLong, "n_intervals")
+      // independent island replay: sort, sweep
+      var islands = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      u.sortBy(x => (x._2, x._3)).foreach { case (_, s0, e0) =>
+        if (islands == 0 || s0 >= curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = s0; curE = e0
+        } else if (e0 > curE) curE = e0
+      }
+      covered += curE - curS
+      assert(r.getLong(2) == islands, s"n_islands for user ${r.getLong(0)}")
+      assert(r.getLong(3) == covered, s"covered_us for user ${r.getLong(0)}")
+    }
+  }
+
+  test("f22: cohort diagonal sums to the user count; k=0 row exists per cohort") {
+    val out = SparkEntry.queries("f22_cohort_retention")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val k0 = out.filter(_._1._2 == 0L)
+    assert(k0.map(_._2).sum == nUsers, "every user appears in exactly one cohort at k=0")
+    val cohorts = out.map(_._1._1).distinct
+    assert(cohorts.forall(c => k0.exists(_._1._1 == c)), "each cohort has its k=0 row")
+    out.foreach { case ((c, k), n) =>
+      assert(k >= 0 && n > 0)
+      assert(n <= k0.find(_._1._1 == c).get._2, "retention never exceeds the cohort size")
+    }
+  }
+
+  test("sim7: fused ranking is consistent with its two source rankings") {
+    val out = SparkEntry.queries("sim7_rank_fusion")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 5, "top-5 per query")
+      rows.foreach { r =>
+        assert(r.getBoolean(3) || r.getBoolean(4),
+          "every fused hit comes from at least one modality")
+        val expectLo = 1.0 / 65 // worst single-list rank
+        assert(r.getDouble(2) >= expectLo - 1e-9, "score at least one rank-5 term")
+        assert(r.getDouble(2) <= 2.0 / 61 + 1e-9, "score at most two rank-1 terms")
+      }
+    }
+    // exact top-1 neighbor must always survive fusion when it has >= one vote
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    exact.foreach { case (q, _) => assert(byQuery.contains(q), "every query fused") }
+  }
+
+  test("g3: triangle count matches brute force over the pair graph") {
+    val row = SparkEntry.queries("g3_triangles")(spark, sfDir).collect().head
+    val pairs = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    def conn(a: Long, b: Long) =
+      edges.contains((a min b, a max b))
+    val tris = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+      if conn(nodes(i), nodes(j)) && conn(nodes(i), nodes(k)) && conn(nodes(j), nodes(k))
+    } yield 1).size
+    assert(row.getLong(0) == nodes.length.toLong, "n_nodes")
+    assert(row.getLong(1) == pairs.length.toLong, "n_edges")
+    assert(row.getLong(3) == tris.toLong, "n_triangles")
+    val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).map(_._2.length.toLong)
+    assert(row.getLong(2) == deg.map(d => d * (d - 1) / 2).sum, "wedge count")
+  }
+}
