@@ -405,4 +405,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("f20/ts4/qc_welch: moment aggregates are partial+final, never windowed") {
+    // The whole point of the sufficient-statistics formulation is that the
+    // five moments merge map-side; a Window or a single HashAggregate pair
+    // would mean the exact-sum shape regressed to a sort or a one-pass agg.
+    Seq("f20_pearson_corr", "ts4_ols_trend", "qc_welch_ttest").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q partial+final:\n$p")
+      assert(!p.contains("Window"), s"$q must not window:\n$p")
+    }
+  }
+
+  test("s17/w19/f21: sweep windows are partitioned, never global") {
+    // Every window in the compaction planner and the interval sweeps must
+    // carry a partition key (source / event_type / user_id) — a global
+    // single-partition window would serialize the whole table through one
+    // task at scale.
+    Seq("s17_compaction_plan" -> "source",
+        "w19_max_concurrent" -> "event_type",
+        "f21_interval_merge" -> "user_id").foreach { case (q, key) =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q is window-based:\n$p")
+      assert(!p.contains("Window [") || !p.contains(s"windowspecdefinition()"),
+        s"$q window must be partitioned:\n$p")
+      assert(p.contains(key), s"$q partitions by $key:\n$p")
+    }
+  }
+
+  test("dd22: SNM candidates come from equi joins only — no band/cross join") {
+    // The (block, rank+delta) formulation must plan as hash joins; a
+    // BroadcastNestedLoopJoin or CartesianProduct means the rank band
+    // degenerated to an inequality join.
+    val p = plan("dd22_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("sim7: both modality rankings join back broadcast; fusion stays per-query") {
+    val p = plan("sim7_rank_fusion")
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
