@@ -35,6 +35,8 @@ object SparkEntry {
     operators.GraphOps.queries ++
     operators.StatOps.queries ++
     operators.LayoutOps.queries ++
+    operators.SketchOps.queries ++
+    operators.IndexOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
@@ -67,6 +69,8 @@ object SparkEntry {
     operators.GraphOps.oracles ++
     operators.StatOps.oracles ++
     operators.LayoutOps.oracles ++
+    operators.SketchOps.oracles ++
+    operators.IndexOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++

@@ -111,18 +111,27 @@ object GraphOps {
     * (≤ O(√m) for any graph), so the join never explodes on hub nodes —
     * this is why a 100 TB triangle count is feasible at all. Pure
     * integer compares/counts end to end: nothing to round, bit-exact. */
+  private val orientedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[graft] def triangles(s: SparkSession, d: String): DataFrame = {
-    val pairs = CurationOps.jaccardPairs(s, d).select("doc_a", "doc_b")
-    val (_, deg) = adjacency(s, d)
-    val da = deg.select(col("src").as("doc_a"), col("deg").as("dega"))
-    val db = deg.select(col("src").as("doc_b"), col("deg").as("degb"))
-    val lowFirst = col("dega") < col("degb") ||
-      (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
-    val oriented = pairs.join(da, "doc_a").join(db, "doc_b")
-      .select(
-        when(lowFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
-        when(lowFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
-        when(lowFirst, col("degb")).otherwise(col("dega")).as("degd"))
+    val (adj, deg) = adjacency(s, d)
+    // adj holds every edge in BOTH directions with the source's degree
+    // attached; the strict (deg, id) orientation compare keeps exactly one
+    // direction of each undirected edge — no separate pairs recompute.
+    // oriented is consumed three times (two wedge sides + the closing
+    // probe) and its upstream is the expensive prefix-join pair stream,
+    // so it is persisted once per (session, dataset) like adjacency —
+    // without it the candidate generation re-executes per consumer
+    // (benched 16.8 s vs ~1 s at sf0.1).
+    val oriented = orientedCache.computeIfAbsent((s, d), { _ =>
+      adj.select(col("src"), col("dst"), col("deg").as("dega"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("degd")), "dst")
+        .filter(col("dega") < col("degd") ||
+          (col("dega") === col("degd") && col("src") < col("dst")))
+        .select(col("src"), col("dst"), col("degd"))
+        .persist()
+    })
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("degd").as("dv"))
     val e2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("degd").as("dw"))
     val wedges = e1.join(e2, Seq("u"))
@@ -133,7 +142,7 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     val wcount = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
-    val ne = pairs.agg(count(lit(1)).as("n_edges"))
+    val ne = oriented.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(broadcast(ne)).crossJoin(broadcast(wcount)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         stableRound(lit(3.0) * col("n_triangles") /

@@ -226,6 +226,65 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     exact.foreach { case (q, _) => assert(byQuery.contains(q), "every query fused") }
   }
 
+  test("a23: count-min never undercounts and is exact for collision-free probes") {
+    val out = SparkEntry.queries("a23_countmin")(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "CM estimate >= exact, always")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1), "overcount is the gap")
+    }
+    val exact = Tables.lineitem(spark, sfDir)
+      .filter("l_suppkey BETWEEN 1 AND 10").groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == exact.getOrElse(r.getLong(0), 0L)))
+  }
+
+  test("a24: HLL estimate lands within the expected error band") {
+    val r = SparkEntry.queries("a24_hll_registers")(spark, sfDir).collect().head
+    val (n, hit) = (r.getLong(0), r.getLong(1))
+    assert(hit <= 256, "256 registers at p=8")
+    // standard error 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert(math.abs(r.getDouble(3)) < 0.26, s"rel_error ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(2) - n * (1 + r.getDouble(3))) < n * 0.001,
+      "estimate, exact, and rel_error are mutually consistent")
+  }
+
+  test("tx21: postings digest matches an in-memory rebuild; tf covers the corpus") {
+    val out = SparkEntry.queries("tx21_inverted_index")(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val allToks = docs.flatMap { case (id, t) => t.split(" ", -1).map((id, _)) }
+    assert(out.map(_.getLong(2)).sum == allToks.length.toLong,
+      "sum of tf equals the corpus token count")
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "df <= tf")
+      val ids = allToks.filter(_._2 == r.getString(0)).map(_._1).distinct.sorted
+      assert(r.getLong(1) == ids.length.toLong, s"df for ${r.getString(0)}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) == md, s"postings digest for ${r.getString(0)}")
+    }
+  }
+
+  test("s18: scan/skip partition the file set; skipped files hold no matches") {
+    val r = SparkEntry.queries("s18_zonemap_prune")(spark, sfDir).collect().head
+    assert(r.getLong(1) + r.getLong(2) == r.getLong(0), "scanned + skipped = files")
+    assert(r.getLong(4) <= r.getLong(3), "matches are inside scanned rows")
+    val total = Tables.orders(spark, sfDir)
+      .filter("o_custkey BETWEEN 100 AND 200").count()
+    assert(r.getLong(4) == total, "pruning loses no matching row")
+  }
+
+  test("f23: trigram total equals sum over users of max(0, n-2)") {
+    val out = SparkEntry.queries("f23_event_trigrams")(spark, sfDir).collect()
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val expect = perUser.map(n => math.max(0L, n - 2)).sum
+    assert(out.map(_.getLong(3)).sum == expect, "every consecutive triple counted once")
+    assert(out.forall(_.getLong(3) > 0))
+  }
+
   test("g3: triangle count matches brute force over the pair graph") {
     val row = SparkEntry.queries("g3_triangles")(spark, sfDir).collect().head
     val pairs = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
