@@ -71,6 +71,87 @@ object IndexOps {
         sum(col("rows_matched")).as("rows_matched"))
     },
 
+    // J20: the TPC-H Q5 shape — a six-way snowflake join (fact ⋈ two key
+    // paths that must AGREE on nation) with a region filter and a date
+    // range. The scale story: region/nation/supplier/customer broadcast
+    // (each orders of magnitude under the fact), lineitem⋈orders is the
+    // only shuffle pair, the c_nationkey = s_nationkey condition rides the
+    // already-joined rows (no extra exchange), and revenue accumulates
+    // through the Exact decimal path. The filters sit on the dimension
+    // scans so Catalyst prunes before any join.
+    "j20_regional_revenue" -> { (s, d) =>
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(graft.functions.Exact.dsum(col("rev")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // SA11: k-fold cross-validation assignment — the CV twin of sa3's
+    // train/val/test split: fold = salted md5 bucket mod K (append-safe,
+    // engine-reproducible membership), plus the balance audit (per-fold
+    // count and deviation from n/K) that tells you whether the hash is
+    // treating folds fairly. Membership is checksummed (sum of doc_ids)
+    // so the gate verifies WHICH rows landed where, not just how many.
+    "sa11_kfold" -> { (s, d) =>
+      val K = 5
+      Tables.documents(s, d)
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(concat('graft-kfold', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)" +
+            s" % $K"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"))
+        .crossJoin(broadcast(
+          Tables.documents(s, d).agg(count(lit(1)).as("n_total"))))
+        .withColumn("expected", col("n_total").cast("double") / K)
+        .select(col("fold"), col("n_docs"), col("id_checksum"),
+          graft.functions.Exact.stableRound(
+            (col("n_docs") - col("expected")) / col("expected"), 6)
+            .as("balance_dev"))
+        .orderBy("fold")
+    },
+
+    // QC-FILL: per-month fill-rate (non-null share) trend for a column set
+    // — the production data-quality monitor (a sudden fill-rate drop in
+    // one month flags an upstream schema/ingest break that a global
+    // profile like s14 averages away). One unpivot + one (month, column)
+    // hash-agg; integer counts, one double division per cell.
+    "qc_fill_trend" -> { (s, d) =>
+      val ym = (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym")
+      Tables.orders(s, d)
+        .select(ym,
+          when(col("o_totalprice").isNotNull, 1L).otherwise(0L).as("o_totalprice"),
+          when(col("o_orderpriority").isNotNull, 1L).otherwise(0L).as("o_orderpriority"),
+          when(col("o_orderstatus").isNotNull, 1L).otherwise(0L).as("o_orderstatus"))
+        .unpivot(Array(col("ym")), Array(col("o_totalprice"),
+          col("o_orderpriority"), col("o_orderstatus")), "column", "filled")
+        .groupBy("ym", "column")
+        .agg(count(lit(1)).as("n_rows"), sum(col("filled")).as("n_filled"))
+        .withColumn("fill_rate",
+          graft.functions.Exact.stableRound(
+            col("n_filled").cast("double") / col("n_rows"), 6))
+        .orderBy("ym", "column")
+    },
+
     "f23_event_trigrams" -> { (s, d) =>
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -118,6 +199,61 @@ object IndexOps {
                           THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned,
                  CAST(SUM(rows_matched) AS BIGINT) AS rows_matched
           FROM files""",
+
+    "j20_regional_revenue" ->
+      """SELECT n.n_name,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                                    AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+
+    "sa11_kfold" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  ('0x' || substring(md5(concat('graft-kfold', CAST(doc_id AS VARCHAR))), 1, 7))::BIGINT % 5 AS fold
+           FROM documents),
+         g AS (SELECT fold, COUNT(*) AS n_docs,
+                      CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+               FROM f GROUP BY 1),
+         t AS (SELECT COUNT(*) AS n_total FROM documents)
+         SELECT fold, n_docs, id_checksum,
+                ROUND(1e-9 + (n_docs - CAST(n_total AS DOUBLE) / 5)
+                             / (CAST(n_total AS DOUBLE) / 5), 6) AS balance_dev
+         FROM g CROSS JOIN t ORDER BY fold""",
+
+    "qc_fill_trend" ->
+      """WITH u AS (
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                  'o_totalprice' AS "column",
+                  CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END AS filled
+           FROM orders
+           UNION ALL
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT),
+                  'o_orderpriority',
+                  CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END
+           FROM orders
+           UNION ALL
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT),
+                  'o_orderstatus',
+                  CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END
+           FROM orders),
+         grp AS (
+           SELECT ym, "column", COUNT(*) AS n_rows,
+                  CAST(SUM(filled) AS BIGINT) AS n_filled
+           FROM u GROUP BY 1, 2)
+         SELECT ym, "column", n_rows, n_filled,
+                ROUND(1e-9 + CAST(n_filled AS DOUBLE) / n_rows, 6) AS fill_rate
+         FROM grp ORDER BY ym, "column"""",
 
     "f23_event_trigrams" ->
       """WITH seq AS (

@@ -442,6 +442,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("j20: all four dimensions broadcast; only the fact-fact pair shuffles") {
+    // TPC-H Q5 shape: customer/supplier/nation/region must all ride
+    // broadcast hash joins — a sort-merge join on any of them means a
+    // dimension got shuffled at fact scale. lineitem ⋈ orders is the one
+    // legitimate exchange pair.
+    val p = plan("j20_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"four broadcast dims expected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"revenue agg must be partial+final:\n$p")
+  }
+
   test("sim7: both modality rankings join back broadcast; fusion stays per-query") {
     val p = plan("sim7_rank_fusion")
     assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")

@@ -285,6 +285,74 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(3) > 0))
   }
 
+  test("j20: six-way join revenue matches an in-memory snowflake replay") {
+    val out = SparkEntry.queries("j20_regional_revenue")(spark, sfDir).collect()
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val nat = Tables.nation(spark, sfDir).collect()
+      .map(r => lv(r, 0) -> (r.getString(1), lv(r, 2))).toMap
+    val asia = Tables.region(spark, sfDir).collect()
+      .filter(_.getString(1) == "ASIA").map(lv(_, 0)).toSet
+    val custNation = Tables.customer(spark, sfDir).collect()
+      .map(r => lv(r, 0) -> lv(r, 2)).toMap
+    val suppNation = Tables.supplier(spark, sfDir).collect()
+      .map(r => lv(r, 0) -> lv(r, 2)).toMap
+    val ordCust = Tables.orders(spark, sfDir)
+      .filter("o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'")
+      .collect().map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val rev = scala.collection.mutable.Map[String, (Double, Long)]().withDefaultValue((0.0, 0L))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect().foreach { r =>
+        for {
+          ck <- ordCust.get(lv(r, 0))
+          cn <- custNation.get(ck)
+          sn <- suppNation.get(lv(r, 1))
+          if cn == sn
+          (name, rk) <- nat.get(sn)
+          if asia.contains(rk)
+        } {
+          val (a, n) = rev(name)
+          rev(name) = (a + r.getDouble(2) * (1.0 - r.getDouble(3)), n + 1)
+        }
+      }
+    assert(out.map(_.getString(0)).toSet == rev.keySet, "nation coverage")
+    out.foreach { r =>
+      val (a, n) = rev(r.getString(0))
+      assert(r.getLong(2) == n, s"n_items for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(1) - a) < 0.01, s"revenue for ${r.getString(0)}")
+    }
+    assert(out.map(_.getDouble(1)).toSeq == out.map(_.getDouble(1)).sortBy(-_).toSeq,
+      "ordered by revenue desc")
+  }
+
+  test("sa11: folds partition the corpus; assignment is deterministic") {
+    val a = SparkEntry.queries("sa11_kfold")(spark, sfDir).collect()
+    val b = SparkEntry.queries("sa11_kfold")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "fold assignment reproducible")
+    assert(a.map(_.getLong(0)).toSet == (0L until 5L).toSet, "all 5 folds present")
+    val docs = Tables.documents(spark, sfDir).agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("doc_id")).collect().head
+    assert(a.map(_.getLong(1)).sum == docs.getLong(0), "counts partition")
+    assert(a.map(_.getLong(2)).sum == docs.getLong(1), "checksums partition")
+  }
+
+  test("qc_fill: every (month, column) cell accounts for its rows") {
+    val out = SparkEntry.queries("qc_fill_trend")(spark, sfDir).collect()
+    val perMonth = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(year(o_orderdate)*100 + month(o_orderdate) AS LONG) AS ym")
+      .groupBy("ym").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("o_orderpriority", "o_orderstatus", "o_totalprice"))
+    out.foreach { r =>
+      assert(r.getLong(2) == perMonth(r.getLong(0)), "n_rows per month")
+      assert(r.getLong(3) <= r.getLong(2), "filled <= rows")
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("g3: triangle count matches brute force over the pair graph") {
     val row = SparkEntry.queries("g3_triangles")(spark, sfDir).collect().head
     val pairs = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
