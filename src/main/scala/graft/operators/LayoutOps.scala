@@ -137,6 +137,30 @@ object LayoutOps {
         .orderBy("cohort_week", "weeks_since")
     },
 
+    // W20: new-vs-returning daily census — the growth dashboard's other
+    // primitive next to f22's retention triangle: per day, how many
+    // active users are first-ever-seen vs returning, plus the cumulative
+    // user count. Two hash-aggs at data scale (per-user first day, then
+    // per-day counts); the running total windows over the DAYS frame —
+    // a few thousand rows at any corpus size — which is the same
+    // post-aggregation global window w2's pct-of-total already uses.
+    "w20_new_vs_returning" -> { (s, d) =>
+      val DAY_US = 86400000000L
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DAY_US").as("day"))
+        .distinct()
+      val first = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      val daily = ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+      daily.withColumn("cum_users",
+          sum(col("n_new")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("day")
+    },
+
     // DD22: sorted-neighborhood dedup. Block = first text char (bounds
     // window skew); sort key = 16-char prefix; each doc pairs with its
     // next W−1 neighbors in block-sorted order via an EQUI join on
@@ -243,6 +267,25 @@ object LayoutOps {
                 COUNT(*) AS n_users
          FROM uw JOIN f ON f.user_id = uw.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "w20_new_vs_returning" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+         daily AS (
+           SELECT ud.day, COUNT(*) AS n_active,
+                  CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new
+           FROM ud JOIN f ON f.user_id = ud.user_id
+           GROUP BY 1)
+         SELECT day, n_active, n_new,
+                n_active - n_new AS n_returning,
+                CAST(SUM(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_users
+         FROM daily ORDER BY day""",
 
     "dd22_sorted_neighborhood" ->
       s"""WITH docs AS (

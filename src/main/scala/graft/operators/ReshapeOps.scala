@@ -100,6 +100,38 @@ object ReshapeOps {
         .select(col("user_id"), col("event_type").as("last_op"),
           col("value").as("last_value"), col("n_ops"))
         .orderBy("user_id")
+    },
+
+    // U9: time-travel read — u8's compaction evaluated AS OF a past
+    // cutoff, the snapshot-reconstruction query behind every lakehouse
+    // `VERSION AS OF` / `TIMESTAMP AS OF`: filter the changelog to
+    // records at-or-before T, then latest-wins per key. The cutoff is
+    // the integer midpoint of the stream's [min, max] event time
+    // (computed once, attached as a 1-row broadcast, so the same query
+    // text serves any dataset). The cutoff filter lands BEFORE the
+    // ranking window — at scale that's the difference between shuffling
+    // the full history and shuffling half of it.
+    "u9_time_travel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .withColumn("t_us", expr("unix_micros(ts)"))
+      // integer div, not '/': Spark's double-divide + cast truncates while
+      // DuckDB's rounds — 'div'/'//' floor identically on positive operands
+      val cut = ev.agg(
+        expr("min(t_us) + (max(t_us) - min(t_us)) div 2").as("cut_us"))
+      val byUserDesc = Window.partitionBy("user_id")
+        .orderBy(col("t_us").desc, col("event_id").desc)
+      ev.crossJoin(broadcast(cut))
+        .filter(col("t_us") <= col("cut_us"))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .withColumn("rk", row_number().over(byUserDesc))
+        .withColumn("n_ops_asof",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rk") === 1 && col("op") === "U")
+        .select(col("user_id"), col("event_type").as("last_op"),
+          col("value").as("last_value"), col("n_ops_asof"), col("cut_us"))
+        .orderBy("user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +187,28 @@ object ReshapeOps {
            FROM ops)
          SELECT user_id, event_type AS last_op, "value" AS last_value,
                 CAST(n_ops AS BIGINT) AS n_ops
+         FROM r WHERE rk = 1 AND op = 'U'
+         ORDER BY user_id""",
+
+    "u9_time_travel" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, "value",
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+           FROM events
+           WHERE event_type IN ('signup', 'purchase', 'error')),
+         cut AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) // 2 AS cut_us FROM ev),
+         snap AS (
+           SELECT ev.*, cut.cut_us,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+           FROM ev CROSS JOIN cut WHERE ev.t_us <= cut.cut_us),
+         r AS (
+           SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY t_us DESC, event_id DESC) AS rk,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n_ops_asof
+           FROM snap)
+         SELECT user_id, event_type AS last_op, "value" AS last_value,
+                CAST(n_ops_asof AS BIGINT) AS n_ops_asof, cut_us
          FROM r WHERE rk = 1 AND op = 'U'
          ORDER BY user_id""")
 }

@@ -20,6 +20,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "CompletionOps" -> operators.CompletionOps.queries,
     "CurationOps" -> operators.CurationOps.queries,
     "GraphOps" -> operators.GraphOps.queries,
+    "StatOps" -> operators.StatOps.queries,
+    "LayoutOps" -> operators.LayoutOps.queries,
+    "SketchOps" -> operators.SketchOps.queries,
+    "IndexOps" -> operators.IndexOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,

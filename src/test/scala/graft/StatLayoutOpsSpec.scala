@@ -353,6 +353,41 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("u9: time-travel state equals a latest-wins replay at the cutoff") {
+    val out = SparkEntry.queries("u9_time_travel")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val cut = out.head.getLong(4)
+    val ev = Tables.events(spark, sfDir)
+      .filter("event_type IN ('signup','purchase','error')")
+      .selectExpr("event_id", "user_id", "event_type", "value", "unix_micros(ts) AS t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val ts = ev.map(_._5)
+    assert(cut == ts.min + (ts.max - ts.min) / 2, "cutoff is the integer midpoint")
+    val replay = ev.filter(_._5 <= cut)
+      .groupBy(_._2).flatMap { case (u, es) =>
+        val last = es.maxBy(e => (e._5, e._1))
+        if (last._3 == "error") None
+        else Some(u -> ((last._3, last._4, es.length.toLong)))
+      }
+    assert(out.length == replay.size)
+    out.foreach { r =>
+      val (op, v, n) = replay(r.getLong(0))
+      assert(r.getString(1) == op && r.getDouble(2) == v && r.getLong(3) == n,
+        s"state for user ${r.getLong(0)}")
+    }
+  }
+
+  test("w20: new-user counts partition the user base; cumulative is monotone") {
+    val out = SparkEntry.queries("w20_new_vs_returning")(spark, sfDir).collect()
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == nUsers, "every user is new exactly once")
+    assert(out.last.getLong(4) == nUsers, "cumulative ends at the user base")
+    out.foreach(r => assert(r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    val cums = out.map(_.getLong(4)).toSeq
+    assert(cums == cums.sorted, "cumulative user count is monotone")
+  }
+
   test("g3: triangle count matches brute force over the pair graph") {
     val row = SparkEntry.queries("g3_triangles")(spark, sfDir).collect().head
     val pairs = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
