@@ -75,6 +75,57 @@ object TextOps {
         .limit(20)
     },
 
+    // TOK2: one BPE TRAINING ITERATION — take tok1's top merge candidate,
+    // APPLY it to the corpus (greedy non-overlapping, the real tokenizer
+    // semantics), and recount the pair table for the next round. The
+    // subtle part is greediness when left == right: a run of k identical
+    // tokens yields floor(k/2) merges at alternating positions — computed
+    // as run-islands (pos − row_number) with even-offset survivors, which
+    // reproduces left-to-right greedy exactly and degenerates to "all
+    // matches" when left ≠ right (adjacent matches are then impossible).
+    // Everything is doc-partitioned windows + (doc, pos) equi joins — one
+    // exchange family, no driver loop; a full tokenizer training run is
+    // this operator iterated with the pair table kept as state.
+    "tok2_bpe_apply" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      val nxt = toks.withColumn("nt", lead(col("t"), 1).over(byPos))
+      val pairCounts = nxt.filter(col("nt").isNotNull)
+        .groupBy(col("t").as("l"), col("nt").as("r"))
+        .agg(count(lit(1)).as("n"))
+      val top = pairCounts
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .select("l", "r")
+      val matches = nxt.crossJoin(broadcast(top))
+        .filter(col("t") === col("l") && col("nt") === col("r"))
+        .select(col("doc_id"), col("pos"))
+      val isl = matches.withColumn("grp",
+        col("pos") - row_number().over(byPos))
+      val kept = isl.withColumn("g0",
+          min(col("pos")).over(Window.partitionBy("doc_id", "grp")))
+        .filter((col("pos") - col("g0")) % 2 === 0)
+        .select(col("doc_id"), col("pos"))
+      val applied = nxt.crossJoin(broadcast(top))
+        .join(kept.withColumn("merged", lit(true)), Seq("doc_id", "pos"), "left")
+        .join(kept.select(col("doc_id"), (col("pos") + 1).as("pos"),
+          lit(true).as("consumed")), Seq("doc_id", "pos"), "left")
+        .filter(col("consumed").isNull)
+        .select(col("doc_id"), col("pos"),
+          when(col("merged"), concat_ws("_", col("l"), col("r")))
+            .otherwise(col("t")).as("t2"),
+          col("l").as("merge_l"), col("r").as("merge_r"))
+      applied
+        .withColumn("nt2", lead(col("t2"), 1).over(byPos))
+        .filter(col("nt2").isNotNull)
+        .groupBy(col("merge_l"), col("merge_r"),
+          col("t2").as("left_sym"), col("nt2").as("right_sym"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("left_sym"), col("right_sym"))
+        .limit(20)
+    },
+
     // TX20: per-SOURCE boilerplate n-gram detection — the C4-style "this
     // line is navigation chrome" filter at gram granularity: a 3-gram that
     // appears in >= 60% of one source's documents is boilerplate FOR THAT
@@ -399,6 +450,48 @@ object TextOps {
                  CAST(n_pairs AS DOUBLE) / total_pairs AS pair_share
           FROM c, tot
           ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 20""",
+
+    // Same greedy-run semantics: islands of consecutive match positions,
+    // even offsets survive (= left-to-right greedy; no-op when l <> r).
+    "tok2_bpe_apply" ->
+      """WITH tok AS (
+           SELECT doc_id, i - 1 AS pos, ts[i] AS t
+           FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+                UNNEST(generate_series(1, len(ts))) AS u(i)),
+         nxt AS (
+           SELECT doc_id, pos, t,
+                  LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+           FROM tok),
+         pc AS (SELECT t AS l, nt AS r, COUNT(*) AS n FROM nxt
+                WHERE nt IS NOT NULL GROUP BY 1, 2),
+         top AS (SELECT l, r FROM pc ORDER BY n DESC, l, r LIMIT 1),
+         m AS (SELECT n.doc_id, n.pos FROM nxt n, top
+               WHERE n.t = top.l AND n.nt = top.r),
+         isl AS (SELECT doc_id, pos,
+                        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM m),
+         kept AS (SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           MIN(pos) OVER (PARTITION BY doc_id, grp) AS g0
+                    FROM isl) t0
+                  WHERE (pos - g0) % 2 = 0),
+         applied AS (
+           SELECT n.doc_id, n.pos,
+                  CASE WHEN k.pos IS NOT NULL
+                       THEN top.l || '_' || top.r ELSE n.t END AS t2
+           FROM nxt n CROSS JOIN top
+           LEFT JOIN kept k ON k.doc_id = n.doc_id AND k.pos = n.pos
+           LEFT JOIN kept c ON c.doc_id = n.doc_id AND c.pos = n.pos - 1
+           WHERE c.pos IS NULL),
+         nxt2 AS (
+           SELECT doc_id, t2,
+                  LEAD(t2) OVER (PARTITION BY doc_id ORDER BY pos) AS nt2
+           FROM applied)
+         SELECT (SELECT l FROM top) AS merge_l, (SELECT r FROM top) AS merge_r,
+                t2 AS left_sym, nt2 AS right_sym, COUNT(*) AS n_pairs
+         FROM nxt2 WHERE nt2 IS NOT NULL
+         GROUP BY 1, 2, 3, 4
+         ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 20""",
 
     "tx20_boilerplate_grams" ->
       s"""WITH ${graft.ops.DedupOps.duckShingles},

@@ -388,6 +388,32 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     assert(cums == cums.sorted, "cumulative user count is monotone")
   }
 
+  test("tok2: applied merge equals a true left-to-right greedy replay") {
+    val out = SparkEntry.queries("tok2_bpe_apply")(spark, sfDir).collect()
+    assert(out.length == 20)
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0).split(" ").toList)
+    // top pair under (n desc, l, r)
+    val counts = texts.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length }
+    val (ml, mr) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
+    assert(out.head.getString(0) == ml && out.head.getString(1) == mr)
+    // genuine greedy left-to-right application — independent of the
+    // island-parity formulation the operator uses
+    def applyMerge(t: List[String]): List[String] = t match {
+      case a :: b :: rest if a == ml && b == mr => s"${ml}_$mr" :: applyMerge(rest)
+      case a :: rest => a :: applyMerge(rest)
+      case Nil => Nil
+    }
+    val recount = texts.map(applyMerge).flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expectTop = recount.toSeq
+      .sortBy { case ((l, r), n) => (-n, l, r) }.take(20)
+      .map { case ((l, r), n) => (l, r, n) }
+    val got = out.map(r => (r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == expectTop, "post-merge pair table matches the greedy replay")
+  }
+
   test("g3: triangle count matches brute force over the pair graph") {
     val row = SparkEntry.queries("g3_triangles")(spark, sfDir).collect().head
     val pairs = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
