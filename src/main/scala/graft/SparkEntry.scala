@@ -38,6 +38,7 @@ object SparkEntry {
     operators.SketchOps.queries ++
     operators.IndexOps.queries ++
     operators.SessionScaleOps.queries ++
+    operators.GovernanceOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
     operators.JoinOps.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
     operators.SketchOps.oracles ++
     operators.IndexOps.oracles ++
     operators.SessionScaleOps.oracles ++
+    operators.GovernanceOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++
     operators.JoinOps.oracles ++

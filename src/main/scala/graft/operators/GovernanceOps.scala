@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Data-governance and corpus-planning operators — the audits a training-data
+  * platform runs on a corpus before it ships: a k-anonymity suppression
+  * census (privacy risk of quasi-identifier combinations), a per-column
+  * encoding plan (the dictionary-vs-plain decision that drives parquet
+  * layout at 100 TB), association-rule mining over event baskets (the
+  * co-occurrence structure behind feature crosses), a Pareto-skyline
+  * extraction (non-dominated points without the quadratic dominance
+  * self-join), a day-of-week seasonal index (the deseasonalization factor a
+  * forecasting pipeline attaches to daily series), and an hourly activity
+  * bitmap (bitmap-index construction via integer bit_or partials).
+  *
+  * Reference scope: all beyond-reference (builder brief's training-data
+  * direction); sited with the qc_* quality family and the s1x layout
+  * family. The exactness strategy follows StatOps: integer/mergeable
+  * partials everywhere, one short double chain at the end, stableRound's
+  * 1e-9 bias on every emitted ratio.
+  */
+object GovernanceOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val k = 5 // k-anonymity threshold
+
+  val queries: Map[String, Q] = Map(
+    // QC-K: k-anonymity audit. Quasi-identifier = (lang, source, length
+    // bucket); any QI group with fewer than k members re-identifies its
+    // documents, so the suppression rate (share of docs that would need
+    // redaction) is the per-language privacy cost of releasing the corpus.
+    // Two hash-aggs, both mergeable — the 100 TB shape.
+    "qc_kanonymity" -> { (s, d) =>
+      val groups = Tables.documents(s, d)
+        .groupBy(
+          col("lang"), col("source"),
+          floor(col("n_chars") / lit(100.0)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+      groups.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("risk_groups"),
+          sum(when(col("n") < k, col("n")).otherwise(0L)).as("risk_docs"),
+          sum(col("n")).as("n_docs"))
+        .select(
+          col("lang"), col("n_groups"), col("risk_groups"),
+          col("risk_docs"), col("n_docs"),
+          stableRound(col("risk_docs").cast("double") / col("n_docs"), 6)
+            .as("suppression_rate"))
+        .orderBy("lang")
+    },
+
+    // S19: encoding plan. One pass computes n_rows + per-column NDV
+    // (Catalyst expands the multi-distinct agg — one exchange, not six
+    // scans); the dictionary-vs-plain decision and the code width in bits
+    // (ceil(log2 ndv) via LENGTH(bin(ndv-1))) fall out per column. This is
+    // the stats input to a parquet writer's encoding chooser.
+    "s19_encoding_plan" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_returnflag")).as("d_returnflag"),
+          countDistinct(col("l_linestatus")).as("d_linestatus"),
+          countDistinct(col("l_partkey")).as("d_partkey"),
+          countDistinct(col("l_suppkey")).as("d_suppkey"),
+          countDistinct(col("l_quantity")).as("d_quantity"),
+          countDistinct(col("l_shipdate")).as("d_shipdate"))
+        .selectExpr(
+          """stack(6,
+               'l_returnflag', d_returnflag,
+               'l_linestatus', d_linestatus,
+               'l_partkey',    d_partkey,
+               'l_suppkey',    d_suppkey,
+               'l_quantity',   d_quantity,
+               'l_shipdate',   d_shipdate) AS (column_name, n_distinct)""",
+          "n_rows")
+        .select(
+          col("column_name"), col("n_rows"), col("n_distinct"),
+          length(bin(col("n_distinct") - 1)).cast("long").as("code_bits"),
+          when(col("n_distinct") * 10 <= col("n_rows"), lit("dictionary"))
+            .otherwise(lit("plain")).as("encoding"))
+        .orderBy("column_name")
+    },
+
+    // F24: association rules over event baskets (basket = the distinct
+    // event types a user ever fires). distinct-first bounds the pair
+    // self-join fan-out to C(t,2) per user for t = |event type alphabet| —
+    // linear in users, not quadratic in events; item counts and the basket
+    // total attach as broadcasts. support/confidence/lift from integer
+    // counts only.
+    "f24_assoc_rules" -> { (s, d) =>
+      val b = Tables.events(s, d).select("user_id", "event_type").distinct()
+      val nb = b.agg(countDistinct(col("user_id")).as("n_baskets"))
+      val item = b.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+      val pair = b.as("a")
+        .join(b.as("c"),
+          col("a.user_id") === col("c.user_id") &&
+            col("a.event_type") < col("c.event_type"))
+        .groupBy(
+          col("a.event_type").as("antecedent"),
+          col("c.event_type").as("consequent"))
+        .agg(count(lit(1)).as("n_pair"))
+      pair
+        .join(broadcast(item.toDF("antecedent", "n_a")), "antecedent")
+        .join(broadcast(item.toDF("consequent", "n_c")), "consequent")
+        .crossJoin(broadcast(nb))
+        .select(
+          col("antecedent"), col("consequent"), col("n_pair"),
+          stableRound(col("n_pair").cast("double") / col("n_baskets"), 6)
+            .as("support"),
+          stableRound(col("n_pair").cast("double") / col("n_a"), 6)
+            .as("confidence"),
+          stableRound(
+            col("n_pair").cast("double") * col("n_baskets") /
+              (col("n_a").cast("double") * col("n_c")), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
+    },
+
+    // T6: Pareto skyline of customers on (total spend, order count) — the
+    // non-dominated set, WITHOUT the quadratic dominance self-join: reduce
+    // to the best order-count per distinct spend, then test "beaten by any
+    // strictly-higher spend" in two scalable pieces — a window PARTITIONED
+    // by a coarse spend bucket (within-bucket suffix max; RANGE 1 FOLLOWING
+    // = strictly higher spend in integer cents) plus a broadcast of the
+    // tiny per-bucket suffix-max table (cross-bucket competitors). No
+    // global single-partition window touches data-scale rows.
+    "t6_pareto_skyline" -> { (s, d) =>
+      val per = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      val pairCnt = per.groupBy("spend_cents", "n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+      val best = per.groupBy("spend_cents")
+        .agg(max(col("n_orders")).as("n_orders"))
+        .withColumn("bkt", (col("spend_cents") / lit(1048576L)).cast("long"))
+      // within-bucket: rows with strictly higher spend in MY bucket
+      val wIn = Window.partitionBy("bkt").orderBy("spend_cents")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      // cross-bucket: suffix max over the tiny per-bucket aggregate frame
+      val bktMax = best.groupBy("bkt").agg(max(col("n_orders")).as("bmax"))
+      val wBkt = Window.orderBy("bkt")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val hi = bktMax.withColumn("m_hi", max(col("bmax")).over(wBkt))
+        .select("bkt", "m_hi")
+      best
+        .withColumn("m_in", max(col("n_orders")).over(wIn))
+        .join(broadcast(hi), Seq("bkt"))
+        .where(col("n_orders") > coalesce(greatest(col("m_in"), col("m_hi")),
+          col("m_in"), col("m_hi"), lit(Long.MinValue)))
+        .join(pairCnt, Seq("spend_cents", "n_orders"))
+        .select("spend_cents", "n_orders", "n_customers")
+        .orderBy("spend_cents")
+    },
+
+    // TS5: day-of-week seasonal index — avg daily revenue of each DOW over
+    // the overall daily average (the multiplicative factor that
+    // deseasonalizes a daily series). Integer-cent daily totals roll up to
+    // 7 DOW rows; the overall average attaches as a 1-row broadcast.
+    "ts5_seasonal_index" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+        .select(
+          (dayofweek(col("day")) - 1).cast("long").as("dow_duck"),
+          col("day_cents"))
+      val byDow = daily.groupBy("dow_duck")
+        .agg(count(lit(1)).as("n_days"), sum(col("day_cents")).as("dow_cents"))
+      val total = byDow.agg(
+        sum(col("n_days")).as("all_days"), sum(col("dow_cents")).as("all_cents"))
+      byDow.crossJoin(broadcast(total))
+        .select(
+          col("dow_duck"), col("n_days"), col("dow_cents"),
+          stableRound(
+            (col("dow_cents").cast("double") * col("all_days")) /
+              (col("n_days").cast("double") * col("all_cents")), 6)
+            .as("seasonal_index"))
+        .orderBy("dow_duck")
+    },
+
+    // F25: hourly activity bitmap — per-user 24-bit mask built by the
+    // mergeable bit_or aggregate (the bitmap-index build primitive), then a
+    // popcount census: how many users are active in exactly h distinct
+    // hours, under how many distinct activity patterns. Pure integer ops,
+    // two hash-aggs.
+    "f25_hour_bitmap" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          expr("bit_or(shiftleft(1L, hour(ts)))").as("mask"),
+          count(lit(1)).as("n_ev"))
+        .groupBy(expr("CAST(bit_count(mask) AS BIGINT)").as("active_hours"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          countDistinct(col("mask")).as("n_patterns"),
+          sum(col("n_ev")).as("total_events"))
+        .orderBy("active_hours")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "qc_kanonymity" ->
+      s"""WITH g AS (
+            SELECT lang, source,
+                   CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2, 3)
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS risk_groups,
+                 CAST(SUM(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS risk_docs,
+                 CAST(SUM(n) AS BIGINT) AS n_docs,
+                 ROUND(1e-9 + SUM(CASE WHEN n < $k THEN n ELSE 0 END) * 1.0 / SUM(n), 6) + 0.0
+                   AS suppression_rate
+          FROM g GROUP BY lang ORDER BY lang""",
+
+    "s19_encoding_plan" ->
+      """WITH a AS (
+           SELECT COUNT(*) AS n_rows,
+                  COUNT(DISTINCT l_returnflag) AS d_returnflag,
+                  COUNT(DISTINCT l_linestatus) AS d_linestatus,
+                  COUNT(DISTINCT l_partkey)    AS d_partkey,
+                  COUNT(DISTINCT l_suppkey)    AS d_suppkey,
+                  COUNT(DISTINCT l_quantity)   AS d_quantity,
+                  COUNT(DISTINCT l_shipdate)   AS d_shipdate
+           FROM lineitem),
+         u AS (
+           SELECT 'l_returnflag' AS column_name, d_returnflag AS n_distinct, n_rows FROM a
+           UNION ALL SELECT 'l_linestatus', d_linestatus, n_rows FROM a
+           UNION ALL SELECT 'l_partkey',    d_partkey,    n_rows FROM a
+           UNION ALL SELECT 'l_suppkey',    d_suppkey,    n_rows FROM a
+           UNION ALL SELECT 'l_quantity',   d_quantity,   n_rows FROM a
+           UNION ALL SELECT 'l_shipdate',   d_shipdate,   n_rows FROM a)
+         SELECT column_name,
+                CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                CAST(LENGTH(bin(CAST(n_distinct - 1 AS BIGINT))) AS BIGINT) AS code_bits,
+                CASE WHEN n_distinct * 10 <= n_rows THEN 'dictionary' ELSE 'plain' END AS encoding
+         FROM u ORDER BY column_name""",
+
+    "f24_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+           n AS (SELECT COUNT(DISTINCT user_id) AS n_baskets FROM b),
+           item AS (SELECT event_type, COUNT(*) AS n_item FROM b GROUP BY 1),
+           pair AS (
+             SELECT a.event_type AS antecedent, c.event_type AS consequent,
+                    COUNT(*) AS n_pair
+             FROM b a JOIN b c
+               ON a.user_id = c.user_id AND a.event_type < c.event_type
+             GROUP BY 1, 2)
+         SELECT antecedent, consequent,
+                CAST(n_pair AS BIGINT) AS n_pair,
+                ROUND(1e-9 + n_pair * 1.0 / n.n_baskets, 6) + 0.0 AS support,
+                ROUND(1e-9 + n_pair * 1.0 / ia.n_item, 6) + 0.0 AS confidence,
+                ROUND(1e-9 + (n_pair * 1.0 * n.n_baskets) / (ia.n_item * 1.0 * ic.n_item), 6) + 0.0 AS lift
+         FROM pair
+         JOIN item ia ON pair.antecedent = ia.event_type
+         JOIN item ic ON pair.consequent = ic.event_type
+         CROSS JOIN n
+         ORDER BY antecedent, consequent""",
+
+    "t6_pareto_skyline" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         best AS (SELECT spend_cents, MAX(n_orders) AS n_orders FROM per GROUP BY 1),
+         sky AS (
+           SELECT spend_cents, n_orders,
+                  MAX(n_orders) OVER (ORDER BY spend_cents
+                    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m
+           FROM best),
+         cnt AS (SELECT spend_cents, n_orders, COUNT(*) AS n_customers
+                 FROM per GROUP BY 1, 2)
+         SELECT s.spend_cents, s.n_orders,
+                CAST(c.n_customers AS BIGINT) AS n_customers
+         FROM sky s
+         JOIN cnt c ON s.spend_cents = c.spend_cents AND s.n_orders = c.n_orders
+         WHERE s.m IS NULL OR s.n_orders > s.m
+         ORDER BY s.spend_cents""",
+
+    "ts5_seasonal_index" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+           FROM orders GROUP BY 1),
+         dow AS (
+           SELECT CAST(EXTRACT(DOW FROM day) AS BIGINT) AS dow_duck,
+                  CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(day_cents) AS BIGINT) AS dow_cents
+           FROM daily GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS all_days,
+                        CAST(SUM(dow_cents) AS BIGINT) AS all_cents FROM dow)
+         SELECT dow_duck, n_days, dow_cents,
+                ROUND(1e-9 + (dow_cents * 1.0 * all_days) / (n_days * 1.0 * all_cents), 6) + 0.0
+                  AS seasonal_index
+         FROM dow CROSS JOIN tot ORDER BY dow_duck""",
+
+    "f25_hour_bitmap" ->
+      """WITH e AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS h FROM events),
+           m AS (SELECT user_id,
+                        bit_or(CAST(1 AS BIGINT) << h) AS mask,
+                        COUNT(*) AS n_ev
+                 FROM e GROUP BY 1)
+         SELECT CAST(bit_count(mask) AS BIGINT) AS active_hours,
+                CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(COUNT(DISTINCT mask) AS BIGINT) AS n_patterns,
+                CAST(SUM(n_ev) AS BIGINT) AS total_events
+         FROM m GROUP BY 1 ORDER BY 1""")
+}

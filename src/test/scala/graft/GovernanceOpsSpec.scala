@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** In-memory re-derivations of the governance / corpus-planning operators
+  * (GovernanceOps) at sf0.001 — each test replays the operator's semantics
+  * with naive driver-side Scala (including the quadratic dominance check
+  * that t6's plan deliberately avoids) so the distributed formulation is
+  * checked against the definition, not against itself. The driver's DuckDB
+  * hash gate covers cross-engine representation. */
+class GovernanceOpsSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("qc_kanonymity: risk counts match a naive QI-group replay, rates in [0,1]") {
+    val out = SparkEntry.queries("qc_kanonymity")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val byLang = docs.groupBy(_._1)
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val groups = byLang(lang).groupBy(identity).values.map(_.length).toSeq
+      assert(r.getLong(1) == groups.length, "n_groups")
+      assert(r.getLong(2) == groups.count(_ < 5), "risk_groups")
+      assert(r.getLong(3) == groups.filter(_ < 5).sum, "risk_docs")
+      assert(r.getLong(4) == groups.sum, "n_docs")
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - groups.filter(_ < 5).sum.toDouble / groups.sum) < 1e-5)
+    }
+  }
+
+  test("s19: NDV, code bits, and the dictionary decision match per-column recounts") {
+    val out = SparkEntry.queries("s19_encoding_plan")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey",
+      "l_quantity", "l_shipdate")) {
+      val ndv = li.select(c).distinct().count()
+      val r = out(c)
+      assert(r.getLong(1) == n, s"$c n_rows")
+      assert(r.getLong(2) == ndv, s"$c ndv")
+      assert(r.getLong(3) == java.lang.Long.toBinaryString(math.max(ndv - 1, 0)).length,
+        s"$c code_bits")
+      assert(r.getString(4) == (if (ndv * 10 <= n) "dictionary" else "plain"), s"$c decision")
+    }
+  }
+
+  test("f24: support/confidence/lift satisfy their identities against basket recounts") {
+    val out = SparkEntry.queries("f24_assoc_rules")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val baskets = Tables.events(spark, sfDir).select("user_id", "event_type")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nb = baskets.map(_._1).distinct.length.toDouble
+    val item = baskets.groupBy(_._2).view.mapValues(_.length).toMap
+    val byUser = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (a, c) = (r.getString(0), r.getString(1))
+      assert(a < c, "canonical pair order")
+      val np = byUser.values.count(s => s(a) && s(c))
+      assert(r.getLong(2) == np, s"n_pair $a->$c")
+      assert(math.abs(r.getDouble(3) - np / nb) < 1e-5, "support")
+      assert(math.abs(r.getDouble(4) - np.toDouble / item(a)) < 1e-5, "confidence")
+      assert(math.abs(r.getDouble(5) - np * nb / (item(a).toDouble * item(c))) < 1e-5, "lift")
+    }
+  }
+
+  test("t6: bucketed skyline equals the quadratic dominance definition") {
+    val out = SparkEntry.queries("t6_pareto_skyline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val per = Tables.orders(spark, sfDir).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1).map { case (_, os) => (os.map(_._2).sum, os.length.toLong) }
+      .toSeq
+    val sky = per.distinct.filter { case (s0, n0) =>
+      !per.exists { case (s1, n1) =>
+        s1 >= s0 && n1 >= n0 && (s1 > s0 || n1 > n0)
+      }
+    }.sortBy(_._1)
+    assert(out.map(p => (p._1, p._2)).toSeq == sky, "skyline point set")
+    out.foreach { case (s0, n0, cnt) =>
+      assert(cnt == per.count(p => p._1 == s0 && p._2 == n0), "n_customers")
+    }
+  }
+
+  test("ts5: seasonal indices average to ~1 weighted by day counts") {
+    val out = SparkEntry.queries("ts5_seasonal_index")(spark, sfDir).collect()
+    assert(out.length == 7)
+    assert(out.map(_.getLong(0)).toSet == (0L to 6L).toSet, "all 7 DOWs")
+    val weighted = out.map(r => r.getDouble(3) * r.getLong(1)).sum /
+      out.map(_.getLong(1)).sum
+    // Σ_d idx_d · n_d / Σ n_d = Σ dow_cents / all_cents · all_days/all_days = 1
+    assert(math.abs(weighted - 1.0) < 1e-4, s"weighted mean $weighted")
+    val allCents = out.map(_.getLong(2)).sum
+    out.foreach { r =>
+      val expect = r.getLong(2).toDouble * out.map(_.getLong(1)).sum /
+        (r.getLong(1).toDouble * allCents)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-5)
+    }
+  }
+
+  test("f25: popcount census conserves users and events; masks fit in 24 bits") {
+    val out = SparkEntry.queries("f25_hour_bitmap")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "hour(ts) AS h").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(es => (es.map(_._2).toSet, es.length)).toMap
+    assert(out.map(_.getLong(1)).sum == byUser.size, "user conservation")
+    assert(out.map(_.getLong(3)).sum == ev.length, "event conservation")
+    out.foreach { r =>
+      val h = r.getLong(0)
+      assert(h >= 0 && h <= 24, "popcount bounded by 24 hours")
+      val expectUsers = byUser.values.count(_._1.size == h)
+      assert(r.getLong(1) == expectUsers, s"n_users at $h active hours")
+      val expectPatterns = byUser.values.filter(_._1.size == h).map(_._1).toSet.size
+      assert(r.getLong(2) == expectPatterns, s"n_patterns at $h")
+    }
+  }
+}

@@ -460,4 +460,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("qc_kanonymity/s19/ts5: governance audits are pure partial+final agg chains") {
+    for (q <- Seq("qc_kanonymity", "s19_encoding_plan", "ts5_seasonal_index")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregates must map-side combine:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle-join:\n$p")
+    }
+  }
+
+  test("f24: item counts and the basket total attach broadcast; no cartesian pairs") {
+    val p = plan("f24_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"), s"marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian pair explosion:\n$p")
+    // the 1-row basket total rides a broadcast nested loop (cross of 1 row)
+    assert(!p.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"only the per-user pair join may exchange:\n$p")
+  }
+
+  test("t6: skyline windows partition by the spend bucket — data-scale rows never hit a global window") {
+    val df = SparkEntry.queries("t6_pareto_skyline")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the within-bucket suffix-max window must be partitioned
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"within-bucket window must partition by bkt:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket suffix-max must broadcast:\n$p")
+  }
+
+  test("f25: the bitmap build is one partial+final bit_or agg, no window, no join") {
+    val p = plan("f25_hour_bitmap")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bit_or partials must merge map-side:\n$p")
+    assert(!p.contains("Window"), s"no window in a bitmap build:\n$p")
+    assert(!p.contains("Join"), s"no join in a bitmap build:\n$p")
+  }
 }

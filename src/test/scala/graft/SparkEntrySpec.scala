@@ -25,6 +25,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "SketchOps" -> operators.SketchOps.queries,
     "IndexOps" -> operators.IndexOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
+    "GovernanceOps" -> operators.GovernanceOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
     "JoinOps" -> operators.JoinOps.queries,
