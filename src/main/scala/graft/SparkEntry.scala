@@ -39,6 +39,7 @@ object SparkEntry {
     operators.IndexOps.queries ++
     operators.SessionScaleOps.queries ++
     operators.GovernanceOps.queries ++
+    operators.LinkageOps.queries ++
     operators.ScanFilterOps.queries ++
     operators.AggOps.queries ++
     operators.JoinOps.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
     operators.IndexOps.oracles ++
     operators.SessionScaleOps.oracles ++
     operators.GovernanceOps.oracles ++
+    operators.LinkageOps.oracles ++
     operators.ScanFilterOps.oracles ++
     operators.AggOps.oracles ++
     operators.JoinOps.oracles ++

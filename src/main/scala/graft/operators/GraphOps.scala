@@ -149,9 +149,41 @@ object GraphOps {
           when(col("n_wedges") =!= 0, col("n_wedges")), 6).as("closed_share"))
   }
 
+  /** G4: degree assortativity — the Pearson correlation of endpoint
+    * degrees over the directed edge list (Newman's mixing coefficient).
+    * Positive: hubs link hubs (a template family duplicated as a block);
+    * negative: hub-and-spoke (one canonical doc with many variants) — the
+    * audit that says WHICH dedup manifest strategy (keep-best vs min-id)
+    * fits the cluster shape. Degrees are integers, so the five moment sums
+    * are exact (products in DECIMAL(38,0), f20's shape) and the closing
+    * Pearson chain runs on identical doubles in both engines. One
+    * mergeable global agg over adj ⋈ deg — no windows, no iteration. */
+  private[graft] def assortativity(s: SparkSession, d: String): DataFrame = {
+    val (adj, deg) = adjacency(s, d)
+    adj.select(col("src"), col("dst"), col("deg").as("dx"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+      .select(
+        col("n_edges"),
+        stableRound(
+          (col("n_edges") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n_edges") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n_edges") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> { (s, d) => pagerank(s, d) },
-    "g3_triangles" -> { (s, d) => triangles(s, d) })
+    "g3_triangles" -> { (s, d) => triangles(s, d) },
+    "g4_assortativity" -> { (s, d) => assortativity(s, d) })
 
   /** The oracle unrolls the same integer recurrence as chained CTEs
     * (r1..r5) over the naive all-pairs edge list (dd20's pair CTEs) —
@@ -229,5 +261,40 @@ object GraphOps {
           ne AS (SELECT COUNT(*) AS n_edges FROM pairs)
           SELECT n_nodes, n_edges, n_wedges, n_triangles,
                  ROUND(1e-9 + 3.0 * n_triangles / NULLIF(n_wedges, 0), 6) AS closed_share
-          FROM nn, ne, wcount, tri""")
+          FROM nn, ne, wcount, tri""",
+
+    "g4_assortativity" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          ed AS (
+            SELECT dx.deg AS dx, dy.deg AS dy
+            FROM edges e
+            JOIN deg dx ON dx.src = e.src
+            JOIN deg dy ON dy.src = e.dst),
+          m AS (
+            SELECT COUNT(*) AS n_edges,
+                   SUM(dx) AS sx, SUM(dy) AS sy,
+                   SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+                   SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+            FROM ed)
+          SELECT n_edges,
+                 ROUND(1e-9 +
+                   (n_edges * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (SQRT(n_edges * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    SQRT(n_edges * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS assortativity
+          FROM m""")
 }

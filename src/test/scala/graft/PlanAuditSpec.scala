@@ -489,6 +489,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket suffix-max must broadcast:\n$p")
   }
 
+  test("f26/dd23: ER candidates come from equi-join blocking — never a cross join") {
+    for (q <- Seq("f26_jaro_winkler", "dd23_er_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q pairs must be equi-blocked:\n$p")
+      assert(p.toLowerCase.contains("jarowinklersimilarity"),
+        s"$q must run the native expression:\n$p")
+    }
+  }
+
+  test("sa12: bootstrap replicates aggregate partial+final, no window, no cartesian") {
+    val p = plan("sa12_bootstrap_ci")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"replicate sums must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"no window in the bootstrap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("g4: assortativity is one mergeable global agg over the shared adjacency") {
+    // the cached adjacency's stored lineage (below InMemoryTableScan)
+    // legitimately contains the pair-generation windows; audit only the
+    // fresh part of the plan above the cache boundary.
+    val p = plan("g4_assortativity").split("InMemoryTableScan").head
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"moment sums must map-side combine:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("f25: the bitmap build is one partial+final bit_or agg, no window, no join") {
     val p = plan("f25_hour_bitmap")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

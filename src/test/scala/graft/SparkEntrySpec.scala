@@ -26,6 +26,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "IndexOps" -> operators.IndexOps.queries,
     "SessionScaleOps" -> operators.SessionScaleOps.queries,
     "GovernanceOps" -> operators.GovernanceOps.queries,
+    "LinkageOps" -> operators.LinkageOps.queries,
     "ScanFilterOps" -> operators.ScanFilterOps.queries,
     "AggOps" -> operators.AggOps.queries,
     "JoinOps" -> operators.JoinOps.queries,
