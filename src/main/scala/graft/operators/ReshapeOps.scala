@@ -132,6 +132,39 @@ object ReshapeOps {
         .select(col("user_id"), col("event_type").as("last_op"),
           col("value").as("last_value"), col("n_ops_asof"), col("cut_us"))
         .orderBy("user_id")
+    },
+
+    // U11: incremental JOIN-view maintenance — the delta-algebra identity
+    // V(A∪ΔA ⋈ B∪ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB that lets a
+    // materialized join view refresh by joining only CHANGED rows
+    // (DBSP/Materialize's core rule). A/ΔA split orders at a date cutoff
+    // (late-arriving facts); B/ΔB splits customers on a key residue
+    // (late-arriving dim rows). Emits each term's rollup plus the full
+    // recompute; ReshapeScaleSpec asserts base + the three delta terms
+    // equals the recompute exactly. At scale the three delta joins touch
+    // |Δ|-proportional data — the small sides broadcast — while the naive
+    // path re-joins everything.
+    "u11_join_view_delta" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val oldO = o.filter(expr("to_date(o_orderdate) < DATE'1997-01-01'"))
+      val newO = o.filter(expr("to_date(o_orderdate) >= DATE'1997-01-01'"))
+      val oldC = c.filter(pmod(col("c_custkey"), lit(10)) =!= 3)
+      val newC = c.filter(pmod(col("c_custkey"), lit(10)) === 3)
+      def term(name: String, os: DataFrame, cs: DataFrame): DataFrame =
+        os.join(cs, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("rev_cents"))
+          .select(lit(name).as("term"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("rev_cents"), lit(0L)).as("rev_cents"))
+      term("1_base", oldO, oldC)
+        .unionAll(term("2_delta_fact", newO, oldC))
+        .unionAll(term("3_delta_dim", oldO, broadcast(newC)))
+        .unionAll(term("4_delta_both", newO, broadcast(newC)))
+        .unionAll(term("5_full_recompute", o, c))
+        .orderBy("term")
     })
 
   val oracles: Map[String, String] = Map(
@@ -210,5 +243,35 @@ object ReshapeOps {
          SELECT user_id, event_type AS last_op, "value" AS last_value,
                 CAST(n_ops_asof AS BIGINT) AS n_ops_asof, cut_us
          FROM r WHERE rk = 1 AND op = 'U'
-         ORDER BY user_id""")
+         ORDER BY user_id""",
+
+    "u11_join_view_delta" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         oldo AS (SELECT * FROM o WHERE od < DATE '1997-01-01'),
+         newo AS (SELECT * FROM o WHERE od >= DATE '1997-01-01'),
+         oldc AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 3),
+         newc AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3),
+         t AS (
+           SELECT '1_base' AS term,
+                  COALESCE(COUNT(*), 0) AS n_pairs,
+                  COALESCE(SUM(cents), 0) AS rev_cents
+           FROM oldo JOIN oldc ON o_custkey = c_custkey
+           UNION ALL
+           SELECT '2_delta_fact', COALESCE(COUNT(*), 0), COALESCE(SUM(cents), 0)
+           FROM newo JOIN oldc ON o_custkey = c_custkey
+           UNION ALL
+           SELECT '3_delta_dim', COALESCE(COUNT(*), 0), COALESCE(SUM(cents), 0)
+           FROM oldo JOIN newc ON o_custkey = c_custkey
+           UNION ALL
+           SELECT '4_delta_both', COALESCE(COUNT(*), 0), COALESCE(SUM(cents), 0)
+           FROM newo JOIN newc ON o_custkey = c_custkey
+           UNION ALL
+           SELECT '5_full_recompute', COALESCE(COUNT(*), 0), COALESCE(SUM(cents), 0)
+           FROM o JOIN customer ON o_custkey = c_custkey)
+         SELECT term, CAST(n_pairs AS BIGINT) AS n_pairs,
+                CAST(rev_cents AS BIGINT) AS rev_cents
+         FROM t ORDER BY term""")
 }

@@ -180,6 +180,36 @@ object SamplingOps {
         .select("lang", "n_docs", "n_tokens", "corpus_share", "target_share",
           "sampling_rate")
         .orderBy("lang")
+    },
+
+    // SA13: propensity reweighting + effective sample size — give every
+    // (lang, source) stratum the weight that equalizes source shares
+    // within its language (w = (N/k)/n), and report Kish's ESS per
+    // stratum's language. With per-stratum-constant weights the ESS
+    // collapses to k · harmonic-mean(n_i) = k²/Σ(1/n_i); Σ(1/n_i) is
+    // computed as a SORTED left fold so both engines sum the identical
+    // double sequence in the identical order — no partial-agg order
+    // nondeterminism reaches the gate. Two dimension-sized hash-aggs.
+    "sa13_reweight_ess" -> { (s, d) =>
+      val bySrc = Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+      val byLang = bySrc.groupBy("lang")
+        .agg(
+          count(lit(1)).as("k_sources"),
+          sum(col("n_docs")).as("lang_docs"),
+          expr("aggregate(transform(sort_array(collect_list(n_docs)), x -> 1.0 / x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+            .as("sum_inv"))
+      bySrc.join(broadcast(byLang), "lang")
+        .select(
+          col("lang"), col("source"), col("n_docs"),
+          graft.functions.Exact.stableRound(
+            col("lang_docs").cast("double") / col("k_sources") / col("n_docs"), 6)
+            .as("weight"),
+          graft.functions.Exact.stableRound(
+            col("k_sources").cast("double") * col("k_sources") / col("sum_inv"), 3)
+            .as("ess"))
+        .orderBy("lang", "source")
     })
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +310,26 @@ object SamplingOps {
             FROM per_lang, total)
           SELECT lang, n_docs, n_tokens, corpus_share, target_share,
                  target_share / corpus_share AS sampling_rate
-          FROM shared ORDER BY lang""")
+          FROM shared ORDER BY lang""",
+
+    // Σ(1/n) via the same sorted sequential fold as the Spark side;
+    // division order in weight/ess mirrors exactly.
+    "sa13_reweight_ess" ->
+      """WITH by_src AS (
+           SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1, 2),
+         by_lang AS (
+           SELECT lang,
+                  CAST(COUNT(*) AS BIGINT) AS k_sources,
+                  CAST(SUM(n_docs) AS BIGINT) AS lang_docs,
+                  list_aggregate(list_transform(list_sort(list(n_docs)), x -> 1.0 / x), 'sum')
+                    AS sum_inv
+           FROM by_src GROUP BY 1)
+         SELECT s.lang, s.source, s.n_docs,
+                ROUND(1e-9 + CAST(l.lang_docs AS DOUBLE) / l.k_sources / s.n_docs, 6) + 0.0
+                  AS weight,
+                ROUND(1e-9 + CAST(l.k_sources AS DOUBLE) * l.k_sources / l.sum_inv, 3) + 0.0
+                  AS ess
+         FROM by_src s JOIN by_lang l ON s.lang = l.lang
+         ORDER BY s.lang, s.source""")
 }

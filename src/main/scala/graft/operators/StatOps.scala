@@ -190,6 +190,45 @@ object StatOps {
           col("min_v"), col("max_v"),
           stableRound(sqrt(col("s9").cast("double") / col("n") / 1e9), 6).as("rms_v"))
         .orderBy("dim")
+    },
+
+    // EMB2: product-quantization assignment — the PQ half of IVF-PQ. The
+    // 64-dim space splits into 8 contiguous 8-dim subspaces; the codebook
+    // is the 16 lowest-vec_id vectors' sub-vectors (a deterministic seed
+    // choice — a trained codebook would slot in identically); every vector
+    // gets its nearest code per subspace. All coordinates go through
+    // emb1's FLOOR(v·1e6+0.5) integer scaling FIRST, so squared L2
+    // distances are exact int64 and the argmin (ties → min code) cannot
+    // flip cross-engine. Output: per-cell occupancy + total quantization
+    // error — the codebook-quality audit before an ANN index build.
+    // Shape at scale: tiny codebook broadcast onto the exploded
+    // coordinate stream, two mergeable hash-aggs, one min_by per
+    // (vector, subspace) — linear in corpus size, never pairwise.
+    "emb2_pq_assign" -> { (s, d) =>
+      val iv = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"),
+          (col("dim") / 8).cast("int").as("sub"),
+          col("dim"),
+          floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("iv"))
+      val anchorIds = Tables.embeddings(s, d)
+        .select(col("vec_id")).orderBy("vec_id").limit(16)
+      val anchors = iv.join(broadcast(anchorIds.withColumnRenamed("vec_id", "aid")),
+          col("vec_id") === col("aid"))
+        .select(col("aid").as("code"), col("sub").as("a_sub"),
+          col("dim").as("a_dim"), col("iv").as("a_iv"))
+      val dists = iv
+        .join(broadcast(anchors),
+          col("sub") === col("a_sub") && col("dim") === col("a_dim"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum((col("iv") - col("a_iv")) * (col("iv") - col("a_iv"))).as("dist"))
+      dists
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"))).as("best"))
+        .select(col("sub"), col("best.code").as("code"), col("best.dist").as("dist"))
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("total_err"))
+        .orderBy("sub", "code")
     })
 
   val oracles: Map[String, String] = Map(
@@ -290,5 +329,32 @@ object StatOps {
                 ROUND(1e-9 + CAST(SUM(v6) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_v,
                 MIN(vd) AS min_v, MAX(vd) AS max_v,
                 ROUND(1e-9 + SQRT(CAST(SUM(sq9) AS DOUBLE) / COUNT(*) / 1e9), 6) AS rms_v
-         FROM t GROUP BY dim ORDER BY dim""")
+         FROM t GROUP BY dim ORDER BY dim""",
+
+    "emb2_pq_assign" ->
+      """WITH iv AS (
+           SELECT vec_id,
+                  CAST((i - 1) // 8 AS INTEGER) AS sub,
+                  i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS iv
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+         aid AS (SELECT vec_id AS code FROM embeddings ORDER BY vec_id LIMIT 16),
+         anchors AS (
+           SELECT a.code, v.sub AS a_sub, v.dim AS a_dim, v.iv AS a_iv
+           FROM aid a JOIN iv v ON v.vec_id = a.code),
+         dists AS (
+           SELECT iv.vec_id, iv.sub, an.code,
+                  SUM((iv.iv - an.a_iv) * (iv.iv - an.a_iv)) AS dist
+           FROM iv JOIN anchors an ON iv.sub = an.a_sub AND iv.dim = an.a_dim
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT vec_id, sub, code, dist,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, code) AS rn
+           FROM dists)
+         SELECT sub, code,
+                CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                CAST(SUM(dist) AS BIGINT) AS total_err
+         FROM best WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -517,6 +517,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("u11: delta-dim terms broadcast the changed rows; no cartesian") {
+    val p = plan("u11_join_view_delta")
+    assert(p.contains("BroadcastHashJoin"), s"delta sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sa13: stratum stats attach broadcast; aggs are partial+final; no window") {
+    val p = plan("sa13_reweight_ess")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), s"per-lang frame must broadcast:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("emb2: the PQ codebook broadcasts onto the coordinate stream") {
+    val p = plan("emb2_pq_assign")
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("f25: the bitmap build is one partial+final bit_or agg, no window, no join") {
     val p = plan("f25_hour_bitmap")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

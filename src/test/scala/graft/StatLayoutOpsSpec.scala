@@ -433,4 +433,65 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).map(_._2.length.toLong)
     assert(row.getLong(2) == deg.map(d => d * (d - 1) / 2).sum, "wedge count")
   }
+
+  test("u11: base + the three delta terms reproduce the full recompute exactly") {
+    val out = SparkEntry.queries("u11_join_view_delta")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 5)
+    val incPairs = Seq("1_base", "2_delta_fact", "3_delta_dim", "4_delta_both")
+      .map(out(_)._1).sum
+    val incRev = Seq("1_base", "2_delta_fact", "3_delta_dim", "4_delta_both")
+      .map(out(_)._2).sum
+    assert(incPairs == out("5_full_recompute")._1, "pair count identity")
+    assert(incRev == out("5_full_recompute")._2, "revenue identity")
+    assert(out.values.forall(_._1 >= 0))
+  }
+
+  test("sa13: weights equalize source shares; ESS is k x harmonic mean of strata") {
+    val out = SparkEntry.queries("sa13_reweight_ess")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      val k = rows.length
+      val ns = rows.map(_.getLong(2))
+      val total = ns.sum
+      rows.foreach { r =>
+        // weighted mass of each stratum is equal: n_i * w_i = N/k
+        val expectW = total.toDouble / k / r.getLong(2)
+        assert(math.abs(r.getDouble(3) - expectW) < 1e-5, "weight")
+      }
+      val ess = rows.head.getDouble(4)
+      val expectEss = k.toDouble * k / ns.map(1.0 / _).sum
+      assert(math.abs(ess - expectEss) < 1e-2, "ESS")
+      assert(ess <= total + 1e-9, "ESS cannot exceed the stratum total")
+      assert(rows.map(_.getDouble(4)).distinct.length == 1, "ESS constant per lang")
+    }
+  }
+
+  test("emb2: every (vector, subspace) is assigned to its true nearest code") {
+    val out = SparkEntry.queries("emb2_pq_assign")(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val anchors = vecs.take(16)
+    def dist(a: Array[Long], b: Array[Long], sub: Int): Long =
+      (0 until 8).map { o =>
+        val d = a(sub * 8 + o) - b(sub * 8 + o); d * d
+      }.sum
+    // replay the assignment and census
+    val census = collection.mutable.Map[(Int, Long), (Long, Long)]().withDefaultValue((0L, 0L))
+    for ((_, v) <- vecs; sub <- 0 until 8) {
+      val (code, d) = anchors.map { case (aid, av) => (aid, dist(v, av, sub)) }
+        .minBy { case (aid, d) => (d, aid) }
+      val (n, e) = census((sub, code))
+      census((sub, code)) = (n + 1, e + d)
+    }
+    assert(out.length == census.size, "cell count")
+    out.foreach { r =>
+      val key = (r.getInt(0), r.getLong(1))
+      assert(census(key) == ((r.getLong(2), r.getLong(3))), s"cell $key")
+    }
+  }
 }
