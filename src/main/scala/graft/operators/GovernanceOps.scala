@@ -183,6 +183,100 @@ object GovernanceOps {
         .orderBy("dow_duck")
     },
 
+    // QC-FD: functional-dependency violation audit (the FD-discovery
+    // primitive behind schema normalization and key inference, Papenbrock's
+    // profiling family). For each candidate FD X→Y: group by X, count keys
+    // where Y has >1 distinct value. Three candidates probe the three
+    // outcomes: a true key FD (holds), a quasi-identifier FD (violated),
+    // and a fact-to-attribute FD (violated heavily). Per-FD hash-agg +
+    // re-agg — mergeable at any scale.
+    "qc_fd_violations" -> { (s, d) =>
+      def fd(name: String,
+             grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+        grouped.agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          sum(when(col("nv") > 1, col("nr")).otherwise(0L)).as("n_rows_violating"),
+          max(col("nv")).as("max_variants"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating_keys"),
+            col("n_rows_violating"), col("max_variants"))
+      val docs = Tables.documents(s, d)
+      val f1 = fd("1_doc_id->source",
+        docs.groupBy("doc_id")
+          .agg(countDistinct(col("source")).as("nv"), count(lit(1)).as("nr"))
+          .groupBy())
+      val f2 = fd("2_lang,len_bucket->source",
+        docs.groupBy(col("lang"), floor(col("n_chars") / lit(100.0)).cast("long"))
+          .agg(countDistinct(col("source")).as("nv"), count(lit(1)).as("nr"))
+          .groupBy())
+      val f3 = fd("3_custkey->orderpriority",
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(countDistinct(col("o_orderpriority")).as("nv"), count(lit(1)).as("nr"))
+          .groupBy())
+      f1.unionAll(f2).unionAll(f3).orderBy("fd")
+    },
+
+    // S20: run-length probe — the ordered twin of s19's NDV chooser: would
+    // RLE pay off for l_returnflag if files were laid out in
+    // (shipdate, orderkey, linenumber) order? Runs are counted per month
+    // partition (the file/row-group boundary a writer actually sees), so
+    // the window is partitioned — never a global total order. The value
+    // column itself closes the sort key: the testdata carries duplicate
+    // (orderkey, linenumber) rows, and without a TOTAL order the run count
+    // is tie-dependent.
+    "s20_rle_probe" -> { (s, d) =>
+
+      val w = Window.partitionBy("mon")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_returnflag")
+      Tables.lineitem(s, d)
+        .select(date_trunc("month", col("l_shipdate")).as("mon"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"))
+        .withColumn("chg",
+          when(lag(col("l_returnflag"), 1).over(w).isNull ||
+            lag(col("l_returnflag"), 1).over(w) =!= col("l_returnflag"), 1L)
+            .otherwise(0L))
+        .groupBy("mon")
+        .agg(count(lit(1)).as("n_rows"), sum(col("chg")).as("n_runs"))
+        .select(col("mon"), col("n_rows"), col("n_runs"),
+          stableRound(col("n_rows").cast("double") / col("n_runs"), 4)
+            .as("avg_run_len"))
+        .orderBy("mon")
+    },
+
+    // TS6: CUSUM change-point — the day where cumulative deviation from
+    // the per-priority mean peaks. With integer-cent daily totals the
+    // statistic D·prefix(t) − t·T (D days, T total) is EXACT int64 — no
+    // running-mean floats — so the argmax day is bit-stable. (Beyond
+    // ~2^63/D total cents the scaled statistic needs DECIMAL(38,0); the
+    // shape is unchanged.) Windows partition by priority; ties break to
+    // the earliest day, mirrored in the oracle's rank order.
+    "ts6_cusum_changepoint" -> { (s, d) =>
+
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wOrd = Window.partitionBy("prio").orderBy("day")
+      val wAll = Window.partitionBy("prio")
+      val scored = daily
+        .withColumn("t_idx", row_number().over(wOrd))
+        .withColumn("prefix", sum(col("cents")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("cents")).over(wAll))
+        .withColumn("cusum", col("n_days") * col("prefix") - col("t_idx") * col("total"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("prio").orderBy(abs(col("cusum")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("prio"), col("n_days"), col("day").as("cp_day"),
+          abs(col("cusum")).as("max_abs_cusum"),
+          when(col("cusum") > 0, lit("above_mean_first"))
+            .otherwise(lit("below_mean_first")).as("regime"))
+        .orderBy("prio")
+    },
+
     // F25: hourly activity bitmap — per-user 24-bit mask built by the
     // mergeable bit_or aggregate (the bitmap-index build primitive), then a
     // popcount census: how many users are active in exactly h distinct
@@ -300,6 +394,82 @@ object GovernanceOps {
                 ROUND(1e-9 + (dow_cents * 1.0 * all_days) / (n_days * 1.0 * all_cents), 6) + 0.0
                   AS seasonal_index
          FROM dow CROSS JOIN tot ORDER BY dow_duck""",
+
+    "qc_fd_violations" ->
+      """WITH f1 AS (
+           SELECT doc_id, COUNT(DISTINCT source) AS nv, COUNT(*) AS nr
+           FROM documents GROUP BY 1),
+         f2 AS (
+           SELECT lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS lb,
+                  COUNT(DISTINCT source) AS nv, COUNT(*) AS nr
+           FROM documents GROUP BY 1, 2),
+         f3 AS (
+           SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nv, COUNT(*) AS nr
+           FROM orders GROUP BY 1),
+         u AS (
+           SELECT '1_doc_id->source' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+                  CAST(SUM(CASE WHEN nv > 1 THEN nr ELSE 0 END) AS BIGINT) AS n_rows_violating,
+                  CAST(MAX(nv) AS BIGINT) AS max_variants
+           FROM f1
+           UNION ALL
+           SELECT '2_lang,len_bucket->source',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN nv > 1 THEN nr ELSE 0 END) AS BIGINT),
+                  CAST(MAX(nv) AS BIGINT)
+           FROM f2
+           UNION ALL
+           SELECT '3_custkey->orderpriority',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN nv > 1 THEN nr ELSE 0 END) AS BIGINT),
+                  CAST(MAX(nv) AS BIGINT)
+           FROM f3)
+         SELECT * FROM u ORDER BY fd""",
+
+    "s20_rle_probe" ->
+      """WITH t AS (
+           SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS mon,
+                  l_shipdate, l_orderkey, l_linenumber, l_returnflag,
+                  LAG(l_returnflag) OVER (
+                    PARTITION BY date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_returnflag) AS prev
+           FROM lineitem)
+         SELECT CAST(mon AS TIMESTAMP) AS mon,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN prev IS NULL OR prev <> l_returnflag
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                ROUND(1e-9 + COUNT(*) * 1.0 /
+                  SUM(CASE WHEN prev IS NULL OR prev <> l_returnflag
+                           THEN 1 ELSE 0 END), 4) + 0.0 AS avg_run_len
+         FROM t GROUP BY 1 ORDER BY 1""",
+
+    "ts6_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2),
+         scored AS (
+           SELECT prio, day, cents,
+                  ROW_NUMBER() OVER (PARTITION BY prio ORDER BY day) AS t_idx,
+                  SUM(cents) OVER (PARTITION BY prio ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+                  COUNT(*) OVER (PARTITION BY prio) AS n_days,
+                  SUM(cents) OVER (PARTITION BY prio) AS total
+           FROM daily),
+         cu AS (
+           SELECT prio, day, CAST(n_days AS BIGINT) AS n_days,
+                  n_days * prefix - t_idx * total AS cusum,
+                  ROW_NUMBER() OVER (PARTITION BY prio
+                    ORDER BY ABS(n_days * prefix - t_idx * total) DESC, day) AS rn
+           FROM scored)
+         SELECT prio, n_days, day AS cp_day,
+                CAST(ABS(cusum) AS BIGINT) AS max_abs_cusum,
+                CASE WHEN cusum > 0 THEN 'above_mean_first'
+                     ELSE 'below_mean_first' END AS regime
+         FROM cu WHERE rn = 1 ORDER BY prio""",
 
     "f25_hour_bitmap" ->
       """WITH e AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS h FROM events),

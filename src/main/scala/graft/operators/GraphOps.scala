@@ -180,10 +180,45 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Rounds of k-core peeling — FIXED, not to-fixpoint, so the oracle can
+    * unroll the identical recurrence as chained CTEs and the result is
+    * bit-deterministic at ANY scale (a fixpoint loop's round count is
+    * data-dependent; 6 rounds reach the fixpoint on every corpus drop we
+    * test, asserted in GraphOpsSpec — at larger scale the semantics are
+    * "6 peel rounds", a documented approximation from below). */
+  private[graft] val KCORE_K = 2
+  private[graft] val KCORE_ROUNDS = 6
+
+  /** G5: k-core decomposition (peel rounds) — repeatedly drop nodes with
+    * degree < k; what survives is the cohesive core (the "dense template
+    * cluster" detector next to g3's triangle census — a node can have high
+    * degree yet no core membership). Each round is deg-count + two
+    * semi-joins — one exchange each, Pregel's dataflow like g1, each round
+    * pinned by localCheckpoint. Pure integer compares: bit-exact. */
+  private[graft] def kcore(s: SparkSession, d: String): DataFrame = {
+    val (adj, _) = adjacency(s, d)
+    var edges = adj.select("src", "dst").localCheckpoint()
+    for (_ <- 1 to KCORE_ROUNDS) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCORE_K).select("src")
+      edges = edges
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    deg.agg(
+      count(lit(1)).as("n_core_nodes"),
+      coalesce((sum(col("deg")) / 2).cast("long"), lit(0L)).as("n_core_edges"),
+      coalesce(max(col("deg")), lit(0L)).as("max_core_degree"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> { (s, d) => pagerank(s, d) },
     "g3_triangles" -> { (s, d) => triangles(s, d) },
-    "g4_assortativity" -> { (s, d) => assortativity(s, d) })
+    "g4_assortativity" -> { (s, d) => assortativity(s, d) },
+    "g5_kcore" -> { (s, d) => kcore(s, d) })
 
   /** The oracle unrolls the same integer recurrence as chained CTEs
     * (r1..r5) over the naive all-pairs edge list (dd20's pair CTEs) —
@@ -296,5 +331,34 @@ object GraphOps {
                    (SQRT(n_edges * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                     SQRT(n_edges * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                    AS assortativity
-          FROM m""")
+          FROM m""",
+
+    "g5_kcore" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+          ${(1 to KCORE_ROUNDS).map { r =>
+            // MATERIALIZED is load-bearing: each round references the
+            // previous one three times, and DuckDB's default CTE inlining
+            // would re-evaluate the whole chain ~3^rounds times.
+            s"""k$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $KCORE_K),
+                e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+                        JOIN k$r a ON e.src = a.src
+                        JOIN k$r b ON e.dst = b.src)"""
+          }.mkString(",\n")},
+          deg AS (SELECT src, COUNT(*) AS deg FROM e$KCORE_ROUNDS GROUP BY 1)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+                 CAST(COALESCE(SUM(deg) // 2, 0) AS BIGINT) AS n_core_edges,
+                 CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_core_degree
+          FROM deg""")
 }

@@ -106,6 +106,73 @@ class GovernanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qc_fd: the key FD holds, the quasi-FDs are violated, counts replay") {
+    val out = SparkEntry.queries("qc_fd_violations")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    assert(out("1_doc_id->source").getLong(2) == 0, "true key FD has no violations")
+    assert(out("1_doc_id->source").getLong(4) == 1, "max variants 1")
+    assert(out("3_custkey->orderpriority").getLong(2) > 0, "fact FD is violated")
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "n_chars", "source").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 100), r.getString(2)))
+    val byKey = docs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val r2 = out("2_lang,len_bucket->source")
+    assert(r2.getLong(1) == byKey.size, "n_keys")
+    assert(r2.getLong(2) == byKey.values.count(_ > 1), "violating keys")
+    assert(r2.getLong(4) == byKey.values.max, "max variants")
+  }
+
+  test("s20: per-month runs match a sequential replay under the total order") {
+    val out = SparkEntry.queries("s20_rle_probe")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(date_trunc('month', l_shipdate) AS STRING) AS mon",
+        "CAST(l_shipdate AS STRING) AS sd", "l_orderkey", "l_linenumber",
+        "l_returnflag")
+      .collect()
+      .map(r => (r.getString(0).take(7), (r.getString(1), r.getLong(2),
+        r.getInt(3), r.getString(4))))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val rows = li(r.getAs[Any](0).toString.take(7))
+        .map(_._2).sortBy(t => (t._1, t._2, t._3, t._4))
+      val flags = rows.map(_._4)
+      val runs = 1 + flags.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      assert(r.getLong(1) == flags.length, "n_rows")
+      assert(r.getLong(2) == runs, "n_runs")
+      assert(r.getDouble(3) >= 1.0, "avg run length >= 1")
+    }
+  }
+
+  test("ts6: CUSUM statistic is exact and peaks where the replay peaks") {
+    val out = SparkEntry.queries("ts6_cusum_changepoint")(spark, sfDir).collect()
+    assert(out.length == 5)
+    val daily = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority AS prio", "to_date(o_orderdate) AS day",
+        "CAST(ROUND(o_totalprice * 100) AS LONG) AS cents")
+      .collect()
+      .map(r => (r.getString(0), (r.getDate(1).toString, r.getLong(2))))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val days = daily(r.getString(0)).map(_._2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val d = days.length.toLong
+      val total = days.map(_._2).sum
+      var prefix = 0L
+      val cusums = days.zipWithIndex.map { case ((day, c), i) =>
+        prefix += c
+        (day, d * prefix - (i + 1) * total)
+      }
+      val best = cusums.minBy { case (day, cu) => (-math.abs(cu), day) }
+      assert(r.getLong(1) == d, "n_days")
+      assert(r.getDate(2).toString == best._1, "change-point day")
+      assert(r.getLong(3) == math.abs(best._2), "max |CUSUM|")
+      // the last CUSUM is identically zero: D*prefix(D) - D*T = 0
+      assert(cusums.last._2 == 0L, "telescoping sanity")
+    }
+  }
+
   test("f25: popcount census conserves users and events; masks fit in 24 bits") {
     val out = SparkEntry.queries("f25_hour_bitmap")(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -58,4 +58,34 @@ class GraphOpsSpec extends AnyFunSuite {
     val ord = out.map(r => (-r.getLong(1), r.getLong(0))).toSeq
     assert(ord == ord.sorted, "output ordered by (rank desc, doc_id)")
   }
+
+  test("g5: fixed-round peel reaches the true 2-core fixpoint on this corpus") {
+    val row = SparkEntry.queries("g5_kcore")(spark, sfDir).collect().head
+    // sequential peel to FIXPOINT over the same pair graph
+    val pairs = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= graft.operators.GraphOps.KCORE_K).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+      rounds += 1
+    }
+    assert(rounds <= graft.operators.GraphOps.KCORE_ROUNDS,
+      s"fixpoint after $rounds rounds must fit the fixed budget")
+    val nodes = edges.map(_._1)
+    assert(row.getLong(0) == nodes.size, "core nodes")
+    assert(row.getLong(1) == edges.size / 2, "core edges")
+    val maxDeg = if (edges.isEmpty) 0L
+      else edges.groupBy(_._1).values.map(_.size).max.toLong
+    assert(row.getLong(2) == maxDeg, "max core degree")
+    // every surviving node really has degree >= k
+    edges.groupBy(_._1).values.foreach(g =>
+      assert(g.size >= graft.operators.GraphOps.KCORE_K))
+  }
 }

@@ -517,6 +517,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("qc_fd/ts6: FD audit is agg-only; CUSUM windows partition by priority") {
+    val pf = plan("qc_fd_violations")
+    assert(!pf.contains("Join") && !pf.contains("Window"),
+      s"FD audit must be pure aggregation:\n$pf")
+    val pt = plan("ts6_cusum_changepoint")
+    assert(pt.contains("windowspecdefinition(prio"),
+      s"CUSUM windows must partition by priority:\n$pt")
+  }
+
+  test("s20: run counting windows partition by month — never a global order") {
+    val p = plan("s20_rle_probe")
+    assert(p.contains("windowspecdefinition(mon"),
+      s"runs must be counted per month partition:\n$p")
+  }
+
   test("u11: delta-dim terms broadcast the changed rows; no cartesian") {
     val p = plan("u11_join_view_delta")
     assert(p.contains("BroadcastHashJoin"), s"delta sides must broadcast:\n$p")
