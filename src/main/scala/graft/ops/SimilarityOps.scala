@@ -228,6 +228,62 @@ object SimilarityOps {
         .orderBy("query_id")
     },
 
+    // SIM8: nDCG@k of the LSH ranking against the exact ranking — the
+    // graded-relevance eval next to sim5's flat recall (an ANN index that
+    // finds all 5 neighbors but inverts their order scores 1.0 recall yet
+    // < 1.0 nDCG). Relevance = 6 − exact-rank; the log2 position discounts
+    // are INTEGER literals (round(1e6/log2(i+1)) precomputed once) so the
+    // per-query DCG is an exact int64 sum — no cross-engine libm log2 in
+    // the gate — and nDCG is a single IEEE division by the constant ideal.
+    "sim8_ndcg" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val rel = queries("sim1_cosine_topk")(s, d)
+        .withColumn("erk", row_number().over(w))
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(6L) - col("erk")).cast("long").as("rel"))
+      queries("sim2_lsh_ann")(s, d)
+        .withColumn("ark", row_number().over(w))
+        .join(rel, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("relv", coalesce(col("rel"), lit(0L)))
+        .withColumn("disc6", element_at(
+          typedLit(Seq(1000000L, 630930L, 500000L, 430677L, 386853L)),
+          col("ark").cast("int")))
+        .groupBy("query_id")
+        .agg(sum(col("relv") * col("disc6")).as("dcg6"))
+        .select(col("query_id"), col("dcg6"),
+          graft.functions.Exact.stableRound(
+            col("dcg6").cast("double") / lit(10271927.0), 6).as("ndcg"))
+        .orderBy("query_id")
+    },
+
+    // SIM9: maximum-inner-product top-k (the retrieval scoring for
+    // embeddings trained WITHOUT norm constraints, where cosine's
+    // normalization discards magnitude information). Coordinates go
+    // through emb1's FLOOR(x·1e6+0.5) integer scaling, so every dot
+    // product is an exact int64 — the whole gate is integer-exact with no
+    // rounding convention at all. Same broadcast-query / corpus-scan
+    // shape as sim1; at corpus scale the scan side swaps to an IVF/LSH
+    // candidate stream unchanged.
+    "sim9_mips_topk" -> { (s, d) =>
+      val iv = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+            .as("iv"))
+      val q = iv.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("query_id"), col("iv").as("qiv"))
+      val cand = iv.select(col("vec_id").as("neighbor_id"), col("iv"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot6",
+          expr("aggregate(zip_with(qiv, iv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dot6").desc, col("neighbor_id"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"), col("dot6"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // SIM6: hard-negative mining — for each query vector, the top-k most
     // similar vectors of a DIFFERENT label (the contrastive-learning
     // negative set: negatives that look like positives train the sharpest
@@ -535,6 +591,51 @@ object SimilarityOps {
                  CAST(h.n_hits AS DOUBLE) / $TOPK AS recall_at_k
           FROM hits h LEFT JOIN acount ac ON ac.query_id = h.query_id
           ORDER BY h.query_id""",
+
+    // SIM8: integer-scaled position discounts; the rank windows replay the
+    // Spark side's (sim DESC, neighbor_id) order on the ROUNDED sims.
+    "sim8_ndcg" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id, sim FROM ($sim1Sql) t),
+          ann AS (SELECT query_id, neighbor_id, sim FROM ($sim2Sql) t),
+          rel AS (SELECT query_id, neighbor_id,
+                         CAST(6 - ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rel
+                  FROM exact),
+          ranked AS (SELECT a.query_id,
+                            ROW_NUMBER() OVER (PARTITION BY a.query_id
+                              ORDER BY a.sim DESC, a.neighbor_id) AS ark,
+                            COALESCE(r.rel, 0) AS relv
+                     FROM ann a LEFT JOIN rel r
+                       ON r.query_id = a.query_id AND r.neighbor_id = a.neighbor_id),
+          d AS (SELECT query_id, relv,
+                       CASE ark WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                                WHEN 3 THEN 500000 WHEN 4 THEN 430677
+                                WHEN 5 THEN 386853 END AS disc6
+                FROM ranked)
+          SELECT query_id, CAST(SUM(relv * disc6) AS BIGINT) AS dcg6,
+                 ROUND(1e-9 + CAST(SUM(relv * disc6) AS DOUBLE) / 10271927.0, 6) + 0.0 AS ndcg
+          FROM d GROUP BY 1 ORDER BY 1""",
+
+    // SIM9: exact integer MIPS — coordinates scaled like emb1/emb2, dot
+    // products exact BIGINT sums, no rounding anywhere in the gate.
+    "sim9_mips_topk" ->
+      s"""WITH iv AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS iv
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+          q AS (SELECT vec_id AS query_id, dim, iv AS qiv
+                FROM iv WHERE vec_id < $NQUERY),
+          dots AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(q.qiv * c.iv) AS BIGINT) AS dot6
+            FROM q JOIN iv c ON q.dim = c.dim AND c.vec_id <> q.query_id
+            GROUP BY 1, 2),
+          ranked AS (SELECT query_id, neighbor_id, dot6,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot6 DESC, neighbor_id) AS rk
+                     FROM dots)
+          SELECT query_id, neighbor_id, dot6
+          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
 
     "sim6_hard_negatives" ->
       s"""WITH $duckVecs,

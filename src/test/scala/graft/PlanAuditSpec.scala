@@ -517,6 +517,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("sim9: MIPS queries broadcast onto the corpus scan; top-k window partitions by query") {
+    val p = plan("sim9_mips_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$p")
+    // with GraftExtensions installed the row_number window rewrites to the
+    // native TopKPerGroup operator — both forms partition by query
+    assert(p.contains("windowspecdefinition(query_id") ||
+      p.contains("TopKPerGroup") || p.contains("WindowGroupLimit [query_id"),
+      s"top-k must partition by query:\n$p")
+  }
+
   test("qc_fd/ts6: FD audit is agg-only; CUSUM windows partition by priority") {
     val pf = plan("qc_fd_violations")
     assert(!pf.contains("Join") && !pf.contains("Window"),

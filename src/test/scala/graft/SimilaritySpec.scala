@@ -98,4 +98,51 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows.map(_._3).toSet == expected, s"query $q not the hardest set")
     }
   }
+
+  test("sim8: nDCG is 1 exactly when the ANN list equals the exact list in order") {
+    val ndcg = SparkEntry.queries("sim8_ndcg")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+    val ann = SparkEntry.queries("sim2_lsh_ann")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+    val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+    val idcg = 10271927L
+    ndcg.foreach { case (q, (dcg6, nd)) =>
+      val ex = exact(q)
+      val an = ann.getOrElse(q, Seq.empty)
+      val expectDcg = an.zipWithIndex.map { case (nbr, i) =>
+        val rel = ex.indexOf(nbr) match { case -1 => 0L; case r => 5L - r }
+        rel * disc(i)
+      }.sum
+      assert(dcg6 == expectDcg, s"query $q dcg")
+      assert(math.abs(nd - expectDcg.toDouble / idcg) < 1e-5, s"query $q ndcg")
+      assert(nd >= 0.0 && nd <= 1.0)
+      if (an == ex) assert(math.abs(nd - 1.0) < 1e-9, "perfect list scores 1")
+    }
+    assert(ndcg.nonEmpty)
+  }
+
+  test("sim9: integer MIPS top-k equals a driver-side exact dot-product replay") {
+    val out = SparkEntry.queries("sim9_mips_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+    val byId = vecs.toMap
+    for (q <- vecs.map(_._1).filter(_ < 10)) {
+      val qv = byId(q)
+      val expect = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, qv.zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, dp) => (-dp, id) }.take(5)
+      val got = out(q).sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq
+      assert(got == expect.toSeq, s"query $q MIPS top-5")
+    }
+  }
 }
