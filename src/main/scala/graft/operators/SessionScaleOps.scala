@@ -18,6 +18,30 @@ object SessionScaleOps {
   private val GAP_MIN = 30 // session gap threshold, minutes
 
   val queries: Map[String, Q] = Map(
+    // F27: first-order Markov transition matrix over each user's event
+    // stream — P(next | prev) with self-loop share, the behavioral model
+    // next to f19's PMI (association) and f23's trigrams (motifs): PMI
+    // says which events co-occur, the transition matrix says where the
+    // session goes NEXT. One LAG over the per-user total order
+    // (ts, event_id), one pair-keyed hash-agg; the prev-marginal attaches
+    // as a broadcast of the |alphabet|-sized frame.
+    "f27_markov_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = graft.Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val marginal = pairs.groupBy("prev_type").agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(marginal), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          graft.functions.Exact.stableRound(
+            col("n").cast("double") / col("n_from"), 6).as("prob"),
+          (col("prev_type") === col("next_type")).as("is_self_loop"))
+        .orderBy("prev_type", "next_type")
+    },
+
     // A22: GRID-HISTOGRAM approximate quantiles — the mergeable,
     // constant-state alternative to an exact percentile sort at 100 TB:
     // one pass for global min/max (a 1-row broadcast), one pass binning
@@ -262,6 +286,26 @@ object SessionScaleOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "f27_markov_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         p AS (
+           SELECT LAG(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type,
+                  event_type AS next_type
+           FROM e),
+         pairs AS (
+           SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         marg AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+                  FROM pairs GROUP BY 1)
+         SELECT pr.prev_type, pr.next_type, pr.n,
+                ROUND(1e-9 + CAST(pr.n AS DOUBLE) / m.n_from, 6) + 0.0 AS prob,
+                pr.prev_type = pr.next_type AS is_self_loop
+         FROM pairs pr JOIN marg m ON pr.prev_type = m.prev_type
+         ORDER BY pr.prev_type, pr.next_type""",
+
     // Same grid, same integer thresholds; bucket bounds re-derive from
     // (min, width) with the identical IEEE expression tree.
     "a22_grid_quantiles" ->

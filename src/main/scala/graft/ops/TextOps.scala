@@ -44,6 +44,66 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // TX22: readability scoring (Flesch reading ease) — the classic text
+    // quality prior a curation pipeline thresholds on. The synthetic
+    // corpus carries no sentence punctuation, so the sentence unit is the
+    // standard fixed-window proxy (ceil(words/15)); syllables are vowel
+    // groups (the usual heuristic). All three inputs are INTEGER corpus
+    // sums, so the Flesch formula is one short double chain on identical
+    // inputs in both engines. One scan, one dimension-sized hash-agg.
+    "tx22_readability" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(tokens).cast("long").as("words"),
+          expr("CAST(ceil(size(split(text, ' ')) / 15.0) AS LONG)").as("sentences"),
+          expr("CAST(regexp_count(text, '[aeiouy]+') AS LONG)").as("syllables"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("words")).as("n_words"),
+          sum(col("sentences")).as("n_sentences"),
+          sum(col("syllables")).as("n_syllables"))
+        .select(
+          col("lang"), col("n_docs"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          graft.functions.Exact.stableRound(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+              - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4)
+            .as("flesch_score"))
+        .orderBy("lang")
+    },
+
+    // TOK3: vocabulary coverage curve — "how large must the vocab be to
+    // cover X% of the corpus": cumulative frequency share at vocab cuts
+    // K ∈ {10, 100, 500} over character 4-grams ranked by (freq desc,
+    // gram). The ranked vocabulary is log-scale smaller than the corpus
+    // (dimension-sized), so the cumulative window rides the tiny
+    // aggregated frame — the w2/w20 pattern — while the corpus itself
+    // only feeds one partial-agg groupBy.
+    "tok3_vocab_coverage" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, d)
+        .select(explode(expr(
+          "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))"))
+          .as("gram"))
+      val vocab = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
+      val total = vocab.agg(sum(col("freq")).as("total_grams"))
+      val w = Window.orderBy(col("freq").desc, col("gram"))
+      vocab
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rk").isin(10, 100, 500))
+        .crossJoin(broadcast(total))
+        .select(col("rk").cast("long").as("vocab_size"),
+          col("gram").as("gram_at_cut"), col("cum").as("cum_grams"),
+          col("total_grams"),
+          graft.functions.Exact.stableRound(
+            col("cum").cast("double") / col("total_grams"), 6).as("coverage"))
+        .orderBy("vocab_size")
+    },
+
     // TOK1: the BPE tokenizer-TRAINING inner step — count every adjacent
     // symbol pair across the corpus and surface the top merge candidates.
     // (Word-level symbols here; byte/char pairs are the same dataflow with
@@ -439,6 +499,42 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "tx22_readability" ->
+      """WITH pd AS (
+           SELECT lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                  CAST(CEIL(len(string_split(text, ' ')) / 15.0) AS BIGINT) AS sentences,
+                  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syllables
+           FROM documents)
+         SELECT lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(words) AS BIGINT) AS n_words,
+                CAST(SUM(sentences) AS BIGINT) AS n_sentences,
+                CAST(SUM(syllables) AS BIGINT) AS n_syllables,
+                ROUND(1e-9 + 206.835
+                  - 1.015 * (CAST(SUM(words) AS DOUBLE) / SUM(sentences))
+                  - 84.6 * (CAST(SUM(syllables) AS DOUBLE) / SUM(words)), 4) + 0.0
+                  AS flesch_score
+         FROM pd GROUP BY lang ORDER BY lang""",
+
+    "tok3_vocab_coverage" ->
+      """WITH grams AS (
+           SELECT substr(text, i, 4) AS gram
+           FROM documents, UNNEST(generate_series(1, GREATEST(len(text) - 3, 0))) AS u(i)),
+         vocab AS (SELECT gram, COUNT(*) AS freq FROM grams GROUP BY 1),
+         tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_grams FROM vocab),
+         ranked AS (
+           SELECT gram, freq,
+                  ROW_NUMBER() OVER (ORDER BY freq DESC, gram) AS rk,
+                  SUM(freq) OVER (ORDER BY freq DESC, gram
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM vocab)
+         SELECT CAST(rk AS BIGINT) AS vocab_size, gram AS gram_at_cut,
+                CAST(cum AS BIGINT) AS cum_grams, total_grams,
+                ROUND(1e-9 + CAST(cum AS DOUBLE) / total_grams, 6) + 0.0 AS coverage
+         FROM ranked, tot WHERE rk IN (10, 100, 500)
+         ORDER BY vocab_size""",
+
     "tok1_bpe_pair_merges" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),

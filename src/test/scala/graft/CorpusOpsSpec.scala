@@ -93,4 +93,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the check is only meaningful if both verdicts actually occur
     assert(out.exists(_._4 == "drop") && out.exists(_._4 == "keep"))
   }
+
+  test("tx22: Flesch inputs replay from raw text; score obeys the formula") {
+    val out = SparkEntry.queries("tx22_readability")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val texts = docs(r.getString(0)).map(_._2)
+      val words = texts.map(_.split(" ", -1).length.toLong).sum
+      val sentences = texts.map(t => math.ceil(t.split(" ", -1).length / 15.0).toLong).sum
+      val syllables = texts.map(t => "[aeiouy]+".r.findAllIn(t).length.toLong).sum
+      assert(r.getLong(2) == words, "words")
+      assert(r.getLong(3) == sentences, "sentences")
+      assert(r.getLong(4) == syllables, "syllables")
+      val expect = 206.835 - 1.015 * (words.toDouble / sentences) -
+        84.6 * (syllables.toDouble / words)
+      assert(math.abs(r.getDouble(5) - expect) < 1e-3, "flesch")
+    }
+  }
+
+  test("tok3: coverage is monotone in vocab size and cumulative counts replay") {
+    val out = SparkEntry.queries("tok3_vocab_coverage")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val grams = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => r.getString(0).sliding(4).filter(_.length == 4))
+    val ranked = grams.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (g, f) => (-f, g) }
+    out.foreach { case (k, gAt, cum, total, cov) =>
+      assert(total == grams.length, "total grams")
+      assert(gAt == ranked(k.toInt - 1)._1, s"gram at cut $k")
+      assert(cum == ranked.take(k.toInt).map(_._2).sum, s"cum at $k")
+      assert(math.abs(cov - cum.toDouble / total) < 1e-5)
+    }
+    assert(out.map(_._5).sorted.toSeq == out.map(_._5).toSeq, "coverage monotone")
+  }
+
+  test("f27: transition rows are probability distributions per prev state") {
+    val out = SparkEntry.queries("f27_markov_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "row sums to 1")
+    }
+    out.foreach { case (p, n, _, prob, self) =>
+      assert(self == (p == n), "self-loop flag")
+      assert(prob > 0.0 && prob <= 1.0)
+    }
+    // conservation: total transitions = total events - number of users
+    val ev = Tables.events(spark, sfDir).select("user_id").collect()
+    val nUsers = ev.map(_.getLong(0)).distinct.length
+    assert(out.map(_._3).sum == ev.length - nUsers, "transition conservation")
+  }
 }

@@ -517,6 +517,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("tx22/f27: readability is agg-only; transitions LAG over per-user partitions") {
+    val pr = plan("tx22_readability")
+    assert("HashAggregate".r.findAllIn(pr).size >= 2, pr)
+    assert(!pr.contains("Window") && !pr.contains("Join"), pr)
+    val pm = plan("f27_markov_transitions")
+    assert(pm.contains("windowspecdefinition(user_id"),
+      s"LAG must partition by user:\n$pm")
+    assert(pm.contains("BroadcastHashJoin"), s"marginal must broadcast:\n$pm")
+  }
+
+  test("tok3: the corpus feeds one partial agg; only the vocab frame is windowed") {
+    val p = plan("tok3_vocab_coverage")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram counting must map-side combine:\n$p")
+    // the global cumulative window runs AFTER the vocab aggregation —
+    // its input is the dimension-sized vocab, never raw gram rows
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(windowIdx >= 0 && windowIdx < aggIdx,
+      s"window must sit above the vocab aggregation:\n$p")
+  }
+
   test("sim9: MIPS queries broadcast onto the corpus scan; top-k window partitions by query") {
     val p = plan("sim9_mips_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
