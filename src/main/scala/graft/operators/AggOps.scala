@@ -18,6 +18,29 @@ object AggOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // A25: distinct counting via BITMAPS — the roaring-bitmap pattern that
+    // replaces sort/hash-based COUNT(DISTINCT) at 100 TB: bucket the key
+    // space into 63-bit words (the sign bit of an int64 word stays clear —
+    // DuckDB rejects 1<<63 as signed overflow), bit_or the in-word
+    // positions (mergeable integer partials, map-side combined), then sum
+    // popcounts. Two hash-aggs, no expand, no per-group distinct state.
+    // The exact COUNT(DISTINCT) rides alongside so the gate itself proves
+    // the equivalence on every group.
+    "a25_bitmap_distinct" -> { (s, d) =>
+      val words = graft.Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("user_id div 63").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))").as("bits"))
+      val viaBitmap = words.groupBy("event_type")
+        .agg(sum(expr("CAST(bit_count(bits) AS BIGINT)")).as("n_distinct_bitmap"))
+      val exact = graft.Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+      viaBitmap.join(exact, "event_type")
+        .select("event_type", "n_distinct_bitmap", "n_distinct_exact")
+        .orderBy("event_type")
+    },
+
     // A1: plain grouped agg — the flagship pricing-summary shape
     // (quality_checks.py:27–36; analytics 01:7–13).
     "a1_pricing_summary" -> { (s, d) =>
@@ -268,6 +291,21 @@ object AggOps {
   private val dsumQty = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "a25_bitmap_distinct" ->
+      """WITH w AS (
+           SELECT event_type, user_id // 63 AS word,
+                  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type,
+                      CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_bitmap
+               FROM w GROUP BY 1),
+         x AS (SELECT event_type,
+                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+               FROM events GROUP BY 1)
+         SELECT b.event_type, b.n_distinct_bitmap, x.n_distinct_exact
+         FROM b JOIN x ON b.event_type = x.event_type
+         ORDER BY b.event_type""",
+
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_qty,

@@ -165,6 +165,32 @@ object ReshapeOps {
         .unionAll(term("4_delta_both", newO, broadcast(newC)))
         .unionAll(term("5_full_recompute", o, c))
         .orderBy("term")
+    },
+
+    // U12: SCD Type-2 dimension BUILD from a changelog — the write-side
+    // twin of j16's SCD2 range-join read: each attribute-change record
+    // becomes a version row with [effective_from, effective_to) stamped by
+    // ONE LEAD over the per-key change order, the open version flagged
+    // current. The whole build is a single partitioned window pass —
+    // exactly how a dim table refreshes from CDC at scale. Gate emits a
+    // deterministic key sample (user_id ≡ 0 mod 7) to keep the output
+    // bounded; the construction itself runs corpus-wide.
+    "u12_scd2_build" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("t_us", expr("unix_micros(ts)"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("to_us", lead(col("t_us"), 1).over(w))
+        .withColumn("is_current", col("to_us").isNull)
+        .filter(pmod(col("user_id"), lit(7)) === 0)
+        .select(col("user_id"), col("version").cast("long").as("version"),
+          col("event_type").as("attr_value"),
+          col("value").as("metric_value"),
+          col("t_us").as("from_us"),
+          coalesce(col("to_us"), lit(Long.MaxValue)).as("to_us"),
+          col("is_current"))
+        .orderBy("user_id", "version")
     })
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +299,26 @@ object ReshapeOps {
            FROM o JOIN customer ON o_custkey = c_custkey)
          SELECT term, CAST(n_pairs AS BIGINT) AS n_pairs,
                 CAST(rev_cents AS BIGINT) AS rev_cents
-         FROM t ORDER BY term""")
+         FROM t ORDER BY term""",
+
+    "u12_scd2_build" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, "value",
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+           FROM events
+           WHERE event_type IN ('signup', 'purchase')),
+         v AS (
+           SELECT user_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY t_us, event_id) AS BIGINT) AS version,
+                  event_type AS attr_value, "value" AS metric_value,
+                  t_us AS from_us,
+                  LEAD(t_us) OVER (PARTITION BY user_id
+                    ORDER BY t_us, event_id) AS to_us
+           FROM ev)
+         SELECT user_id, version, attr_value, metric_value, from_us,
+                COALESCE(to_us, 9223372036854775807) AS to_us,
+                to_us IS NULL AS is_current
+         FROM v WHERE user_id % 7 = 0
+         ORDER BY user_id, version""")
 }

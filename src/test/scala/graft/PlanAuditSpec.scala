@@ -517,6 +517,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("a25: bitmap distinct is two partial+final aggs — no expand, no distinct state") {
+    val p = plan("a25_bitmap_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"word build + popcount sum must both map-side combine:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("u12: the SCD2 build is ONE partitioned window pass, no joins") {
+    val p = plan("u12_scd2_build")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"versions must stamp per key:\n$p")
+    assert(!p.contains("Join"), s"a changelog build needs no join:\n$p")
+  }
+
   test("tx22/f27: readability is agg-only; transitions LAG over per-user partitions") {
     val pr = plan("tx22_readability")
     assert("HashAggregate".r.findAllIn(pr).size >= 2, pr)

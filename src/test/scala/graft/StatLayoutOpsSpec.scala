@@ -434,6 +434,37 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     assert(row.getLong(2) == deg.map(d => d * (d - 1) / 2).sum, "wedge count")
   }
 
+  test("a25: the bitmap distinct equals the exact distinct on every group") {
+    val out = SparkEntry.queries("a25_bitmap_distinct")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "bitmap == exact")
+      assert(r.getLong(1) == ev(r.getString(0)), "matches raw replay")
+    }
+  }
+
+  test("u12: SCD2 versions chain without gaps and exactly one current per key") {
+    val out = SparkEntry.queries("u12_scd2_build")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $uid versions dense")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0)._4 == pair(1)._3, s"user $uid ranges chain")
+      }
+      assert(rows.count(_._5) == 1, s"user $uid exactly one current")
+      assert(sorted.last._5 && sorted.last._4 == Long.MaxValue, "open tail")
+      assert(uid % 7 == 0, "sampled key set")
+    }
+  }
+
   test("u11: base + the three delta terms reproduce the full recompute exactly") {
     val out = SparkEntry.queries("u11_join_view_delta")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
