@@ -277,6 +277,77 @@ object GovernanceOps {
         .orderBy("prio")
     },
 
+    // S21: join-cardinality estimation by COORDINATED key sampling — the
+    // CBO input for join planning at 100 TB, where exact |A⋈B| is itself a
+    // full join. Both sides keep a key iff md5(key) lands in the same
+    // 1/16 slice of hash space (correlated sampling: a key is in or out
+    // on BOTH sides together), so |A_s ⋈ B_s| × 16 is unbiased for the
+    // key-partitioned join size. The true count rides alongside — the
+    // gate shows the estimator's actual error per group.
+    "s21_join_card_sample" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderpriority"))
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val truth = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("true_pairs"))
+      val keep = (k: Column) =>
+        substring(md5(k.cast("string")), 1, 1) === "0"
+      val est = o.filter(keep(col("o_custkey")))
+        .join(c.filter(keep(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("sampled_pairs"))
+      truth.join(est, Seq("o_orderpriority"), "left")
+        .select(
+          col("o_orderpriority"), col("true_pairs"),
+          coalesce(col("sampled_pairs"), lit(0L)).as("sampled_pairs"),
+          (coalesce(col("sampled_pairs"), lit(0L)) * 16).as("est_pairs"),
+          stableRound(
+            (coalesce(col("sampled_pairs"), lit(0L)) * 16).cast("double") /
+              col("true_pairs"), 4).as("est_over_true"))
+        .orderBy("o_orderpriority")
+    },
+
+    // EMB3: label-separation audit WITHOUT the quadratic pair scan — the
+    // centroid identity Σ_{i,j∈L}⟨xi,xj⟩ = ‖Σ_{i∈L}xi‖² turns all-pairs
+    // mean inner products (intra- and inter-label) into per-label
+    // coordinate SUMS: one linear pass, exact int64/decimal integer
+    // arithmetic on emb1-scaled coordinates, then a constant-time closing
+    // formula. This is the "are my labels actually separated in embedding
+    // space" check run before training a classifier head — at 25M vectors
+    // the naive pair scan is 6·10¹⁴ ops; this is one groupBy.
+    "emb3_label_separation" -> { (s, d) =>
+      val iv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("iv", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+      // per-(label, dim) coordinate sums + per-label self-dot sum
+      val byLd = iv.groupBy("label", "dim")
+        .agg(sum(col("iv")).as("sdim"),
+          sum((col("iv") * col("iv")).cast("decimal(38,0)")).as("ssq"))
+      val byDim = byLd.groupBy("dim").agg(sum(col("sdim")).as("alldim"))
+      val nPer = Tables.embeddings(s, d).groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"))
+      val nAll = Tables.embeddings(s, d).agg(count(lit(1)).as("n_total"))
+      val perLabel = byLd.join(broadcast(byDim), "dim")
+        .groupBy("label")
+        .agg(
+          sum((col("sdim") * col("sdim")).cast("decimal(38,0)")).as("s2"),
+          sum((col("sdim") * (col("alldim") - col("sdim"))).cast("decimal(38,0)"))
+            .as("cross"),
+          sum(col("ssq")).as("selfdot"))
+      perLabel.join(broadcast(nPer), "label").crossJoin(broadcast(nAll))
+        .select(
+          col("label"), col("n_vecs"),
+          stableRound(
+            (col("s2").cast("double") - col("selfdot").cast("double")) /
+              (col("n_vecs").cast("double") * (col("n_vecs") - 1)) / 1e12, 6)
+            .as("avg_intra_dot"),
+          stableRound(
+            col("cross").cast("double") /
+              (col("n_vecs").cast("double") * (col("n_total") - col("n_vecs"))) / 1e12, 6)
+            .as("avg_inter_dot"))
+        .orderBy("label")
+    },
+
     // F25: hourly activity bitmap — per-user 24-bit mask built by the
     // mergeable bit_or aggregate (the bitmap-index build primitive), then a
     // popcount census: how many users are active in exactly h distinct
@@ -470,6 +541,59 @@ object GovernanceOps {
                 CASE WHEN cusum > 0 THEN 'above_mean_first'
                      ELSE 'below_mean_first' END AS regime
          FROM cu WHERE rn = 1 ORDER BY prio""",
+
+    "s21_join_card_sample" ->
+      """WITH truth AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS true_pairs
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1),
+         os AS (SELECT o_custkey, o_orderpriority FROM orders
+                WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) = '0'),
+         cs AS (SELECT c_custkey FROM customer
+                WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+         est AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS sampled_pairs
+           FROM os JOIN cs ON o_custkey = c_custkey
+           GROUP BY 1)
+         SELECT t.o_orderpriority, t.true_pairs,
+                CAST(COALESCE(e.sampled_pairs, 0) AS BIGINT) AS sampled_pairs,
+                CAST(COALESCE(e.sampled_pairs, 0) * 16 AS BIGINT) AS est_pairs,
+                ROUND(1e-9 + CAST(COALESCE(e.sampled_pairs, 0) * 16 AS DOUBLE)
+                  / t.true_pairs, 4) + 0.0 AS est_over_true
+         FROM truth t LEFT JOIN est e ON t.o_orderpriority = e.o_orderpriority
+         ORDER BY t.o_orderpriority""",
+
+    "emb3_label_separation" ->
+      """WITH iv AS (
+           SELECT vec_id, label, i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS iv
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+         byld AS (
+           SELECT label, dim,
+                  CAST(SUM(iv) AS BIGINT) AS sdim,
+                  SUM(CAST(iv * iv AS DECIMAL(38,0))) AS ssq
+           FROM iv GROUP BY 1, 2),
+         bydim AS (SELECT dim, CAST(SUM(sdim) AS BIGINT) AS alldim
+                   FROM byld GROUP BY 1),
+         nper AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                  FROM embeddings GROUP BY 1),
+         nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+         per AS (
+           SELECT b.label,
+                  SUM(CAST(b.sdim * b.sdim AS DECIMAL(38,0))) AS s2,
+                  SUM(CAST(b.sdim * (d.alldim - b.sdim) AS DECIMAL(38,0))) AS cross_dot,
+                  SUM(b.ssq) AS selfdot
+           FROM byld b JOIN bydim d ON b.dim = d.dim
+           GROUP BY 1)
+         SELECT p.label, n.n_vecs,
+                ROUND(1e-9 + (CAST(p.s2 AS DOUBLE) - CAST(p.selfdot AS DOUBLE))
+                  / (CAST(n.n_vecs AS DOUBLE) * (n.n_vecs - 1)) / 1e12, 6) + 0.0
+                  AS avg_intra_dot,
+                ROUND(1e-9 + CAST(p.cross_dot AS DOUBLE)
+                  / (CAST(n.n_vecs AS DOUBLE) * (a.n_total - n.n_vecs)) / 1e12, 6) + 0.0
+                  AS avg_inter_dot
+         FROM per p JOIN nper n ON p.label = n.label CROSS JOIN nall a
+         ORDER BY p.label""",
 
     "f25_hour_bitmap" ->
       """WITH e AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS h FROM events),

@@ -173,6 +173,54 @@ class GovernanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s21: the coordinated-sample estimator replays and truth matches a full join") {
+    val out = SparkEntry.queries("s21_join_card_sample")(spark, sfDir).collect()
+    assert(out.length == 5)
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val custs = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    def sampled(k: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes).map("%02x".format(_)).mkString.head == '0'
+    out.foreach { r =>
+      val prio = r.getString(0)
+      val mine = orders.filter(_._2 == prio)
+      assert(r.getLong(1) == mine.count(o => custs(o._1)), "true pairs")
+      assert(r.getLong(2) ==
+        mine.count(o => custs(o._1) && sampled(o._1)), "sampled pairs")
+      assert(r.getLong(3) == r.getLong(2) * 16, "scale-up")
+    }
+  }
+
+  test("emb3: centroid-identity means equal the naive all-pairs means") {
+    val out = SparkEntry.queries("emb3_label_separation")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    out.foreach { r =>
+      val lbl = r.getInt(0)
+      val mine = vecs.filter(_._1 == lbl).map(_._2)
+      val rest = vecs.filter(_._1 != lbl).map(_._2)
+      assert(r.getLong(1) == mine.length, "n_vecs")
+      val intra = (for (i <- mine.indices; j <- mine.indices if i != j)
+        yield dot(mine(i), mine(j))).sum / (mine.length.toDouble * (mine.length - 1))
+      assert(math.abs(r.getDouble(2) - intra / 1e12) < 1e-4, "intra mean")
+      val inter = (for (a <- mine; b <- rest) yield dot(a, b)).sum /
+        (mine.length.toDouble * rest.length)
+      assert(math.abs(r.getDouble(3) - inter / 1e12) < 1e-4, "inter mean")
+      // NOTE: no "intra > inter" assertion — whether labels separate under
+      // raw inner product is the audit's FINDING about the data (this
+      // synthetic corpus's labels are not dot-product clusters at small
+      // SF), not a property of the operator.
+    }
+  }
+
   test("f25: popcount census conserves users and events; masks fit in 24 bits") {
     val out = SparkEntry.queries("f25_hour_bitmap")(spark, sfDir).collect()
     assert(out.nonEmpty)

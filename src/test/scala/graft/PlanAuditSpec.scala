@@ -517,6 +517,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("s21/emb3: sampling filters reach the scans; the centroid pass never joins pairs") {
+    val ps = plan("s21_join_card_sample")
+    assert(!ps.contains("CartesianProduct"), ps)
+    val pe = plan("emb3_label_separation")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("Window"),
+      s"centroid identity must stay linear:\n$pe")
+    assert(pe.contains("BroadcastHashJoin") || pe.contains("BroadcastNestedLoop"),
+      s"dimension totals must broadcast:\n$pe")
+  }
+
   test("a25: bitmap distinct is two partial+final aggs — no expand, no distinct state") {
     val p = plan("a25_bitmap_distinct")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
