@@ -348,6 +348,56 @@ object GovernanceOps {
         .orderBy("label")
     },
 
+    // DD24: CROSS-MODAL dedup verification — the text modality proposes
+    // (dd16's prefix-filtered Jaccard pairs over documents), the embedding
+    // modality confirms (integer-scaled inner product between the SAME
+    // ids' vectors). A pair that is near-dup in both spaces is template
+    // duplication; text-only pairs are paraphrase-level and often kept.
+    // The embedding side attaches by broadcast on the bounded candidate
+    // stream — no second pair generation — and the dot products are exact
+    // int64 (emb1 scaling), so the verdict is bit-stable.
+    "dd24_cross_modal_verify" -> { (s, d) =>
+      val cutoff = 200000000000L // dot6 ≥ 0.2·1e12 ≈ same-template affinity
+      val iv = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+            .as("iv"))
+      CurationOps.jaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          stableRound(col("jaccard"), 6).as("jaccard"))
+        .join(broadcast(iv.select(col("vec_id").as("doc_a"), col("iv").as("iv_a"))),
+          Seq("doc_a"))
+        .join(broadcast(iv.select(col("vec_id").as("doc_b"), col("iv").as("iv_b"))),
+          Seq("doc_b"))
+        .withColumn("dot6",
+          expr("aggregate(zip_with(iv_a, iv_b, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("dot6"),
+          (col("dot6") >= cutoff).as("embedding_confirms"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // QC-LB: label-balance audit — Gini impurity 1 − Σpᵢ² of the label
+    // distribution, from EXACT integer moments (Σnᵢ² in int64, one closing
+    // division) so no order-dependent double sum reaches the gate. The
+    // "is my classification corpus skewed" check run before training.
+    "qc_label_balance" -> { (s, d) =>
+      val per = Tables.embeddings(s, d)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      per.agg(
+        count(lit(1)).as("n_labels"),
+        sum(col("n")).as("n_total"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        max(col("n")).as("max_n"))
+        .select(
+          col("n_labels"), col("n_total"),
+          stableRound(lit(1.0) -
+            col("sum_sq").cast("double") /
+              (col("n_total").cast("double") * col("n_total")), 6)
+            .as("gini_impurity"),
+          stableRound(col("max_n").cast("double") / col("n_total"), 6)
+            .as("max_share"))
+    },
+
     // F25: hourly activity bitmap — per-user 24-bit mask built by the
     // mergeable bit_or aggregate (the bitmap-index build primitive), then a
     // popcount census: how many users are active in exactly h distinct
@@ -594,6 +644,46 @@ object GovernanceOps {
                   AS avg_inter_dot
          FROM per p JOIN nper n ON p.label = n.label CROSS JOIN nall a
          ORDER BY p.label""",
+
+    "dd24_cross_modal_verify" ->
+      s"""WITH ${graft.ops.DedupOps.duckShingles},
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          iv AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS iv
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+          dots AS (
+            SELECT p.doc_a, p.doc_b, p.jaccard,
+                   CAST(SUM(a.iv * b.iv) AS BIGINT) AS dot6
+            FROM pairs p
+            JOIN iv a ON a.vec_id = p.doc_a
+            JOIN iv b ON b.vec_id = p.doc_b AND b.dim = a.dim
+            GROUP BY 1, 2, 3)
+          SELECT doc_a, doc_b,
+                 ROUND(1e-9 + jaccard, 6) + 0.0 AS jaccard, dot6,
+                 dot6 >= 200000000000 AS embedding_confirms
+          FROM dots ORDER BY doc_a, doc_b""",
+
+    "qc_label_balance" ->
+      """WITH per AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM embeddings GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+                CAST(SUM(n) AS BIGINT) AS n_total,
+                ROUND(1e-9 + 1.0 - CAST(SUM(n * n) AS DOUBLE)
+                  / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) + 0.0 AS gini_impurity,
+                ROUND(1e-9 + CAST(MAX(n) AS DOUBLE) / SUM(n), 6) + 0.0 AS max_share
+         FROM per""",
 
     "f25_hour_bitmap" ->
       """WITH e AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS h FROM events),

@@ -221,6 +221,40 @@ class GovernanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd24: dot products replay per pair; both verdicts occur on this corpus") {
+    val out = SparkEntry.queries("dd24_cross_modal_verify")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val iv = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    out.foreach { case (a, b, dot6, confirms) =>
+      val expect = iv(a).zip(iv(b)).map { case (x, y) => x * y }.sum
+      assert(dot6 == expect, s"pair ($a,$b) dot")
+      assert(confirms == (dot6 >= 200000000000L), "verdict threshold")
+    }
+    // the text-modality pair set is exactly dd16's verified pairs
+    val pairSet = graft.operators.CurationOps.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(p => (p._1, p._2)).toSet == pairSet, "pair provenance")
+  }
+
+  test("qc_label_balance: gini from exact moments matches the share replay") {
+    val r = SparkEntry.queries("qc_label_balance")(spark, sfDir).collect().head
+    val counts = Tables.embeddings(spark, sfDir)
+      .groupBy("label").count().collect().map(_.getLong(1))
+    val n = counts.sum.toDouble
+    assert(r.getLong(0) == counts.length)
+    assert(r.getLong(1) == counts.sum)
+    val gini = 1.0 - counts.map(c => (c / n) * (c / n)).sum
+    assert(math.abs(r.getDouble(2) - gini) < 1e-5, "gini")
+    assert(math.abs(r.getDouble(3) - counts.max / n) < 1e-5, "max share")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
   test("f25: popcount census conserves users and events; masks fit in 24 bits") {
     val out = SparkEntry.queries("f25_hour_bitmap")(spark, sfDir).collect()
     assert(out.nonEmpty)
