@@ -25,10 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - jaro = (m/|a| + m/|b| + (m−t)/m) / 3, t = transposition pairs / 2
   *   - winkler boost only when jaro > 0.7: jaro + ℓ·0.1·(1 − jaro),
   *     ℓ = common prefix length capped at 4.
-  * Comparison is per UTF-16 code unit — identical to code-point comparison
-  * for all BMP text (the corpus); consumers bucket/threshold the result
-  * with the repo's 1e-9 bias so a ±few-ulp engine difference in the final
-  * double chain cannot flip a gate boundary.
+  * Comparison is per UTF-8 BYTE, exactly like DuckDB's implementation —
+  * a multi-byte character counts as multiple units on both engines, so
+  * scores agree on non-ASCII text too (char-level comparison would
+  * diverge the moment an accented character appears; LinkageOpsSpec pins
+  * the byte-level values for 'ébc'/'abc'). Consumers bucket/threshold the
+  * result with the repo's 1e-9 bias so a ±few-ulp engine difference in
+  * the final double chain cannot flip a gate boundary.
   */
 case class JaroWinklerSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -62,8 +65,8 @@ object JaroWinklerSimilarity {
   /** The kernel — static so generated code calls it directly (the pattern
     * Spark's own `levenshtein` uses via UTF8String.levenshteinDistance). */
   def sim(l: UTF8String, r: UTF8String): Double = {
-    val s1 = l.toString
-    val s2 = r.toString
+    val s1 = l.getBytes
+    val s2 = r.getBytes
     val n1 = s1.length
     val n2 = s2.length
     if (n1 == 0 || n2 == 0) return 0.0
@@ -78,7 +81,7 @@ object JaroWinklerSimilarity {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -86,14 +89,14 @@ object JaroWinklerSimilarity {
       i += 1
     }
     if (m == 0) return 0.0
-    // transpositions: matched chars of s1 vs matched chars of s2 in order
+    // transpositions: matched bytes of s1 vs matched bytes of s2 in order
     var t = 0
     var k = 0
     i = 0
     while (i < n1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -104,7 +107,7 @@ object JaroWinklerSimilarity {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxP = math.min(4, math.min(n1, n2))
-    while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    while (prefix < maxP && s1(prefix) == s2(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 

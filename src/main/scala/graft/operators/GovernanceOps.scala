@@ -327,12 +327,15 @@ object GovernanceOps {
       val nPer = Tables.embeddings(s, d).groupBy("label")
         .agg(count(lit(1)).as("n_vecs"))
       val nAll = Tables.embeddings(s, d).agg(count(lit(1)).as("n_total"))
+      // sdim grows LINEARLY with corpus size (unlike per-row products), so
+      // it must widen to decimal BEFORE squaring: at ~5k vectors per label
+      // sdim² already exceeds int64 and would wrap silently.
+      val sdimD = col("sdim").cast("decimal(38,0)")
       val perLabel = byLd.join(broadcast(byDim), "dim")
         .groupBy("label")
         .agg(
-          sum((col("sdim") * col("sdim")).cast("decimal(38,0)")).as("s2"),
-          sum((col("sdim") * (col("alldim") - col("sdim"))).cast("decimal(38,0)"))
-            .as("cross"),
+          sum(sdimD * col("sdim")).as("s2"),
+          sum(sdimD * (col("alldim") - col("sdim"))).as("cross"),
           sum(col("ssq")).as("selfdot"))
       perLabel.join(broadcast(nPer), "label").crossJoin(broadcast(nAll))
         .select(
@@ -358,13 +361,20 @@ object GovernanceOps {
     // int64 (emb1 scaling), so the verdict is bit-stable.
     "dd24_cross_modal_verify" -> { (s, d) =>
       val cutoff = 200000000000L // dot6 ≥ 0.2·1e12 ≈ same-template affinity
+      val pairs = CurationOps.jaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          stableRound(col("jaccard"), 6).as("jaccard"))
+      // semi-join embeddings down to the ids the candidate stream actually
+      // touches BEFORE broadcasting — the broadcast is candidate-bounded,
+      // not corpus-sized (the full iv table at web scale is tens of GB).
+      val candIds = pairs.select(col("doc_a").as("vec_id"))
+        .unionAll(pairs.select(col("doc_b").as("vec_id"))).distinct()
       val iv = Tables.embeddings(s, d)
+        .join(candIds, Seq("vec_id"), "left_semi")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
             .as("iv"))
-      CurationOps.jaccardPairs(s, d)
-        .select(col("doc_a"), col("doc_b"),
-          stableRound(col("jaccard"), 6).as("jaccard"))
+      pairs
         .join(broadcast(iv.select(col("vec_id").as("doc_a"), col("iv").as("iv_a"))),
           Seq("doc_a"))
         .join(broadcast(iv.select(col("vec_id").as("doc_b"), col("iv").as("iv_b"))),
@@ -630,8 +640,8 @@ object GovernanceOps {
          nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
          per AS (
            SELECT b.label,
-                  SUM(CAST(b.sdim * b.sdim AS DECIMAL(38,0))) AS s2,
-                  SUM(CAST(b.sdim * (d.alldim - b.sdim) AS DECIMAL(38,0))) AS cross_dot,
+                  SUM(CAST(b.sdim AS DECIMAL(38,0)) * b.sdim) AS s2,
+                  SUM(CAST(b.sdim AS DECIMAL(38,0)) * (d.alldim - b.sdim)) AS cross_dot,
                   SUM(b.ssq) AS selfdot
            FROM byld b JOIN bydim d ON b.dim = d.dim
            GROUP BY 1)

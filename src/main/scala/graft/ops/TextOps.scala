@@ -83,9 +83,14 @@ object TextOps {
     // only feeds one partial-agg groupBy.
     "tok3_vocab_coverage" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // length >= 4 filter, NOT a greatest(...,0) bound inside sequence:
+      // Spark's sequence(1, 0) DESCENDS ([1, 0]) while DuckDB's
+      // generate_series(1, 0) is empty — a short doc would emit two
+      // spurious grams on the Spark side only.
       val grams = Tables.documents(s, d)
+        .where(length(col("text")) >= 4)
         .select(explode(expr(
-          "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))"))
+          "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"))
           .as("gram"))
       val vocab = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
       val total = vocab.agg(sum(col("freq")).as("total_grams"))

@@ -28,6 +28,16 @@ class LinkageOpsSpec extends AnyFunSuite {
     assert(jw("abc", "abc") == 1.0 && jw("a", "a") == 1.0)
   }
 
+  test("jaro_winkler matches DuckDB's BYTE-level semantics on non-ASCII input") {
+    // DuckDB's jaro_winkler_similarity compares raw UTF-8 bytes: 'ébc' is a
+    // 4-byte string. Values below are DuckDB 1.0 outputs — a char-level
+    // kernel would return 0.7778 / 0.6667 instead and break the f26/dd23
+    // gates the moment an accented character enters a blocked prefix.
+    assert(math.abs(jw("ébc", "abc") - 0.7222222222222222) < 1e-12)
+    assert(jw("éb", "ab") == 0.0)
+    assert(jw("é", "é") == 1.0, "multi-byte self-match")
+  }
+
   test("jaro_winkler is symmetric, bounded, and boosts only above 0.7") {
     val samples = Seq("alpha", "alpaca", "beta", "betamax", "gamma", "gamut",
       "", "a", "ab", "xylophone", "xylograph")
