@@ -137,7 +137,20 @@ object CurationOps {
     * ~1 s). Exact verify via broadcast doc→sorted-hash-array +
     * array_intersect: scan-local over the candidates, zero post-candidate
     * shuffles (see docShingleArrays for the scale rationale). */
-  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** Memoized per (session, dataset) like DedupOps' staged-pipeline caches:
+    * the verified pair stream is a stage OUTPUT consumed by four operators
+    * (dd16 report, dd20 provenance, dd21 funnel, dd24 cross-modal verify) —
+    * in a staged dedup pipeline it is persisted once, not regenerated per
+    * consumer. dd24 alone reads it three times (candidate-id semi-join
+    * feed + both broadcast attach branches); without the cache each read
+    * re-runs the full prefix self-join. */
+  private val jaccardPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsCache.computeIfAbsent((s, d), { _ => jaccardPairsUncached(s, d).persist() })
+
+  private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val p = shinglePrefix(s, d)
     val lhs = p.select(col("sh"), col("doc_id").as("da"),
       col("rk").as("ra"), col("m").as("ma"))

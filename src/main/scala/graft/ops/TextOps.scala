@@ -94,8 +94,17 @@ object TextOps {
           .as("gram"))
       val vocab = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
       val total = vocab.agg(sum(col("freq")).as("total_grams"))
+      // Only the rank<=500 cuts are reported, and the cumulative sum at
+      // rank k depends only on rows ranked above k — so take the top 500
+      // by (freq desc, gram) with TakeOrderedAndProject FIRST, then run
+      // the rank/cumsum window over those 500 rows. The previous global
+      // Window.orderBy moved the ENTIRE gram vocabulary (unbounded in
+      // corpus size) to one partition; this shape keeps the full-vocab
+      // work inside the partial-agg groupBy and sorts only a constant
+      // 500 rows. total_grams still sums the whole vocabulary.
+      val top = vocab.orderBy(col("freq").desc, col("gram")).limit(500)
       val w = Window.orderBy(col("freq").desc, col("gram"))
-      vocab
+      top
         .withColumn("rk", row_number().over(w))
         .withColumn("cum", sum(col("freq")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
