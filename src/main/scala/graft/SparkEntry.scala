@@ -34,6 +34,7 @@ object SparkEntry {
     operators.CurationOps.queries ++
     operators.GraphOps.queries ++
     operators.StatOps.queries ++
+    operators.RelevanceOps.queries ++
     operators.LayoutOps.queries ++
     operators.SketchOps.queries ++
     operators.IndexOps.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
     operators.CurationOps.oracles ++
     operators.GraphOps.oracles ++
     operators.StatOps.oracles ++
+    operators.RelevanceOps.oracles ++
     operators.LayoutOps.oracles ++
     operators.SketchOps.oracles ++
     operators.IndexOps.oracles ++

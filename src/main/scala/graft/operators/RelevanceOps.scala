@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact.stableRound
+
+/** Round-8 relevance & robustness pack — the retrieval/curation operators a
+  * training-data platform layers on once dedup, sampling, and quality
+  * scoring are in place:
+  *
+  *  - ir1: BM25-style lexical retrieval (the query side of tx21's inverted
+  *    index — "find the docs most about X" for targeted corpus audits),
+  *  - g6: common-neighbor link prediction over the near-dup graph (edges
+  *    the LSH/prefix candidate generation likely MISSED — transitive
+  *    near-dups to re-verify),
+  *  - ts7: Theil–Sen robust trend (the slope estimate that survives the
+  *    outlier days OLS — ts4 — is poisoned by),
+  *  - sa14: randomized-response label privatization + debiasing (local-DP
+  *    release of a sensitive column with an unbiased census estimator),
+  *  - emb4: per-dimension z-score standardization audit with an EXACT
+  *    integer outlier census (no double comparison at the fence),
+  *  - sim10: mutual-kNN graph + label homophily (the graph-based corpus
+  *    diversity/quality audit; exact twin of the sim2/sim3 ANN paths).
+  *
+  * Cross-engine exactness: every aggregate is over integers or
+  * deterministically integer-scaled floats (emb1's FLOOR(v·1e6 + 0.5)
+  * convention), md5 is the only randomness source (sa1's convention), and
+  * closing double chains are written with IDENTICAL association on both
+  * engines, so all six are full hash gates.
+  *
+  * Reference scope: beyond-reference training-data operators (builder
+  * brief); the reference pipeline has no retrieval/graph/DP surface.
+  */
+object RelevanceOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed audit query — three corpus terms with well-spread document
+    * frequencies. A user-supplied query binds here identically. */
+  private val QUERY = Seq("hash", "join", "vector")
+
+  /** sa1's salted md5 → 28-bit uniform (DuckDB mirror:
+    * ('0x' || substr(md5(...), 1, 7))::BIGINT). */
+  private def keyHash(salt: String, key: org.apache.spark.sql.Column) = expr(
+    s"CAST(conv(substring(md5(concat('$salt', CAST(${key.toString} AS STRING))), 1, 7), 16, 10) AS BIGINT)")
+
+  /** Frozen lang alphabet for randomized response (sorted, K = 5). */
+  private val LANGS = Seq("de", "en", "es", "fr", "zh")
+
+  /** Mutual-kNN edge list (directed, both orientations of every
+    * reciprocated 5-NN edge), memoized per (session, dataset) like the
+    * DedupOps stage caches: the exact all-pairs dot stage is the expensive
+    * input shared by sim10 (homophily census) and g6 (link prediction) —
+    * one staged output, not one per consumer. Exact twin of the sim2/sim3
+    * bucketed ANN paths (dd4→dd16 convention): audit-scale only. */
+  private val mutualKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def mutualKnn(s: SparkSession, d: String): DataFrame =
+    mutualKnnCache.computeIfAbsent((s, d), { _ =>
+      import org.apache.spark.sql.expressions.Window
+      val arrs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+            .as("iv"))
+      val lhs = arrs.select(col("vec_id").as("ida"), col("iv").as("iva"))
+      val rhs = arrs.select(col("vec_id").as("idb"), col("iv").as("ivb"))
+      val pairs = lhs.crossJoin(rhs).filter(col("ida") < col("idb"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(iva, ivb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select("ida", "idb", "dot")
+      val directed = pairs.select(col("ida").as("src"), col("idb").as("dst"), col("dot"))
+        .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"), col("dot")))
+      val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
+      val knn = directed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select("src", "dst")
+      knn.as("x").join(knn.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("x.dst").as("dst"))
+        .persist()
+    })
+
+  val queries: Map[String, Q] = Map(
+    // IR1: BM25 top-k retrieval. Document-at-a-time scoring: one corpus
+    // scan computes per-doc term frequencies as codegen'd array filters,
+    // the corpus statistics (N, Σdl, per-term df) are ONE 1-row aggregate
+    // attached by broadcast, and the cut is TakeOrderedAndProject — no
+    // shuffle touches corpus-sized data. At index scale the same scoring
+    // expression rides tx21's inverted index (term-at-a-time); this is
+    // the scan-side form used for ad-hoc corpus audits.
+    // Cross-engine: idf uses the RATIONAL Robertson core
+    // (N - df + 0.5)/(df + 0.5) UNLOGGED — the repo bans libm ln in
+    // hash-gated columns (see qc_drift_chi2's scaladoc); per-term
+    // monotonicity is preserved, and the mix weights are explicit. The
+    // score chain is the same IEEE expression tree both engines.
+    "ir1_bm25_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("dl", size(col("ts")).cast("long"))
+      val withTf = QUERY.foldLeft(docs) { (df, t) =>
+        df.withColumn(s"tf_$t",
+          expr(s"CAST(size(filter(ts, x -> x = '$t')) AS LONG)"))
+      }
+      val stats = withTf.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).as("sum_dl") +: QUERY.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+      val scored = withTf.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      // Literal discipline: 2.2 / 0.25 are written as the SAME decimal
+      // literals the oracle SQL parses (not K1 + 1.0 — a Scala-side double
+      // ADD can land a ulp off the parsed literal and shift every score).
+      val contribs = QUERY.map { t =>
+        val tf = col(s"tf_$t").cast("double")
+        val idf = (col("n_docs").cast("double") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }
+      scored
+        .withColumn("score", contribs.reduceLeft(_ + _))
+        .filter(QUERY.map(t => col(s"tf_$t")).reduceLeft(_ + _) > 0)
+        .select((Seq(col("doc_id"), col("dl")) ++
+          QUERY.map(t => col(s"tf_$t")) :+
+          stableRound(col("score"), 6).as("bm25_score")): _*)
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // G6: link prediction on the mutual-kNN embedding graph — for every
+    // NON-adjacent vector pair, count common neighbors and score by
+    // neighborhood Jaccard cn / (deg_a + deg_b - cn). High scorers are
+    // semantic near-dup edges the kNN cut missed (A and B share most of
+    // their neighborhoods but weren't in each other's top-5) — the
+    // re-verify worklist graph-based dedup/diversity sampling expands
+    // with. (The doc-shingle near-dup graph is the wrong substrate here:
+    // at Jaccard >= 0.5 it is isolated edges with zero wedges.) Wedge
+    // enumeration is one join on the shared-neighbor key over the
+    // memoized mutual-kNN edge list (fan-out Σdeg(v)², deg <= 5 by
+    // construction); existing edges leave by anti-join. Integers + one
+    // ratio: full hash gate.
+    "g6_link_prediction" -> { (s, d) =>
+      val mutual = mutualKnn(s, d)
+      val deg = mutual.groupBy("src").agg(count(lit(1)).as("deg"))
+      val e1 = mutual.select(col("dst").as("nb"), col("src").as("a"))
+      val e2 = mutual.select(col("dst").as("nb"), col("src").as("b"))
+      val cn = e1.join(e2, Seq("nb"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"))
+      val existing = mutual.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      cn.join(existing, Seq("a", "b"), "left_anti")
+        .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), "b")
+        .select(col("a").as("vec_a"), col("b").as("vec_b"),
+          col("cn"), col("deg_a"), col("deg_b"),
+          stableRound(col("cn").cast("double") /
+            (col("deg_a") + col("deg_b") - col("cn")), 6).as("cn_jaccard"))
+        .orderBy(col("cn").desc, col("cn_jaccard").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    },
+
+    // TS7: Theil–Sen robust trend per event type — the median of all
+    // pairwise day-to-day slopes. Daily totals are exact decimal sums
+    // (identical doubles both engines), so every pairwise slope is the
+    // same IEEE division both sides and the DISCRETE median is an element
+    // selection — bit-stable without any interpolation caveat. The pair
+    // enumeration is per-group over the DAILY rollup (≤ C(days,2) rows per
+    // group — days, not events), so the quadratic term is in the calendar,
+    // not the corpus.
+    "ts7_theil_sen" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("ts7_events")
+      s.sql(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS dv
+          |  FROM ts7_events GROUP BY 1, 2),
+          |slopes AS (
+          |  SELECT a.event_type,
+          |         (b.dv - a.dv) / datediff(b.day, a.day) AS slope
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.day < b.day)
+          |SELECT event_type,
+          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |       ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) + 1e-9, 6)
+          |         AS theil_sen_slope,
+          |       CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+          |       CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+          |FROM slopes GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // SA14: randomized response over the lang column — the local-DP
+    // release: keep the true label with p = 0.75, else substitute the
+    // hash-chosen uniform label (possibly the true one — standard RR).
+    // Both coin flips are sa1-convention salted md5, so membership is
+    // reproducible and append-safe, and the debiased estimator
+    // (m - N(1-p)/K)/p is the same closed form both engines. The audit a
+    // privacy-constrained census pipeline gates on: released counts plus
+    // the estimator's recovery of the true histogram.
+    "sa14_randomized_response" -> { (s, d) =>
+      val langsArr = array(LANGS.map(lit): _*)
+      val docs = Tables.documents(s, d)
+        .withColumn("h_keep", keyHash("graft-rr-keep", col("doc_id")))
+        .withColumn("h_pick", keyHash("graft-rr-pick", col("doc_id")))
+        .withColumn("reported",
+          when(pmod(col("h_keep"), lit(100)) < 75, col("lang"))
+            .otherwise(element_at(langsArr,
+              (pmod(col("h_pick"), lit(5)) + 1).cast("int"))))
+      val trueCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      val repCounts = docs.groupBy(col("reported").as("lang"))
+        .agg(count(lit(1)).as("n_reported"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      trueCounts.join(repCounts, Seq("lang"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n_true"), col("n_reported"),
+          stableRound(
+            (col("n_reported").cast("double") - col("n_total") * lit(0.05)) /
+              lit(0.75), 4).as("debiased_estimate"))
+        .orderBy("lang")
+    },
+
+    // EMB4: standardization audit — per-dimension mean/std plus an outlier
+    // census at the |z| > 2 fence evaluated ENTIRELY in exact integer
+    // arithmetic: |v - m| > 2s  ⟺  (n·v6 - s6)²·(n-1) > 4·n·(n·s66 - s6²)
+    // over the 1e6-scaled coordinates, so the fence verdict cannot flip on
+    // a cross-engine double ulp (squared terms widen to DECIMAL(38,0) /
+    // HUGEINT — at sf0.1 they reach ~1e22). Two linear passes: a 64-row
+    // moments aggregate, broadcast back onto the coordinate stream for the
+    // census — the z-score feature-scaling step with its QA, fused.
+    "emb4_standardize" -> { (s, d) =>
+      val ivs = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("v6"))
+      val moments = ivs.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("v6")).as("s6"),
+        sum((col("v6") * col("v6")).cast("decimal(38,0)")).as("s66"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      ivs.join(broadcast(moments), "dim")
+        .withColumn("lhs",
+          dec(col("n") * col("v6") - col("s6")) *
+            dec(col("n") * col("v6") - col("s6")) * dec(col("n") - 1))
+        .withColumn("rhs",
+          dec(lit(4)) * dec(col("n")) *
+            (dec(col("n")) * col("s66") - dec(col("s6")) * dec(col("s6"))))
+        .groupBy("dim")
+        .agg(
+          max(col("n")).as("n"),
+          max(col("s6")).as("s6"),
+          max(col("s66")).as("s66"),
+          sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("dim"), col("n"),
+          stableRound(col("s6").cast("double") / col("n") / 1e6, 6).as("mean_v"),
+          stableRound(
+            sqrt((col("n") * col("s66").cast("double") -
+              col("s6").cast("double") * col("s6")) /
+              (col("n").cast("double") * (col("n") - 1))) / 1e6, 6).as("std_v"),
+          col("n_outliers"))
+        .orderBy("dim")
+    },
+
+    // SIM10: mutual-kNN graph + label homophily — each vector's 5 nearest
+    // by EXACT integer dot product (emb1 scaling), kept only if the edge
+    // is reciprocated (the standard graph-cleanup before diffusion /
+    // cluster-aware sampling), then a per-label census: how often a
+    // vector's mutual neighbors share its label. THE exact all-pairs
+    // baseline — the verification twin of sim2 (LSH) and sim3 (IVF), per
+    // the dd4→dd16 convention: run at audit scale, never at corpus scale;
+    // the bucketed paths are the 100 TB shape. Ties break on neighbor id;
+    // dots are int64 (≤ 64·(2^20)² ≈ 7e13), so the ranking cannot drift.
+    "sim10_knn_graph" -> { (s, d) =>
+      val mutual = mutualKnn(s, d)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      mutual
+        .join(broadcast(labels.select(col("vec_id").as("src"), col("label").as("l_src"))), "src")
+        .join(broadcast(labels.select(col("vec_id").as("dst"), col("label").as("l_dst"))), "dst")
+        .groupBy(col("l_src").as("label"))
+        .agg(
+          count(lit(1)).as("mutual_edges"),
+          sum(when(col("l_src") === col("l_dst"), 1L).otherwise(0L)).as("within_label"))
+        .join(nodes, Seq("label"))
+        .select(col("label"), col("n_nodes"), col("mutual_edges"), col("within_label"),
+          stableRound(col("within_label").cast("double") / col("mutual_edges"), 6)
+            .as("homophily"))
+        .orderBy("label")
+    })
+
+  /** DuckDB mirror of [[mutualKnn]] (shared by the sim10 and g6 oracles). */
+  private val duckMutualKnn =
+    """iv AS (
+         SELECT vec_id, i - 1 AS dim,
+                CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+       dots AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst, SUM(a.x * b.x) AS dot
+         FROM iv a JOIN iv b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       rk AS (
+         SELECT src, dst,
+                ROW_NUMBER() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rn
+         FROM dots),
+       knn AS (SELECT src, dst FROM rk WHERE rn <= 5),
+       mutual AS (
+         SELECT x.src, x.dst FROM knn x
+         JOIN knn y ON x.src = y.dst AND x.dst = y.src)"""
+
+  val oracles: Map[String, String] = Map(
+    "ir1_bm25_topk" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS ts,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, dl,
+                  CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+                  CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
+                  CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector
+           FROM docs),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                  SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                  SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                  SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+           FROM tf),
+         scored AS (
+           SELECT t.doc_id, t.dl, t.tf_hash, t.tf_join, t.tf_vector,
+                  (CAST(s.n_docs AS DOUBLE) - s.df_hash + 0.5) / (CAST(s.df_hash AS DOUBLE) + 0.5)
+                    * (CAST(t.tf_hash AS DOUBLE) * 2.2)
+                    / (CAST(t.tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                + (CAST(s.n_docs AS DOUBLE) - s.df_join + 0.5) / (CAST(s.df_join AS DOUBLE) + 0.5)
+                    * (CAST(t.tf_join AS DOUBLE) * 2.2)
+                    / (CAST(t.tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                + (CAST(s.n_docs AS DOUBLE) - s.df_vector + 0.5) / (CAST(s.df_vector AS DOUBLE) + 0.5)
+                    * (CAST(t.tf_vector AS DOUBLE) * 2.2)
+                    / (CAST(t.tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                  AS score
+           FROM tf t CROSS JOIN stats s
+           WHERE t.tf_hash + t.tf_join + t.tf_vector > 0)
+         SELECT doc_id, dl, tf_hash, tf_join, tf_vector,
+                ROUND(score + 1e-9, 6) AS bm25_score
+         FROM scored
+         ORDER BY bm25_score DESC, doc_id LIMIT 20""",
+
+    "g6_link_prediction" ->
+      s"""WITH $duckMutualKnn,
+          deg AS (SELECT src, COUNT(*) AS deg FROM mutual GROUP BY 1),
+          cn AS (
+            SELECT e1.src AS a, e2.src AS b, COUNT(*) AS cn
+            FROM mutual e1 JOIN mutual e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT c.* FROM cn c
+            WHERE NOT EXISTS (SELECT 1 FROM mutual m
+                              WHERE m.src = c.a AND m.dst = c.b))
+          SELECT c.a AS vec_a, c.b AS vec_b, c.cn,
+                 da.deg AS deg_a, db.deg AS deg_b,
+                 ROUND(CAST(c.cn AS DOUBLE) / (da.deg + db.deg - c.cn) + 1e-9, 6)
+                   AS cn_jaccard
+          FROM cand c
+          JOIN deg da ON da.src = c.a
+          JOIN deg db ON db.src = c.b
+          ORDER BY c.cn DESC, cn_jaccard DESC, vec_a, vec_b LIMIT 20""",
+
+    "ts7_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS dv
+           FROM events GROUP BY 1, 2),
+         slopes AS (
+           SELECT a.event_type, (b.dv - a.dv) / (b.day - a.day) AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day)
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                ROUND(quantile_disc(slope, 0.5) + 1e-9, 6) + 0.0 AS theil_sen_slope,
+                CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+                CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+         FROM slopes GROUP BY 1 ORDER BY 1""",
+
+    "sa14_randomized_response" ->
+      """WITH rr AS (
+           SELECT doc_id, lang,
+                  CASE WHEN ('0x' || substr(md5('graft-rr-keep' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 75
+                       THEN lang
+                       ELSE ['de', 'en', 'es', 'fr', 'zh'][CAST(('0x' || substr(md5('graft-rr-pick' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 5 AS INTEGER) + 1]
+                  END AS reported
+           FROM documents),
+         t AS (SELECT lang, COUNT(*) AS n_true FROM rr GROUP BY 1),
+         r AS (SELECT reported AS lang, COUNT(*) AS n_reported FROM rr GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n_total FROM rr)
+         SELECT t.lang, t.n_true, r.n_reported,
+                ROUND((CAST(r.n_reported AS DOUBLE) - tot.n_total * 0.05) / 0.75 + 1e-9, 4) + 0.0
+                  AS debiased_estimate
+         FROM t JOIN r ON t.lang = r.lang CROSS JOIN tot
+         ORDER BY t.lang""",
+
+    "emb4_standardize" ->
+      """WITH iv AS (
+           SELECT i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v6
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+         m AS (
+           SELECT dim, COUNT(*) AS n, SUM(v6) AS s6,
+                  SUM(CAST(v6 AS HUGEINT) * v6) AS s66
+           FROM iv GROUP BY 1)
+         SELECT m.dim, m.n,
+                ROUND(CAST(m.s6 AS DOUBLE) / m.n / 1e6 + 1e-9, 6) + 0.0 AS mean_v,
+                ROUND(SQRT((m.n * CAST(m.s66 AS DOUBLE) - CAST(m.s6 AS DOUBLE) * m.s6)
+                           / (CAST(m.n AS DOUBLE) * (m.n - 1))) / 1e6 + 1e-9, 6) AS std_v,
+                CAST(SUM(CASE WHEN CAST(m.n * iv.v6 - m.s6 AS HUGEINT)
+                                   * (m.n * iv.v6 - m.s6) * (m.n - 1)
+                                 > 4 * CAST(m.n AS HUGEINT)
+                                   * (m.n * CAST(m.s66 AS HUGEINT) - CAST(m.s6 AS HUGEINT) * m.s6)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM iv JOIN m ON iv.dim = m.dim
+         GROUP BY m.dim, m.n, m.s6, m.s66
+         ORDER BY m.dim""",
+
+    "sim10_knn_graph" ->
+      s"""WITH $duckMutualKnn,
+         lab AS (SELECT vec_id, label FROM embeddings),
+         nodes AS (SELECT label, COUNT(*) AS n_nodes FROM lab GROUP BY 1),
+         census AS (
+           SELECT ls.label,
+                  COUNT(*) AS mutual_edges,
+                  SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS within_label
+           FROM mutual m
+           JOIN lab ls ON ls.vec_id = m.src
+           JOIN lab ld ON ld.vec_id = m.dst
+           GROUP BY 1)
+         SELECT c.label, n.n_nodes,
+                CAST(c.mutual_edges AS BIGINT) AS mutual_edges,
+                CAST(c.within_label AS BIGINT) AS within_label,
+                ROUND(CAST(c.within_label AS DOUBLE) / c.mutual_edges + 1e-9, 6)
+                  AS homophily
+         FROM census c JOIN nodes n ON n.label = c.label
+         ORDER BY c.label""")
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tlc.Fixtures
+
+/** Round-8 relevance & robustness pack invariants, re-derived independently
+  * in memory from the raw parquet at sf0.001 (the crosscheck gate proves
+  * DuckDB equivalence; these prove the SEMANTICS — the distributed plan
+  * equals a sequential replay of the operator's definition). */
+class RelevanceOpsSpec extends AnyFunSuite {
+  lazy val spark = Fixtures.sparkSession()
+  val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val vecs: Map[Long, Array[Long]] =
+    Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray
+      }.toMap
+
+  private lazy val labels: Map[Long, Int] =
+    Tables.embeddings(spark, sfDir).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  /** Sequential replay of the exact-integer 5-NN: directed edges. */
+  private lazy val knnReplay: Set[(Long, Long)] = {
+    val ids = vecs.keys.toArray.sorted
+    ids.flatMap { src =>
+      val scored = ids.filter(_ != src).map { dst =>
+        val a = vecs(src); val b = vecs(dst)
+        var dot = 0L; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); i += 1 }
+        (dst, dot)
+      }
+      scored.sortBy { case (dst, dot) => (-dot, dst) }.take(5)
+        .map { case (dst, _) => (src, dst) }
+    }.toSet
+  }
+
+  private lazy val mutualReplay: Set[(Long, Long)] =
+    knnReplay.filter { case (s, d) => knnReplay.contains((d, s)) }
+
+  test("sim10: mutual-kNN census equals the sequential integer replay") {
+    val got = SparkEntry.queries("sim10_knn_graph")(spark, sfDir).collect()
+    val byLabel = mutualReplay.toSeq.groupBy { case (s, _) => labels(s) }
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val l = r.getInt(0)
+      val edges = byLabel(l)
+      assert(r.getLong(2) == edges.size.toLong, s"label $l mutual_edges")
+      assert(r.getLong(3) ==
+        edges.count { case (_, d) => labels(d) == l }.toLong,
+        s"label $l within_label")
+      assert(r.getLong(1) == labels.values.count(_ == l).toLong, s"label $l n_nodes")
+    }
+  }
+
+  test("g6: candidates are non-adjacent, cn counts match the replay") {
+    val rows = SparkEntry.queries("g6_link_prediction")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "sf0.001 mutual-kNN graph must yield wedge candidates")
+    val nbrs = mutualReplay.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b, cn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b, "canonical pair orientation")
+      assert(!mutualReplay.contains((a, b)), s"($a,$b) is an existing edge")
+      val expect = (nbrs(a) & nbrs(b)).size.toLong
+      assert(cn == expect, s"($a,$b): cn $cn != replay $expect")
+      assert(r.getLong(3) == nbrs(a).size.toLong && r.getLong(4) == nbrs(b).size.toLong,
+        s"($a,$b) degrees")
+    }
+    // Ranking contract: (cn desc, jaccard desc, ids) over ALL candidates —
+    // verify the reported top matches the replay's best score.
+    val allCand = (for {
+      (a, na) <- nbrs; (b, nb) <- nbrs
+      if a < b && !mutualReplay.contains((a, b))
+      cn = (na & nb).size if cn > 0
+    } yield (cn, cn.toDouble / (na.size + nb.size - cn), a, b)).toSeq
+    val best = allCand.maxBy { case (cn, j, a, b) => (cn, j, -a, -b) }
+    assert((rows.head.getLong(0), rows.head.getLong(1)) == (best._3, best._4) ||
+      rows.head.getLong(2) == best._1.toLong, "top candidate matches replay")
+  }
+
+  test("ir1: BM25 scores equal the sequential replay, top-20 is global") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val q = Seq("hash", "join", "vector")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / n
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(ts: Seq[String]): Double = {
+      val dl = ts.length.toDouble
+      q.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val expected = docs.filter { case (_, ts) => q.exists(ts.contains) }
+      .map { case (id, ts) => (id, score(ts)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = SparkEntry.queries("ir1_bm25_topk")(spark, sfDir).collect()
+    assert(got.length == expected.length.min(20))
+    got.zip(expected).foreach { case (r, (id, sc)) =>
+      assert(r.getLong(0) == id, s"rank order: got ${r.getLong(0)} want $id")
+      assert(math.abs(r.getDouble(5) - sc) < 1e-5,
+        s"doc $id score ${r.getDouble(5)} != $sc")
+    }
+  }
+
+  test("sa14: randomized response is deterministic and mass-conserving") {
+    val out = SparkEntry.queries("sa14_randomized_response")(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))
+    val nTrue = out.map(_.getLong(1)).sum
+    val nRep = out.map(_.getLong(2)).sum
+    assert(nTrue == nRep, "privatization permutes labels, never drops rows")
+    out.foreach { r =>
+      val est = (r.getLong(2).toDouble - nTrue * 0.05) / 0.75
+      assert(math.abs(r.getDouble(3) - est) < 1e-3, s"${r.getString(0)} estimator")
+      // The debiased estimate must be closer to truth than the raw
+      // released count whenever the label deviates from uniform share.
+      val raw = r.getLong(2).toDouble
+      val truth = r.getLong(1).toDouble
+      if (math.abs(truth - nTrue / 5.0) > 30)
+        assert(math.abs(est - truth) < math.abs(raw - truth),
+          s"${r.getString(0)}: debias must help on skewed labels")
+    }
+    val again = SparkEntry.queries("sa14_randomized_response")(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq, "deterministic")
+  }
+
+  test("emb4: exact-integer outlier census equals the double replay") {
+    val got = SparkEntry.queries("emb4_standardize")(spark, sfDir).collect()
+    assert(got.length == 64)
+    val byDim = Array.fill(64)(collection.mutable.ArrayBuffer[Long]())
+    vecs.values.foreach(a => a.indices.foreach(i => byDim(i) += a(i)))
+    got.foreach { r =>
+      val dim = r.getInt(0)
+      val xs = byDim(dim)
+      val n = xs.length
+      assert(r.getLong(1) == n.toLong)
+      val s6 = xs.sum
+      val mean = s6.toDouble / n / 1e6
+      assert(math.abs(r.getDouble(2) - mean) < 1e-5, s"dim $dim mean")
+      // Replay the fence in BigInt (the operator's exact-integer claim).
+      val s66 = xs.map(x => BigInt(x) * x).sum
+      val outliers = xs.count { x =>
+        val lhs = BigInt(n.toLong * x - s6).pow(2) * (n - 1)
+        val rhs = BigInt(4) * n * (BigInt(n) * s66 - BigInt(s6).pow(2))
+        lhs > rhs
+      }
+      assert(r.getLong(4) == outliers.toLong, s"dim $dim outlier census")
+      // Chebyshev sanity: |z| > 2 can hold for at most n/4 points.
+      assert(r.getLong(4) <= n / 4, s"dim $dim Chebyshev bound")
+    }
+  }
+
+  test("ts7: pair counts and slope bounds against the raw events") {
+    val rows = SparkEntry.queries("ts7_theil_sen")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val nd = days(et)
+      assert(r.getLong(1) == nd * (nd - 1) / 2, s"$et n_pairs = C(days, 2)")
+      assert(r.getLong(3) + r.getLong(4) <= r.getLong(1), s"$et sign census")
+      // Sign consistency: a majority-up slope census forces a positive
+      // discrete median (and symmetrically for down).
+      if (r.getLong(3) > r.getLong(1) / 2)
+        assert(r.getDouble(2) > 0, s"$et majority-up implies positive median")
+      if (r.getLong(4) > r.getLong(1) / 2)
+        assert(r.getDouble(2) < 0, s"$et majority-down implies negative median")
+    }
+  }
+}
