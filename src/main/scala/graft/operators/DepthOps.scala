@@ -34,6 +34,67 @@ object DepthOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   val queries: Map[String, Q] = Map(
+    // A26: WEIGHTED median — the estimator a26 pipelines reach for when
+    // rows carry unequal mass (price weighted by quantity: "the median
+    // dollar", not the median line). Discrete selection: under the total
+    // order (price, orderkey, linenumber) within each group, the weighted
+    // median is the FIRST element whose running weight reaches half the
+    // group total — one partitioned window cumsum + one min-selection,
+    // both exchanges on the group key; no global sort, no interpolation
+    // (the picked value is an actual data element → bit-stable).
+    "a26_weighted_median" -> { (s, d) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity").cast("long").as("qty"))
+        .withColumn("cumw", sum(col("qty")).over(w))
+      val tot = li.groupBy("l_returnflag")
+        .agg(sum(col("qty")).as("total_weight"))
+      li.join(broadcast(tot), "l_returnflag")
+        .filter(col("cumw") * 2 >= col("total_weight"))
+        .groupBy("l_returnflag")
+        .agg(
+          max(col("total_weight")).as("total_weight"),
+          min(struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+            .getField("l_extendedprice").as("weighted_median_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // TS8: seasonal decomposition (the moving-average STL skeleton) — per
+    // event type: trend = centered 7-day MA over the exact-decimal daily
+    // totals (only full windows emit, so edges don't bias), seasonal =
+    // per-day-of-week mean of the detrended series. The detrended doubles
+    // are identical cross-engine (same dsum inputs, same MA chain), and
+    // their per-DOW mean goes back through the decimal-sum shape so
+    // accumulation order can't drift. DOW is pure integer date arithmetic
+    // (days since a fixed Monday, mod 7) — no engine DOW-convention trap.
+    // Two partitioned windows + two hash-aggs, everything keyed tiny.
+    "ts8_seasonal_decompose" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("dv"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend",
+          round(sum(col("dv").cast("decimal(30,8)")).over(w), 4).cast("double") / 7)
+        .filter(col("n_win") === 7)
+        .withColumn("detrended", col("dv") - col("trend"))
+        .withColumn("dow", expr("pmod(datediff(day, DATE'2000-01-03'), 7)").cast("long"))
+      trended
+        .groupBy("event_type", "dow")
+        .agg(
+          count(lit(1)).as("n_days"),
+          (round(sum(col("detrended").cast("decimal(30,8)")), 4).cast("double") /
+            count(lit(1))).as("seasonal_raw"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          stableRound(col("seasonal_raw"), 4).as("seasonal"))
+        .orderBy("event_type", "dow")
+    },
+
     // A18: ordered-set aggregates. percentile_disc picks an actual element
     // (hash-exact across engines, unlike interpolating percentile_cont,
     // which is rounded); mode is computed as an explicit deterministic
@@ -325,6 +386,51 @@ object DepthOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "a26_weighted_median" ->
+      """WITH li AS (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+         c AS (
+           SELECT *,
+                  SUM(qty) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                  SUM(qty) OVER (PARTITION BY l_returnflag) AS tw
+           FROM li),
+         q AS (
+           SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+           FROM c WHERE cumw * 2 >= tw)
+         SELECT l_returnflag,
+                CAST(tw AS BIGINT) AS total_weight,
+                l_extendedprice AS weighted_median_price
+         FROM q WHERE rn = 1 ORDER BY l_returnflag""",
+
+    "ts8_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS dv
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, dv,
+                  COUNT(*) OVER w AS n_win,
+                  CAST(ROUND(SUM(CAST(dv AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE) / 7
+                    AS trend
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (
+           SELECT event_type, (day - DATE '2000-01-03') % 7 AS dow,
+                  dv - trend AS detrended
+           FROM t WHERE n_win = 7)
+         SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                CAST(COUNT(*) AS BIGINT) AS n_days,
+                ROUND(CAST(ROUND(SUM(CAST(detrended AS DECIMAL(30,8))), 4) AS DOUBLE)
+                      / COUNT(*) + 1e-9, 4) + 0.0 AS seasonal
+         FROM det GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "a18_ordered_set" ->
       """WITH counts AS (
            SELECT l_returnflag, l_quantity, COUNT(*) AS cnt

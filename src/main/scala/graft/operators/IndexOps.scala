@@ -79,6 +79,41 @@ object IndexOps {
     // already-joined rows (no extra exchange), and revenue accumulates
     // through the Exact decimal path. The filters sit on the dimension
     // scans so Catalyst prunes before any join.
+    // J21: bilateral trade-flow analysis (TPC-H Q7 shape) — revenue
+    // shipped between two specific nations, split by (supplier nation,
+    // customer nation, ship year): the classic "volume shipping" snowflake
+    // with a DISJUNCTIVE nation-pair predicate. Plan shape mirrors j20:
+    // the big fact joins stream while every dimension arm (orders →
+    // customer → nation; supplier → nation) reduces then broadcasts; the
+    // pair predicate lands AFTER both nation attaches, on broadcast-sized
+    // rows. Exact decimal revenue (dsum), years from the shipdate — the
+    // per-flow-per-year drill a pricing team reads.
+    "j21_trade_flows" -> { (s, d) =>
+      val nations = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_0", "NATION_1"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(graft.functions.Exact.dsum(col("rev")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     "j20_regional_revenue" -> { (s, d) =>
       val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val nation = Tables.nation(s, d)
@@ -199,6 +234,26 @@ object IndexOps {
                           THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned,
                  CAST(SUM(rows_matched) AS BIGINT) AS rows_matched
           FROM files""",
+
+    "j21_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation,
+                cn.n_name AS cust_nation,
+                CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                                    AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         WHERE sn.n_name IN ('NATION_0', 'NATION_1')
+           AND cn.n_name IN ('NATION_0', 'NATION_1')
+           AND sn.n_name <> cn.n_name
+           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "j20_regional_revenue" ->
       """SELECT n.n_name,

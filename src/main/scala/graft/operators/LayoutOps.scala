@@ -42,6 +42,51 @@ object LayoutOps {
   private val W = 4
 
   val queries: Map[String, Q] = Map(
+    // S22: sort-order advisor — the layout question a parquet writer (or a
+    // Z-order/cluster-key chooser like s15) answers FIRST: which candidate
+    // sort key minimizes the RLE run count of the low-cardinality payload
+    // columns? For each candidate we count group-LOCAL value runs of each
+    // payload under the canonical (key, l_orderkey, l_linenumber) total
+    // order; the sum over groups is an UPPER bound on the global-sort run
+    // count (cross-group boundaries are charged a run even when adjacent
+    // groups happen to agree) — off by at most n_groups, and crucially it
+    // is computable with a PARTITIONED window (one exchange per candidate,
+    // no global single-partition sort; the exact-count variant is the w14
+    // scale-killer shape this deliberately avoids). Lower est_runs/row →
+    // better RLE payoff; the fewest-runs candidate wins.
+    "s22_sort_advisor" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val total = li.count() // driver scalar: the shared denominator
+      val candidates = Seq("l_shipdate", "l_partkey", "l_suppkey")
+      candidates.map { key =>
+        // (l_orderkey, l_linenumber) is NOT unique in this data (the
+        // synthetic generator repeats keys), so the payload columns join
+        // the sort: rows tying on ALL five are interchangeable without
+        // affecting the run flags, making the count well-defined.
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus"))
+        val runs = li
+          .withColumn("rf_run",
+            when(lag(col("l_returnflag"), 1).over(w).isNull ||
+              lag(col("l_returnflag"), 1).over(w) =!= col("l_returnflag"), 1L)
+              .otherwise(0L))
+          .withColumn("ls_run",
+            when(lag(col("l_linestatus"), 1).over(w).isNull ||
+              lag(col("l_linestatus"), 1).over(w) =!= col("l_linestatus"), 1L)
+              .otherwise(0L))
+        runs.agg(
+          countDistinct(col(key)).as("n_groups"),
+          sum(col("rf_run")).as("runs_returnflag"),
+          sum(col("ls_run")).as("runs_linestatus"))
+          .select(lit(key).as("sort_key"), col("n_groups"),
+            col("runs_returnflag"), col("runs_linestatus"),
+            stableRound(lit(total).cast("double") /
+              (col("runs_returnflag") + col("runs_linestatus")), 6)
+              .as("rows_per_run"))
+      }.reduce(_ unionAll _).orderBy("sort_key")
+    },
+
     // S17: first-fit-by-sorted-order bin packing as a window cumsum: files
     // sorted size-descending (the classic FFD layout heuristic) fill bin
     // k = floor(bytes-before / TARGET). Integer cumsum — exact, and the
@@ -193,7 +238,30 @@ object LayoutOps {
         .orderBy("doc_a", "doc_b")
     })
 
+  /** One s22 oracle block per candidate key (identical window shape). */
+  private def s22Block(key: String): String =
+    s"""SELECT '$key' AS sort_key,
+          CAST(COUNT(DISTINCT $key) AS BIGINT) AS n_groups,
+          CAST(SUM(rf_run) AS BIGINT) AS runs_returnflag,
+          CAST(SUM(ls_run) AS BIGINT) AS runs_linestatus,
+          ROUND(1e-9 + CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+                / (SUM(rf_run) + SUM(ls_run)), 6) AS rows_per_run
+        FROM (
+          SELECT $key,
+            CASE WHEN LAG(l_returnflag) OVER w IS NULL
+                   OR LAG(l_returnflag) OVER w <> l_returnflag
+                 THEN 1 ELSE 0 END AS rf_run,
+            CASE WHEN LAG(l_linestatus) OVER w IS NULL
+                   OR LAG(l_linestatus) OVER w <> l_linestatus
+                 THEN 1 ELSE 0 END AS ls_run
+          FROM lineitem
+          WINDOW w AS (PARTITION BY $key ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus))"""
+
   val oracles: Map[String, String] = Map(
+    "s22_sort_advisor" ->
+      Seq("l_shipdate", "l_partkey", "l_suppkey").map(s22Block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY sort_key"),
+
     "s17_compaction_plan" ->
       s"""WITH f AS (
             SELECT source, doc_id, n_chars,

@@ -105,6 +105,52 @@ object MultimodalOps {
         .orderBy("doc_id")
     },
 
+    // MM5: perceptual-hash (aHash) near-dup detection over the binary
+    // payload — the multimodal dedup primitive: a 16-bit block-average
+    // hash (16 blocks × 16 bytes of the 256-byte head window; bit k set
+    // iff block k's byte sum beats the global average — the integer form
+    // 16·bsum_k > total, no division) collapses exact and
+    // near-identical payloads onto equal or 1-bit-distant hashes. Pairing
+    // NEVER goes all-pairs: exact dups group by hash, hamming-1
+    // candidates come from the 16-variant FLIP PROBE join (each doc emits
+    // its hash with every single bit flipped; a probe hitting another
+    // doc's base hash is a distance-1 pair, found exactly once under the
+    // id-order filter) — the Manku pigeonhole trick at radius 1, linear
+    // in corpus size. Real images swap the byte-average for a decoded
+    // luma grid (mm1's decoder seam); the hash/probe plumbing is
+    // identical.
+    "mm5_phash_dedup" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), rpad(col("text"), 256, " ").as("pw"))
+        .withColumn("bsums", expr(
+          """transform(sequence(0, 15), k ->
+               aggregate(sequence(1, 16), 0L,
+                 (acc, i) -> acc + ascii(substring(pw, k * 16 + i, 1))))"""))
+        .withColumn("total", expr("aggregate(bsums, 0L, (acc, x) -> acc + x)"))
+        .withColumn("ahash", expr(
+          """aggregate(sequence(0, 15), 0L, (acc, k) ->
+               acc + CASE WHEN element_at(bsums, k + 1) * 16 > total
+                          THEN shiftleft(1L, k) ELSE 0L END)"""))
+        .select("doc_id", "ahash")
+      val perHash = base.groupBy("ahash").agg(count(lit(1)).as("n"))
+      val exact = perHash.agg(
+        count(lit(1)).as("n_distinct_hashes"),
+        sum(expr("n * (n - 1) DIV 2")).as("n_exact_pairs"),
+        max(col("n")).as("max_cluster"))
+      val probes = base
+        .withColumn("j", explode(expr("sequence(0, 15)")))
+        .select(col("doc_id").as("doc_a"),
+          expr("ahash ^ shiftleft(1L, j)").as("hv"))
+      val ham1 = probes
+        .join(base.select(col("doc_id").as("doc_b"), col("ahash").as("hv")), "hv")
+        .filter(col("doc_a") < col("doc_b"))
+        .agg(count(lit(1)).as("n_hamming1_pairs"))
+      val nd = base.agg(count(lit(1)).as("n_docs"))
+      nd.crossJoin(broadcast(exact)).crossJoin(broadcast(ham1))
+        .select("n_docs", "n_distinct_hashes", "max_cluster",
+          "n_exact_pairs", "n_hamming1_pairs")
+    },
+
     // MM2: frame sampling over an opaque binary payload — treat the blob as
     // a fixed-stride frame sequence (64-byte "frames", the video-decode
     // stub), take every 4th frame, emit per-frame length + checksum. The
@@ -170,6 +216,48 @@ object MultimodalOps {
                 chunk_md5s[1] AS first_chunk_md5,
                 md5(array_to_string(chunk_md5s, '')) AS root_md5
          FROM c ORDER BY doc_id""",
+
+    // ASCII text ⇒ char codes == byte values, so the block sums replay as
+    // ascii(substr(...)) folds; same strict-inequality bit rule, same
+    // flip-probe pairing (1-based list indexing on BOTH sides via
+    // element_at / [k+1] — Spark's [] is 0-based, DuckDB's is 1-based,
+    // so the bracket operator never appears in either form).
+    "mm5_phash_dedup" ->
+      """WITH p AS (SELECT doc_id, rpad(text, 256, ' ') AS pw FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_transform(generate_series(0, 15), k ->
+                    CAST(list_sum(list_transform(generate_series(1, 16),
+                      i -> ascii(substr(pw, CAST(k * 16 + i AS INTEGER), 1)))) AS BIGINT)) AS bsums
+           FROM p),
+         h AS (
+           SELECT doc_id,
+                  CAST(list_sum(bsums) AS BIGINT) AS total,
+                  bsums
+           FROM b),
+         hh AS (
+           SELECT doc_id,
+                  CAST(list_sum(list_transform(generate_series(0, 15), k ->
+                    CASE WHEN bsums[CAST(k + 1 AS INTEGER)] * 16 > total
+                         THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+                    AS BIGINT) AS ahash
+           FROM h),
+         per AS (SELECT ahash, COUNT(*) AS n FROM hh GROUP BY 1),
+         ex AS (
+           SELECT COUNT(*) AS n_distinct_hashes,
+                  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_exact_pairs,
+                  CAST(MAX(n) AS BIGINT) AS max_cluster
+           FROM per),
+         probes AS (
+           SELECT doc_id AS doc_a, xor(ahash, CAST(1 AS BIGINT) << CAST(j AS INTEGER)) AS hv
+           FROM hh, UNNEST(generate_series(0, 15)) AS g(j)),
+         ham AS (
+           SELECT COUNT(*) AS n_hamming1_pairs
+           FROM probes pr JOIN hh b2 ON pr.hv = b2.ahash AND pr.doc_a < b2.doc_id),
+         nd AS (SELECT COUNT(*) AS n_docs FROM hh)
+         SELECT nd.n_docs, ex.n_distinct_hashes, ex.max_cluster,
+                ex.n_exact_pairs, ham.n_hamming1_pairs
+         FROM nd CROSS JOIN ex CROSS JOIN ham""",
 
     // ASCII text ⇒ byte slicing == char slicing, so the oracle frames are
     // substr() windows of the text and md5 agrees byte-for-byte.
