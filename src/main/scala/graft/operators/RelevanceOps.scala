@@ -261,6 +261,53 @@ object RelevanceOps {
         .orderBy("dim")
     },
 
+    // EMB5: truncated-embedding retrieval evaluation (the Matryoshka /
+    // MRL question): if the index stores only the first P of 64
+    // dimensions, how much of the full-precision top-5 does prefix-dot
+    // retrieval keep? One all-pairs pass computes ALL FOUR dots (P = 8,
+    // 16, 32, 64) as zip_with-slice folds — the prefix dots are free
+    // sub-sums of the work the full dot does anyway — then each prefix's
+    // 5-NN joins the full-dot 5-NN on (src, dst) and the kept fraction is
+    // recall@5. Exact int64 dots throughout: the rankings cannot drift,
+    // so the recall numerator is an exact integer. Audit-scale exact
+    // baseline, same contract as sim10 (sim2/sim3 are the corpus-scale
+    // paths).
+    "emb5_matryoshka_eval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val arrs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+            .as("iv"))
+      val lhs = arrs.select(col("vec_id").as("ida"), col("iv").as("iva"))
+      val rhs = arrs.select(col("vec_id").as("idb"), col("iv").as("ivb"))
+      def prefixDot(p: Int) = expr(
+        s"aggregate(zip_with(slice(iva, 1, $p), slice(ivb, 1, $p), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      val pairs = lhs.crossJoin(rhs).filter(col("ida") < col("idb"))
+        .select(Seq(col("ida"), col("idb")) ++
+          Seq(8, 16, 32, 64).map(p => prefixDot(p).as(s"d$p")): _*)
+      val directed = pairs.select(col("ida").as("src"), col("idb").as("dst"),
+          col("d8"), col("d16"), col("d32"), col("d64"))
+        .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"),
+          col("d8"), col("d16"), col("d32"), col("d64")))
+      def top5(dcol: String) = {
+        val w = Window.partitionBy("src").orderBy(col(dcol).desc, col("dst"))
+        directed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).select("src", "dst")
+      }
+      val full = top5("d64")
+      val nNodes = arrs.agg(count(lit(1)).as("n_nodes"))
+      Seq(8, 16, 32).map { p =>
+        top5(s"d$p").join(full, Seq("src", "dst"))
+          .agg(count(lit(1)).as("n_kept"))
+          .select(lit(p.toLong).as("prefix_dims"), col("n_kept"))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nNodes))
+        .select(col("prefix_dims"), col("n_nodes"), col("n_kept"),
+          stableRound(col("n_kept").cast("double") / (col("n_nodes") * 5), 6)
+            .as("recall_at_5"))
+        .orderBy("prefix_dims")
+    },
+
     // SIM10: mutual-kNN graph + label homophily — each vector's 5 nearest
     // by EXACT integer dot product (emb1 scaling), kept only if the edge
     // is reciprocated (the standard graph-cleanup before diffusion /
@@ -418,6 +465,45 @@ object RelevanceOps {
          FROM iv JOIN m ON iv.dim = m.dim
          GROUP BY m.dim, m.n, m.s6, m.s66
          ORDER BY m.dim""",
+
+    "emb5_matryoshka_eval" ->
+      """WITH iv AS (
+           SELECT vec_id, i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+         dots AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+                  SUM(CASE WHEN a.dim < 8 THEN a.x * b.x ELSE 0 END) AS d8,
+                  SUM(CASE WHEN a.dim < 16 THEN a.x * b.x ELSE 0 END) AS d16,
+                  SUM(CASE WHEN a.dim < 32 THEN a.x * b.x ELSE 0 END) AS d32,
+                  SUM(a.x * b.x) AS d64
+           FROM iv a JOIN iv b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         r8 AS (SELECT src, dst FROM (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY d8 DESC, dst) AS rn
+                FROM dots) WHERE rn <= 5),
+         r16 AS (SELECT src, dst FROM (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY d16 DESC, dst) AS rn
+                FROM dots) WHERE rn <= 5),
+         r32 AS (SELECT src, dst FROM (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY d32 DESC, dst) AS rn
+                FROM dots) WHERE rn <= 5),
+         r64 AS (SELECT src, dst FROM (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY d64 DESC, dst) AS rn
+                FROM dots) WHERE rn <= 5),
+         nn AS (SELECT COUNT(*) AS n_nodes FROM embeddings),
+         kept AS (
+           SELECT 8 AS prefix_dims, COUNT(*) AS n_kept
+           FROM r8 JOIN r64 ON r8.src = r64.src AND r8.dst = r64.dst
+           UNION ALL
+           SELECT 16, COUNT(*) FROM r16 JOIN r64 ON r16.src = r64.src AND r16.dst = r64.dst
+           UNION ALL
+           SELECT 32, COUNT(*) FROM r32 JOIN r64 ON r32.src = r64.src AND r32.dst = r64.dst)
+         SELECT CAST(prefix_dims AS BIGINT) AS prefix_dims,
+                CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+                CAST(n_kept AS BIGINT) AS n_kept,
+                ROUND(CAST(n_kept AS DOUBLE) / (nn.n_nodes * 5) + 1e-9, 6) AS recall_at_5
+         FROM kept CROSS JOIN nn ORDER BY prefix_dims""",
 
     "sim10_knn_graph" ->
       s"""WITH $duckMutualKnn,

@@ -190,6 +190,36 @@ object SamplingOps {
     // computed as a SORTED left fold so both engines sum the identical
     // double sequence in the identical order — no partial-agg order
     // nondeterminism reaches the gate. Two dimension-sized hash-aggs.
+    // SA15: temperature-scaled mixture reweighting — the multilingual /
+    // multi-source sampling rule (mT5, CC-style): sample source i with
+    // probability ∝ pᵢ^α (α = 0.5 here), which upweights the tail without
+    // flattening the head. sqrt IS exactly rounded under IEEE-754 (unlike
+    // ln/exp), so the per-lang terms are bit-identical cross-engine; the
+    // 5-term normalizer folds in SORTED order (sa13's collect-sort-fold)
+    // so accumulation order can't drift either. Output: raw vs tempered
+    // share and the sampling boost each lang gets.
+    "sa15_temperature_mixture" -> { (s, d) =>
+      val perLang = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val global = perLang.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("""aggregate(transform(sort_array(collect_list(n_tokens)),
+                 x -> sqrt(CAST(x AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, x) -> a + x)""")
+          .as("z"))
+      perLang.crossJoin(broadcast(global))
+        .withColumn("raw_share",
+          col("n_tokens").cast("double") / col("total_tokens"))
+        .withColumn("temp_share", sqrt(col("n_tokens").cast("double")) / col("z"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          graft.functions.Exact.stableRound(col("raw_share"), 6).as("raw_share"),
+          graft.functions.Exact.stableRound(col("temp_share"), 6).as("temp_share"),
+          graft.functions.Exact.stableRound(
+            col("temp_share") / col("raw_share"), 6).as("sampling_boost"))
+        .orderBy("lang")
+    },
+
     "sa13_reweight_ess" -> { (s, d) =>
       val bySrc = Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -314,6 +344,28 @@ object SamplingOps {
 
     // Σ(1/n) via the same sorted sequential fold as the Spark side;
     // division order in weight/ess mirrors exactly.
+    "sa15_temperature_mixture" ->
+      """WITH per_lang AS (
+           SELECT lang,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         g AS (
+           SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                  list_aggregate(list_transform(list_sort(list(n_tokens)),
+                    x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS z
+           FROM per_lang)
+         SELECT p.lang, p.n_docs, p.n_tokens,
+                ROUND(1e-9 + CAST(p.n_tokens AS DOUBLE) / g.total_tokens, 6) + 0.0
+                  AS raw_share,
+                ROUND(1e-9 + sqrt(CAST(p.n_tokens AS DOUBLE)) / g.z, 6) + 0.0
+                  AS temp_share,
+                ROUND(1e-9 + (sqrt(CAST(p.n_tokens AS DOUBLE)) / g.z)
+                      / (CAST(p.n_tokens AS DOUBLE) / g.total_tokens), 6) + 0.0
+                  AS sampling_boost
+         FROM per_lang p CROSS JOIN g
+         ORDER BY p.lang""",
+
     "sa13_reweight_ess" ->
       """WITH by_src AS (
            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -155,6 +155,49 @@ class RelevanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb5: prefix-dot recall equals the sequential replay") {
+    def top5(p: Int): Set[(Long, Long)] = {
+      val ids = vecs.keys.toArray.sorted
+      ids.flatMap { src =>
+        ids.filter(_ != src).map { dst =>
+          val a = vecs(src); val b = vecs(dst)
+          var dot = 0L; var i = 0
+          while (i < p) { dot += a(i) * b(i); i += 1 }
+          (dst, dot)
+        }.sortBy { case (dst, dot) => (-dot, dst) }.take(5)
+          .map { case (dst, _) => (src, dst) }
+      }.toSet
+    }
+    val full = top5(64)
+    val got = SparkEntry.queries("emb5_matryoshka_eval")(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
+    got.foreach { r =>
+      val p = r.getLong(0).toInt
+      val kept = (top5(p) & full).size.toLong
+      assert(r.getLong(2) == kept, s"prefix $p n_kept ${r.getLong(2)} != $kept")
+      assert(r.getLong(1) == vecs.size.toLong)
+    }
+    // More dimensions must not lose recall on this corpus (8 -> 32 spans
+    // a 4x information gap; a reversal means the slice/ranking is wrong).
+    assert(got(0).getLong(2) <= got(2).getLong(2), "recall grows 8 -> 32")
+  }
+
+  test("sa15: tempered shares renormalize and boost the tail") {
+    val out = SparkEntry.queries("sa15_temperature_mixture")(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4, "raw shares sum to 1")
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4, "temp shares sum to 1")
+    val byLang = out.map(r => r.getString(0) -> r).toMap
+    val maxLang = out.maxBy(_.getLong(2)).getString(0)
+    assert(byLang(maxLang).getDouble(5) < 1.0, "head lang is downweighted")
+    val minLang = out.minBy(_.getLong(2)).getString(0)
+    assert(byLang(minLang).getDouble(5) > 1.0, "tail lang is boosted")
+    // alpha = 0.5 ordering: tempered share order preserves raw order.
+    val rawOrd = out.sortBy(_.getDouble(3)).map(_.getString(0)).toSeq
+    val tmpOrd = out.sortBy(_.getDouble(4)).map(_.getString(0)).toSeq
+    assert(rawOrd == tmpOrd, "temperature preserves share ranking")
+  }
+
   test("ts7: pair counts and slope bounds against the raw events") {
     val rows = SparkEntry.queries("ts7_theil_sen")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -21,6 +21,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "CurationOps" -> operators.CurationOps.queries,
     "GraphOps" -> operators.GraphOps.queries,
     "StatOps" -> operators.StatOps.queries,
+    "RelevanceOps" -> operators.RelevanceOps.queries,
     "LayoutOps" -> operators.LayoutOps.queries,
     "SketchOps" -> operators.SketchOps.queries,
     "IndexOps" -> operators.IndexOps.queries,
