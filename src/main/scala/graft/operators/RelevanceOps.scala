@@ -56,24 +56,45 @@ object RelevanceOps {
   private val mutualKnnCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def mutualKnn(s: SparkSession, d: String): DataFrame =
-    mutualKnnCache.computeIfAbsent((s, d), { _ =>
-      import org.apache.spark.sql.expressions.Window
+  /** Directed all-pairs exact-integer dot table with PREFIX dots at 8/16/
+    * 32/64 dims, memoized per (session, dataset): the one expensive pass
+    * every exact retrieval audit shares (sim10's 5-NN graph, emb5's
+    * truncation eval). The prefix dots are sub-sums of the full dot's
+    * work, so carrying all four costs nothing extra. */
+  private val dotsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def directedDots(s: SparkSession, d: String): DataFrame =
+    dotsCache.computeIfAbsent((s, d), { _ =>
       val arrs = Tables.embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
             .as("iv"))
       val lhs = arrs.select(col("vec_id").as("ida"), col("iv").as("iva"))
       val rhs = arrs.select(col("vec_id").as("idb"), col("iv").as("ivb"))
+      def prefixDot(p: Int) = expr(
+        s"aggregate(zip_with(slice(iva, 1, $p), slice(ivb, 1, $p), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
       val pairs = lhs.crossJoin(rhs).filter(col("ida") < col("idb"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(iva, ivb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-        .select("ida", "idb", "dot")
-      val directed = pairs.select(col("ida").as("src"), col("idb").as("dst"), col("dot"))
-        .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"), col("dot")))
-      val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
-      val knn = directed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5).select("src", "dst")
+        .select(Seq(col("ida"), col("idb")) ++
+          Seq(8, 16, 32, 64).map(p => prefixDot(p).as(s"d$p")): _*)
+      pairs.select(col("ida").as("src"), col("idb").as("dst"),
+          col("d8"), col("d16"), col("d32"), col("d64"))
+        .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"),
+          col("d8"), col("d16"), col("d32"), col("d64")))
+        .persist()
+    })
+
+  /** Directed 5-NN of the `dcol` ranking over the memoized dot table. */
+  private def top5(s: SparkSession, d: String, dcol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src").orderBy(col(dcol).desc, col("dst"))
+    directedDots(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("src", "dst")
+  }
+
+  private[graft] def mutualKnn(s: SparkSession, d: String): DataFrame =
+    mutualKnnCache.computeIfAbsent((s, d), { _ =>
+      val knn = top5(s, d, "d64")
       knn.as("x").join(knn.as("y"),
           col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("x.dst").as("dst"))
@@ -273,31 +294,10 @@ object RelevanceOps {
     // baseline, same contract as sim10 (sim2/sim3 are the corpus-scale
     // paths).
     "emb5_matryoshka_eval" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val arrs = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
-            .as("iv"))
-      val lhs = arrs.select(col("vec_id").as("ida"), col("iv").as("iva"))
-      val rhs = arrs.select(col("vec_id").as("idb"), col("iv").as("ivb"))
-      def prefixDot(p: Int) = expr(
-        s"aggregate(zip_with(slice(iva, 1, $p), slice(ivb, 1, $p), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-      val pairs = lhs.crossJoin(rhs).filter(col("ida") < col("idb"))
-        .select(Seq(col("ida"), col("idb")) ++
-          Seq(8, 16, 32, 64).map(p => prefixDot(p).as(s"d$p")): _*)
-      val directed = pairs.select(col("ida").as("src"), col("idb").as("dst"),
-          col("d8"), col("d16"), col("d32"), col("d64"))
-        .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"),
-          col("d8"), col("d16"), col("d32"), col("d64")))
-      def top5(dcol: String) = {
-        val w = Window.partitionBy("src").orderBy(col(dcol).desc, col("dst"))
-        directed.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5).select("src", "dst")
-      }
-      val full = top5("d64")
-      val nNodes = arrs.agg(count(lit(1)).as("n_nodes"))
+      val full = top5(s, d, "d64")
+      val nNodes = Tables.embeddings(s, d).agg(count(lit(1)).as("n_nodes"))
       Seq(8, 16, 32).map { p =>
-        top5(s"d$p").join(full, Seq("src", "dst"))
+        top5(s, d, s"d$p").join(full, Seq("src", "dst"))
           .agg(count(lit(1)).as("n_kept"))
           .select(lit(p.toLong).as("prefix_dims"), col("n_kept"))
       }.reduce(_ unionAll _)

@@ -616,4 +616,66 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window in a bitmap build:\n$p")
     assert(!p.contains("Join"), s"no join in a bitmap build:\n$p")
   }
+
+  test("ir1: BM25 stats attach as a 1-row broadcast; the cut is top-k, no window") {
+    val p = plan("ir1_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("Window"), s"no window in document-at-a-time scoring:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join against a 1-row stats frame:\n$p")
+  }
+
+  test("s22: every run-count window is PARTITIONED — no single-partition global sort") {
+    val p = plan("s22_sort_advisor")
+    // WindowExec on an empty partition spec prints 'Window [...], []' —
+    // its presence means the advisor regressed to the w14 scale-killer.
+    assert(!"Window [^\\n]*, \\[\\]".r.findFirstIn(p).isDefined,
+      s"all s22 windows must partition by the candidate key:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"run sums must partial-aggregate:\n$p")
+  }
+
+  test("a26: weighted median is one partitioned cumsum window + broadcast totals") {
+    val p = plan("a26_weighted_median")
+    assert(p.contains("Window"), s"the weight cumsum rides a window:\n$p")
+    assert(!"Window [^\\n]*, \\[\\]".r.findFirstIn(p).isDefined,
+      s"the cumsum window must partition by the group key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group totals attach broadcast:\n$p")
+  }
+
+  test("mm5: hash clusters and flip probes are equi shapes — no cartesian anywhere") {
+    val p = plan("mm5_phash_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"hamming-1 pairing must be the probe equi-join, never all-pairs:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("emb4: moments broadcast back onto the coordinate stream") {
+    val p = plan("emb4_standardize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row moments frame must broadcast, not shuffle the stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("emb5: one memoized pair pass feeds all four rankings; rank windows partition by src") {
+    val p = plan("emb5_matryoshka_eval")
+    assert(!"Window [^\\n]*, \\[\\]".r.findFirstIn(p).isDefined,
+      s"rank windows must partition by src:\n$p")
+    // The all-pairs build is the memoized directedDots stage: after the
+    // first materialization every ranking reads the InMemoryTableScan —
+    // a fifth+ BroadcastNestedLoopJoin means the cache stopped covering.
+    SparkEntry.queries("emb5_matryoshka_eval")(spark, sfDir).collect()
+    val p2 = plan("emb5_matryoshka_eval")
+    assert(p2.contains("InMemoryTableScan"),
+      s"the pair stage must come from the persisted stage output:\n$p2")
+    // Every ranking arm must read the cache: 4 top-5 rankings (8/16/32
+    // plus the shared full-dot side) → at least 4 InMemoryTableScans.
+    // (BroadcastNestedLoopJoin strings still appear inside the cached
+    // relation's PRINTED build plan, so counting those would lie.)
+    assert("InMemoryTableScan".r.findAllIn(p2).size >= 4,
+      s"every ranking must read the persisted pair stage:\n$p2")
+  }
 }
