@@ -284,6 +284,44 @@ object DepthOps {
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // TS9: autocorrelation diagnostics — ACF at lags 1, 2, 7 per event
+    // type over the exact-decimal daily series (the "is there weekly
+    // structure / is this series white" check run before any forecasting
+    // or anomaly model). Deviations are from the decimal-exact mean, the
+    // lag pairing is an equi self-join on (type, day + k) — no window
+    // per lag, no explode of the corpus — and both the lag products and
+    // the variance accumulate through the decimal-sum shape, so the
+    // quotient is bit-stable. Everything after the daily rollup touches
+    // only calendar-sized data.
+    "ts9_acf" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("dv"))
+      val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        (round(sum(col("dv").cast("decimal(30,8)")), 4).cast("double") /
+          count(lit(1))).as("m"))
+      val dev = daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day"), (col("dv") - col("m")).as("dev"))
+      val den = dev.groupBy("event_type").agg(
+        round(sum((col("dev") * col("dev")).cast("decimal(30,8)")), 4)
+          .cast("double").as("den"))
+      val lags = Seq(1, 2, 7).map(k =>
+        dev.as("a").join(dev.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.day") === date_add(col("a.day"), k))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n_terms"),
+            round(sum((col("a.dev") * col("b.dev")).cast("decimal(30,8)")), 4)
+              .cast("double").as("num"))
+          .withColumn("lag", lit(k.toLong)))
+      lags.reduce(_ unionAll _)
+        .join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag"), col("n_terms"),
+          stableRound(col("num") / col("den"), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+
     // TS2: LINEAR-interpolation resample — ts1's spine with the other
     // standard fill: a missing grid point interpolates between its last and
     // next OBSERVED neighbors, weighted by day distance (edges fall back to
@@ -407,6 +445,36 @@ object DepthOps {
                 CAST(tw AS BIGINT) AS total_weight,
                 l_extendedprice AS weighted_median_price
          FROM q WHERE rn = 1 ORDER BY l_returnflag""",
+
+    "ts9_acf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(ROUND(SUM(CAST("value" AS DECIMAL(30,8))), 4) AS DOUBLE) AS dv
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, COUNT(*) AS n_days,
+                  CAST(ROUND(SUM(CAST(dv AS DECIMAL(30,8))), 4) AS DOUBLE) / COUNT(*) AS m
+           FROM daily GROUP BY 1),
+         dev AS (
+           SELECT d.event_type, d.day, d.dv - s.m AS dev
+           FROM daily d JOIN stats s ON d.event_type = s.event_type),
+         den AS (
+           SELECT event_type,
+                  CAST(ROUND(SUM(CAST(dev * dev AS DECIMAL(30,8))), 4) AS DOUBLE) AS den
+           FROM dev GROUP BY 1),
+         nums AS (
+           SELECT a.event_type, k.lag,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms,
+                  CAST(ROUND(SUM(CAST(a.dev * b.dev AS DECIMAL(30,8))), 4) AS DOUBLE) AS num
+           FROM dev a
+           CROSS JOIN (SELECT UNNEST([1, 2, 7]) AS lag) k
+           JOIN dev b ON b.event_type = a.event_type
+                     AND b.day = a.day + CAST(k.lag AS INTEGER)
+           GROUP BY 1, 2)
+         SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_terms,
+                ROUND(n.num / d.den + 1e-9, 6) + 0.0 AS acf
+         FROM nums n JOIN den d ON d.event_type = n.event_type
+         ORDER BY n.event_type, lag""",
 
     "ts8_seasonal_decompose" ->
       """WITH daily AS (

@@ -308,6 +308,41 @@ object RelevanceOps {
         .orderBy("prefix_dims")
     },
 
+    // SIM11: MMR diversity selection — Maximal Marginal Relevance, the
+    // standard diversity-aware pick for few-shot example selection /
+    // dedup-aware retrieval: greedily take the candidate maximizing
+    // rel(q, c) − max_{s∈S} sim(c, s) (λ = 1/2 in integer form: both
+    // terms are exact int64 dots on the shared stage, so the margin is an
+    // exact integer and ties break on id). K = 5 rounds; each round is a
+    // distributed broadcast-join + argmax with only the 1-row winner on
+    // the driver (dd7's convergence-scalar contract) — the sequential
+    // part is the ALGORITHM's data dependence, not a scheduling choice.
+    "sim11_mmr_select" -> { (s, d) =>
+      import s.implicits._
+      val dots = directedDots(s, d).select(col("src"), col("dst"), col("d64"))
+      val qid = Tables.embeddings(s, d)
+        .agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val rel = dots.filter(col("src") === qid)
+        .select(col("dst").as("v"), col("d64").as("rel"))
+      var selected = Vector.empty[(Long, Long, Long, Long)]
+      for (_ <- 1 to 5) {
+        val selIds = selected.map(_._2)
+        val cand =
+          if (selIds.isEmpty) rel.withColumn("ms", lit(0L))
+          else {
+            val ms = dots.filter(col("dst").isin(selIds: _*))
+              .groupBy(col("src").as("v")).agg(max(col("d64")).as("ms"))
+            rel.filter(!col("v").isin(selIds: _*)).join(ms, "v")
+          }
+        val top = cand.withColumn("mmr", col("rel") - col("ms"))
+          .orderBy(col("mmr").desc, col("v")).limit(1)
+          .select("v", "rel", "ms", "mmr").collect()(0)
+        selected :+= ((selected.size + 1L, top.getLong(0), top.getLong(1), top.getLong(3)))
+      }
+      selected.toDF("rank", "vec_id", "relevance", "mmr_score")
+        .orderBy("rank")
+    },
+
     // SIM10: mutual-kNN graph + label homophily — each vector's 5 nearest
     // by EXACT integer dot product (emb1 scaling), kept only if the edge
     // is reciprocated (the standard graph-cleanup before diffusion /
@@ -354,7 +389,51 @@ object RelevanceOps {
          SELECT x.src, x.dst FROM knn x
          JOIN knn y ON x.src = y.dst AND x.dst = y.src)"""
 
+  /** sim11's greedy rounds, unrolled as chained CTEs (g1/g5's iterCtes
+    * precedent): selᵣ accumulates the winners, candᵣ scores the rest via a
+    * correlated MAX over the materialized dot table, sᵣ takes the argmax
+    * under the same (mmr DESC, v) total order as the Spark side. */
+  private val mmrSteps: String = (2 to 5).map { r =>
+    val prevSel = (1 until r).map(i => s"SELECT v FROM s$i").mkString(" UNION ALL ")
+    s"""sel${r - 1} AS ($prevSel),
+        cand$r AS (
+          SELECT rl.v, rl.rel,
+                 (SELECT MAX(dt.d64) FROM dots dt
+                  JOIN sel${r - 1} s ON dt.src = rl.v AND dt.dst = s.v) AS ms
+          FROM rel rl WHERE rl.v NOT IN (SELECT v FROM sel${r - 1})),
+        s$r AS (SELECT v, rel, ms, rel - ms AS mmr FROM cand$r
+                ORDER BY mmr DESC, v LIMIT 1)"""
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "sim11_mmr_select" ->
+      s"""WITH iv AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+          dots AS MATERIALIZED (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   CAST(SUM(a.x * b.x) AS BIGINT) AS d64
+            FROM iv a JOIN iv b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2),
+          rel AS (
+            SELECT dst AS v, d64 AS rel FROM dots
+            WHERE src = (SELECT MIN(vec_id) FROM embeddings)),
+          s1 AS (SELECT v, rel, CAST(0 AS BIGINT) AS ms, rel AS mmr FROM rel
+                 ORDER BY mmr DESC, v LIMIT 1),
+          $mmrSteps
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS rank, v AS vec_id, rel AS relevance, mmr AS mmr_score FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), v, rel, mmr FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), v, rel, mmr FROM s3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), v, rel, mmr FROM s4
+            UNION ALL
+            SELECT CAST(5 AS BIGINT), v, rel, mmr FROM s5)
+          ORDER BY rank""",
+
     "ir1_bm25_topk" ->
       """WITH docs AS (
            SELECT doc_id, string_split(text, ' ') AS ts,

@@ -90,6 +90,21 @@ class LayoutPlanOpsSpec extends AnyFunSuite {
     assert(types.length == 5)
   }
 
+  test("ts9: term counts follow the calendar and ACF stays in [-1, 1]") {
+    val got = SparkEntry.queries("ts9_acf")(spark, sfDir).collect()
+    assert(got.length == 15, "5 event types x 3 lags")
+    val nDays = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.length.toLong }
+    got.foreach { r =>
+      val (et, lag) = (r.getString(0), r.getLong(1))
+      // The synthetic calendar is contiguous, so lag-k pairing drops
+      // exactly k days per series.
+      assert(r.getLong(2) == nDays(et) - lag, s"$et lag $lag n_terms")
+      assert(math.abs(r.getDouble(3)) <= 1.000001, s"$et lag $lag acf bound")
+    }
+  }
+
   test("mm5: census equals the sequential aHash replay") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))

@@ -198,6 +198,39 @@ class RelevanceOpsSpec extends AnyFunSuite {
     assert(rawOrd == tmpOrd, "temperature preserves share ranking")
   }
 
+  test("sim11: greedy MMR selection equals the sequential replay") {
+    val qid = vecs.keys.min
+    def dot(a: Long, b: Long): Long = {
+      val x = vecs(a); val y = vecs(b)
+      var s = 0L; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    val rel = vecs.keys.filter(_ != qid).map(v => v -> dot(qid, v)).toMap
+    var sel = Vector.empty[(Long, Long, Long)] // (v, rel, mmr)
+    for (_ <- 1 to 5) {
+      val chosen = sel.map(_._1).toSet
+      val best = rel.filterNot { case (v, _) => chosen(v) }
+        .map { case (v, r) =>
+          val ms = if (chosen.isEmpty) 0L else chosen.map(s => dot(v, s)).max
+          (v, r, r - ms)
+        }
+        .minBy { case (v, _, mmr) => (-mmr, v) }
+      sel :+= best
+    }
+    val got = SparkEntry.queries("sim11_mmr_select")(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.zip(sel).zipWithIndex.foreach { case ((r, (v, rl, mmr)), i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getLong(1) == v, s"rank ${i + 1}: picked ${r.getLong(1)}, replay $v")
+      assert(r.getLong(2) == rl && r.getLong(3) == mmr, s"rank ${i + 1} scores")
+    }
+    // NOTE: margins are NOT monotone in rank — max-sim to the selected set
+    // can be NEGATIVE (anti-correlated vectors), which RAISES a later
+    // margin above an earlier pure-relevance pick. The replay equality
+    // above is the correctness property; monotonicity would be wrong.
+  }
+
   test("ts7: pair counts and slope bounds against the raw events") {
     val rows = SparkEntry.queries("ts7_theil_sen")(spark, sfDir).collect()
     assert(rows.nonEmpty)
