@@ -148,7 +148,7 @@ object CurationOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsCache.computeIfAbsent((s, d), { _ => jaccardPairsUncached(s, d).persist() })
+    jaccardPairsCache.computeIfAbsent((s, d), { _ => jaccardPairsUncached(s, d).localCheckpoint() })
 
   private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val p = shinglePrefix(s, d)

@@ -60,7 +60,12 @@ object GraphOps {
     * sf0.1). Returns (adj = edges ⋈ out-degree, deg), both persisted. */
   private[graft] def adjacency(s: SparkSession, d: String): (DataFrame, DataFrame) =
     adjCache.computeIfAbsent((s, d), { _ =>
+      // localCheckpoint severs the lineage to the (persisted) pair stage:
+      // planning every per-round/per-wedge job against the nested
+      // InMemoryRelation tree benched g3 at 6.7 s warm vs 2.5 s over a
+      // plain checkpointed table (same rationale as pagerank's rounds).
       val pairs = CurationOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+        .localCheckpoint()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()

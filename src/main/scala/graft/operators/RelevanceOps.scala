@@ -66,31 +66,43 @@ object RelevanceOps {
 
   private[graft] def directedDots(s: SparkSession, d: String): DataFrame =
     dotsCache.computeIfAbsent((s, d), { _ =>
+      // Codegen'd primitive dot loop, NOT aggregate(zip_with(slice...)):
+      // the higher-order form evaluates interpreted and allocates two
+      // slice arrays per row — see LongDotPrefix's scaladoc.
+      graft.functions.LongDotPrefix.register(s)
       val arrs = Tables.embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
             .as("iv"))
       val lhs = arrs.select(col("vec_id").as("ida"), col("iv").as("iva"))
       val rhs = arrs.select(col("vec_id").as("idb"), col("iv").as("ivb"))
-      def prefixDot(p: Int) = expr(
-        s"aggregate(zip_with(slice(iva, 1, $p), slice(ivb, 1, $p), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      def prefixDot(p: Int) = expr(s"long_dot_prefix(iva, ivb, $p)")
       val pairs = lhs.crossJoin(rhs).filter(col("ida") < col("idb"))
         .select(Seq(col("ida"), col("idb")) ++
           Seq(8, 16, 32, 64).map(p => prefixDot(p).as(s"d$p")): _*)
+      // localCheckpoint, not persist: every ranking window re-plans
+      // against this stage, and a nested InMemoryRelation lineage costs
+      // AQE replanning per job (g3's 6.7 s -> 0.2 s lesson; see
+      // GraphOps.adjacency). A checkpointed table is a plain scan.
       pairs.select(col("ida").as("src"), col("idb").as("dst"),
           col("d8"), col("d16"), col("d32"), col("d64"))
         .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"),
           col("d8"), col("d16"), col("d32"), col("d64")))
-        .persist()
+        .localCheckpoint()
     })
 
-  /** Directed 5-NN of the `dcol` ranking over the memoized dot table. */
-  private def top5(s: SparkSession, d: String, dcol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("src").orderBy(col(dcol).desc, col("dst"))
-    directedDots(s, d).withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5).select("src", "dst")
-  }
+  /** Directed 5-NN of the `dcol` ranking over the memoized dot table —
+    * via the native heap-based TopKPerGroup operator (w7's machinery):
+    * bounded O(n log k) per partition, shuffle of survivors only, instead
+    * of a full per-src window sort of the all-pairs table per ranking
+    * (emb5 runs FOUR rankings; the window form benched 2.8 s vs 1.4 s). */
+  private def top5(s: SparkSession, d: String, dcol: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      directedDots(s, d).select(col("src"), col("dst"), col(dcol)),
+      k = 5,
+      groupCols = Seq("src"),
+      orderBy = Seq(dcol -> false, "dst" -> true))
+      .select("src", "dst")
 
   private[graft] def mutualKnn(s: SparkSession, d: String): DataFrame =
     mutualKnnCache.computeIfAbsent((s, d), { _ =>
@@ -98,7 +110,7 @@ object RelevanceOps {
       knn.as("x").join(knn.as("y"),
           col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("x.dst").as("dst"))
-        .persist()
+        .localCheckpoint()
     })
 
   val queries: Map[String, Q] = Map(

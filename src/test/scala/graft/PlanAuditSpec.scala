@@ -660,22 +660,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("emb5: one memoized pair pass feeds all four rankings; rank windows partition by src") {
+  test("emb5: rankings ride the native top-k over the checkpointed pair stage") {
     val p = plan("emb5_matryoshka_eval")
-    assert(!"Window [^\\n]*, \\[\\]".r.findFirstIn(p).isDefined,
-      s"rank windows must partition by src:\n$p")
-    // The all-pairs build is the memoized directedDots stage: after the
-    // first materialization every ranking reads the InMemoryTableScan —
-    // a fifth+ BroadcastNestedLoopJoin means the cache stopped covering.
-    SparkEntry.queries("emb5_matryoshka_eval")(spark, sfDir).collect()
-    val p2 = plan("emb5_matryoshka_eval")
-    assert(p2.contains("InMemoryTableScan"),
-      s"the pair stage must come from the persisted stage output:\n$p2")
-    // Every ranking arm must read the cache: 4 top-5 rankings (8/16/32
-    // plus the shared full-dot side) → at least 4 InMemoryTableScans.
-    // (BroadcastNestedLoopJoin strings still appear inside the cached
-    // relation's PRINTED build plan, so counting those would lie.)
-    assert("InMemoryTableScan".r.findAllIn(p2).size >= 4,
-      s"every ranking must read the persisted pair stage:\n$p2")
+    // Each ranking is the heap-based TopKPerGroup (partial per partition +
+    // final after the src exchange — like w7), NOT a full per-src window
+    // sort of the all-pairs table; and the pair stage itself arrives as a
+    // lineage-severed checkpoint scan, not a re-derived cross join (the
+    // nested-lineage AQE replanning cost — see GraphOps.adjacency).
+    assert("TopKPerGroup".r.findAllIn(p).size >= 8,
+      s"4 rankings x partial+final native top-k:\n$p")
+    assert(!p.contains("Window"), s"no window sort per ranking:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the pair stage must come from the localCheckpoint:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Cross, (ida"),
+      s"no re-derivation of the all-pairs stage:\n$p")
   }
 }
