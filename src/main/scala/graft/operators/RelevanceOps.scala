@@ -320,6 +320,78 @@ object RelevanceOps {
         .orderBy("prefix_dims")
     },
 
+    // F28: multi-touch attribution — every purchase splits one unit of
+    // credit linearly across the user's view/click touches in the
+    // preceding 24 h (the marketing-attribution primitive; first/last-
+    // touch are the same dataflow with an argmin/argmax instead of the
+    // split). The touch↔conversion pairing is a per-user range join
+    // (bounded fan-out: a user's touches within one day), credits are
+    // exact rationals 1/n summed through the decimal shape, and
+    // conversions with NO preceding touch surface as a '(direct)' row —
+    // attribution that silently drops orphans overstates channels.
+    "f28_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"), col("value"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("t").as("conv_t"), col("value").as("conv_value"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("t").as("touch_t"))
+      val pairs = conv.join(touch, Seq("user_id"))
+        .filter(col("touch_t") <= col("conv_t") &&
+          col("touch_t") > col("conv_t") - lit(86400000000L))
+      val perConv = pairs.groupBy("conv_id")
+        .agg(count(lit(1)).as("n_touches"))
+      val credited = pairs.join(broadcast(perConv), "conv_id")
+        .withColumn("credit", lit(1.0) / col("n_touches"))
+      val byType = credited.groupBy("touch_type")
+        .agg(
+          countDistinct(col("conv_id")).as("n_conversions"),
+          count(lit(1)).as("n_touches"),
+          graft.functions.Exact.dsum(col("credit")).as("total_credit"),
+          graft.functions.Exact.dsum(col("credit") * col("conv_value"))
+            .as("attributed_value"))
+      val direct = conv.join(perConv, conv("conv_id") === perConv("conv_id"), "left_anti")
+        .agg(count(lit(1)).as("n_conversions"))
+        .select(lit("(direct)").as("touch_type"), col("n_conversions"),
+          lit(0L).as("n_touches"),
+          col("n_conversions").cast("double").as("total_credit"),
+          lit(0.0).as("attributed_value"))
+      byType.unionByName(direct)
+        .select(col("touch_type"), col("n_conversions"), col("n_touches"),
+          stableRound(col("total_credit"), 4).as("total_credit"),
+          stableRound(col("attributed_value"), 4).as("attributed_value"))
+        .orderBy("touch_type")
+    },
+
+    // G8: partition conductance — how well the LABEL partition matches the
+    // mutual-kNN graph's community structure: per label, the share of its
+    // edge volume that crosses the boundary, cut / min(vol, 2m − vol).
+    // Low conductance = labels are real communities (cluster-aware
+    // splits — sa10 — will generalize); high = the labels shear the
+    // graph. Pure integer census over the memoized mutual edge list; the
+    // metric g2's modularity complements (different graph, different
+    // normalization).
+    "g8_conductance" -> { (s, d) =>
+      val mutual = mutualKnn(s, d)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val edges = mutual
+        .join(broadcast(labels.select(col("vec_id").as("src"), col("label").as("l_src"))), "src")
+        .join(broadcast(labels.select(col("vec_id").as("dst"), col("label").as("l_dst"))), "dst")
+      val tot = edges.agg(count(lit(1)).as("total_vol"))
+      edges.groupBy(col("l_src").as("label"))
+        .agg(count(lit(1)).as("vol"),
+          sum(when(col("l_src") =!= col("l_dst"), 1L).otherwise(0L)).as("cut"))
+        .crossJoin(broadcast(tot))
+        .select(col("label"), col("vol"), col("cut"),
+          stableRound(col("cut").cast("double") /
+            least(col("vol"), col("total_vol") - col("vol")), 6)
+            .as("conductance"))
+        .orderBy("label")
+    },
+
     // SIM11: MMR diversity selection — Maximal Marginal Relevance, the
     // standard diversity-aware pick for few-shot example selection /
     // dedup-aware retrieval: greedily take the candidate maximizing
@@ -418,6 +490,65 @@ object RelevanceOps {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "f28_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t, "value"
+           FROM events),
+         conv AS (
+           SELECT user_id, event_id AS conv_id, t AS conv_t, "value" AS conv_value
+           FROM ev WHERE event_type = 'purchase'),
+         touch AS (
+           SELECT user_id, event_type AS touch_type, t AS touch_t
+           FROM ev WHERE event_type IN ('view', 'click')),
+         pairs AS (
+           SELECT c.conv_id, c.conv_value, tc.touch_type
+           FROM conv c JOIN touch tc ON tc.user_id = c.user_id
+           WHERE tc.touch_t <= c.conv_t AND tc.touch_t > c.conv_t - 86400000000),
+         per_conv AS (SELECT conv_id, COUNT(*) AS n_touches FROM pairs GROUP BY 1),
+         credited AS (
+           SELECT p.touch_type, p.conv_id, p.conv_value,
+                  1.0 / pc.n_touches AS credit
+           FROM pairs p JOIN per_conv pc ON pc.conv_id = p.conv_id),
+         by_type AS (
+           SELECT touch_type,
+                  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+                  CAST(COUNT(*) AS BIGINT) AS n_touches,
+                  CAST(ROUND(SUM(CAST(credit AS DECIMAL(30,8))), 4) AS DOUBLE) AS total_credit,
+                  CAST(ROUND(SUM(CAST(credit * conv_value AS DECIMAL(30,8))), 4) AS DOUBLE)
+                    AS attributed_value
+           FROM credited GROUP BY 1),
+         direct AS (
+           SELECT '(direct)' AS touch_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                  CAST(0 AS BIGINT) AS n_touches,
+                  CAST(COUNT(*) AS DOUBLE) AS total_credit,
+                  0.0 AS attributed_value
+           FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM per_conv))
+         SELECT touch_type, n_conversions, n_touches,
+                ROUND(total_credit + 1e-9, 4) + 0.0 AS total_credit,
+                ROUND(attributed_value + 1e-9, 4) + 0.0 AS attributed_value
+         FROM (SELECT * FROM by_type UNION ALL SELECT * FROM direct)
+         ORDER BY touch_type""",
+
+    "g8_conductance" ->
+      s"""WITH $duckMutualKnn,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          edges AS (
+            SELECT m.src, m.dst, ls.label AS l_src, ld.label AS l_dst
+            FROM mutual m
+            JOIN lab ls ON ls.vec_id = m.src
+            JOIN lab ld ON ld.vec_id = m.dst),
+          tot AS (SELECT COUNT(*) AS total_vol FROM edges)
+          SELECT e.l_src AS label,
+                 CAST(COUNT(*) AS BIGINT) AS vol,
+                 CAST(SUM(CASE WHEN e.l_src <> e.l_dst THEN 1 ELSE 0 END) AS BIGINT) AS cut,
+                 ROUND(CAST(SUM(CASE WHEN e.l_src <> e.l_dst THEN 1 ELSE 0 END) AS DOUBLE)
+                       / LEAST(COUNT(*), t.total_vol - COUNT(*)) + 1e-9, 6) AS conductance
+          FROM edges e CROSS JOIN tot t
+          GROUP BY e.l_src, t.total_vol
+          ORDER BY label""",
+
     "sim11_mmr_select" ->
       s"""WITH iv AS (
             SELECT vec_id, i - 1 AS dim,

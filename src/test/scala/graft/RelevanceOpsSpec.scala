@@ -231,6 +231,45 @@ class RelevanceOpsSpec extends AnyFunSuite {
     // above is the correctness property; monotonicity would be wrong.
   }
 
+  test("f28: credit is conserved — one unit per touched conversion") {
+    val out = SparkEntry.queries("f28_attribution")(spark, sfDir).collect()
+    val types = out.map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "(direct)")))
+    val touched = out.filter(_.getString(0) != "(direct)")
+    val direct = out.find(_.getString(0) == "(direct)").get
+    // Linear attribution conserves mass: summed credit over channels =
+    // number of touched conversions (each splits exactly one unit).
+    val nConvTouched = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS t")
+      .collect().groupBy(_.getLong(1)).values.flatMap { g =>
+        val touches = g.filter(r => Set("view", "click")(r.getString(2))).map(_.getLong(3))
+        g.filter(_.getString(2) == "purchase").map { c =>
+          val t = c.getLong(3)
+          touches.count(tt => tt <= t && tt > t - 86400000000L) > 0
+        }
+      }.toSeq
+    assert(math.abs(touched.map(_.getDouble(3)).sum -
+      nConvTouched.count(identity).toDouble) < 0.01, "credit mass")
+    assert(direct.getLong(1) == nConvTouched.count(!_).toLong, "(direct) count")
+  }
+
+  test("g8: conductance census is consistent with the mutual graph") {
+    val out = SparkEntry.queries("g8_conductance")(spark, sfDir).collect()
+    val byLabel = mutualReplay.toSeq.groupBy { case (s, _) => labels(s) }
+    out.foreach { r =>
+      val l = r.getInt(0)
+      val es = byLabel(l)
+      assert(r.getLong(1) == es.size.toLong, s"label $l vol")
+      assert(r.getLong(2) == es.count { case (_, d) => labels(d) != l }.toLong,
+        s"label $l cut")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.000001, s"label $l range")
+    }
+    // Cut edges are symmetric in aggregate: total cut counted from src
+    // labels equals total cross-label edges counted from dst labels.
+    val totalCut = out.map(_.getLong(2)).sum
+    assert(totalCut == mutualReplay.count { case (s, d) => labels(s) != labels(d) })
+  }
+
   test("ts7: pair counts and slope bounds against the raw events") {
     val rows = SparkEntry.queries("ts7_theil_sen")(spark, sfDir).collect()
     assert(rows.nonEmpty)
