@@ -160,6 +160,57 @@ object RelevanceOps {
         .limit(20)
     },
 
+    // IR2: pseudo-relevance-feedback query expansion (Rocchio's term-
+    // selection half): take ir1's top-10 documents as the relevant set,
+    // score every term they contain by feedback-tf × the same rational
+    // idf core, drop the original query terms, and emit the top
+    // expansion candidates. The feedback set is a broadcast of 10 ids;
+    // corpus df comes from one token-level hash-agg — nothing quadratic,
+    // nothing windowed. With ir1 this closes the classic two-pass
+    // retrieval loop (retrieve → expand → re-retrieve).
+    "ir2_prf_expansion" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val withTf = QUERY.foldLeft(docs) { (df, t) =>
+        df.withColumn(s"tf_$t",
+          expr(s"CAST(size(filter(ts, x -> x = '$t')) AS LONG)"))
+      }.withColumn("dl", size(col("ts")).cast("long"))
+      val stats = withTf.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).as("sum_dl") +: QUERY.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+      val contribs = QUERY.map { t =>
+        val tf = col(s"tf_$t").cast("double")
+        val idf = (col("n_docs").cast("double") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }
+      val top10 = withTf.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("score", contribs.reduceLeft(_ + _))
+        .filter(QUERY.map(t => col(s"tf_$t")).reduceLeft(_ + _) > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id")
+      val toks = docs.select(col("doc_id"), explode(col("ts")).as("term"))
+      val dfAll = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val fbTf = toks.join(broadcast(top10), "doc_id")
+        .groupBy("term").agg(count(lit(1)).as("fb_tf"))
+      val nTotal = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      fbTf
+        .filter(!col("term").isin(QUERY: _*))
+        .join(dfAll, "term")
+        .crossJoin(broadcast(nTotal))
+        .select(col("term"), col("fb_tf"), col("df"),
+          stableRound(
+            col("fb_tf") * ((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))), 6).as("expansion_score"))
+        .orderBy(col("expansion_score").desc, col("term"))
+        .limit(10)
+    },
+
     // G6: link prediction on the mutual-kNN embedding graph — for every
     // NON-adjacent vector pair, count common neighbors and score by
     // neighborhood Jaccard cn / (deg_a + deg_b - cn). High scorers are
@@ -612,6 +663,56 @@ object RelevanceOps {
                 ROUND(score + 1e-9, 6) AS bm25_score
          FROM scored
          ORDER BY bm25_score DESC, doc_id LIMIT 20""",
+
+    "ir2_prf_expansion" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS ts,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, dl,
+                  CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+                  CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
+                  CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector
+           FROM docs),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                  SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                  SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                  SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+           FROM tf),
+         top10 AS (
+           SELECT t.doc_id
+           FROM tf t CROSS JOIN stats s
+           WHERE t.tf_hash + t.tf_join + t.tf_vector > 0
+           ORDER BY
+             (CAST(s.n_docs AS DOUBLE) - s.df_hash + 0.5) / (CAST(s.df_hash AS DOUBLE) + 0.5)
+               * (CAST(t.tf_hash AS DOUBLE) * 2.2)
+               / (CAST(t.tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+           + (CAST(s.n_docs AS DOUBLE) - s.df_join + 0.5) / (CAST(s.df_join AS DOUBLE) + 0.5)
+               * (CAST(t.tf_join AS DOUBLE) * 2.2)
+               / (CAST(t.tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+           + (CAST(s.n_docs AS DOUBLE) - s.df_vector + 0.5) / (CAST(s.df_vector AS DOUBLE) + 0.5)
+               * (CAST(t.tf_vector AS DOUBLE) * 2.2)
+               / (CAST(t.tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+             DESC, t.doc_id
+           LIMIT 10),
+         toks AS (
+           SELECT doc_id, unnest(ts) AS term FROM docs),
+         df_all AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+         fb AS (
+           SELECT tk.term, CAST(COUNT(*) AS BIGINT) AS fb_tf
+           FROM toks tk JOIN top10 USING (doc_id) GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT f.term, f.fb_tf, d.df,
+                ROUND(f.fb_tf * ((CAST(n.n_docs AS DOUBLE) - d.df + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5)) + 1e-9, 6) AS expansion_score
+         FROM fb f JOIN df_all d ON d.term = f.term CROSS JOIN n
+         WHERE f.term NOT IN ('hash', 'join', 'vector')
+         ORDER BY expansion_score DESC, f.term
+         LIMIT 10""",
 
     "g6_link_prediction" ->
       s"""WITH $duckMutualKnn,

@@ -108,6 +108,22 @@ class RelevanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ir2: expansion terms exclude the query and score by fb_tf x idf") {
+    val out = SparkEntry.queries("ir2_prf_expansion")(spark, sfDir).collect()
+    assert(out.length == 10)
+    val q = Set("hash", "join", "vector")
+    out.foreach { r =>
+      assert(!q(r.getString(0)), s"query term ${r.getString(0)} must not expand itself")
+      val n = 500.0
+      val idf = (n - r.getLong(2) + 0.5) / (r.getLong(2) + 0.5)
+      assert(math.abs(r.getDouble(3) - r.getLong(1) * idf) < 1e-4,
+        s"${r.getString(0)} score recomputes from its own row")
+    }
+    // Ranking: descending score with term tiebreak.
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sortBy(-_), "descending expansion scores")
+  }
+
   test("sa14: randomized response is deterministic and mass-conserving") {
     val out = SparkEntry.queries("sa14_randomized_response")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))
