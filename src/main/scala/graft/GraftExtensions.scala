@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RewriteTopKWindow)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.longDotPrefixDescriptor)
   }
 }
 
@@ -48,4 +49,12 @@ object GraftExtensions {
       CosineSimilarity(
         Cast(exprs(0), ArrayType(DoubleType)),
         Cast(exprs(1), ArrayType(DoubleType))))
+
+  /** `long_dot_prefix(a, b, p)` — the codegen'd exact-int64 prefix dot
+    * (graft.functions.LongDotPrefix), same catalog-injection path. */
+  val longDotPrefixDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("long_dot_prefix"),
+    new ExpressionInfo(classOf[graft.functions.LongDotPrefix].getName, "long_dot_prefix"),
+    (exprs: Seq[Expression]) =>
+      graft.functions.LongDotPrefix(exprs(0), exprs(1), exprs(2)))
 }
