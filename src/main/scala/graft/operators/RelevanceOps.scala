@@ -443,6 +443,52 @@ object RelevanceOps {
         .orderBy("label")
     },
 
+    // EMB6: binary-embedding retrieval evaluation — the 1-bit
+    // quantization story (sign binarization): all 64 dims PACK INTO ONE
+    // int64 word per vector (bit k = sign of coordinate k), Hamming
+    // distance is bit_count(xor) — one ALU op per PAIR instead of 64
+    // multiply-adds — and the audit reports how much of the exact top-5
+    // the Hamming ranking keeps plus the memory ratio (64 bits vs 64
+    // floats = 32×). Ranking ties (equal Hamming distance) break on
+    // neighbor id, so the cut is engine-independent. The packed scan is
+    // linear; the all-pairs Hamming table is the audit-scale exact twin
+    // (sim2's LSH buckets are the corpus-scale path — same bit trick,
+    // banded).
+    "emb6_binary_retrieval" -> { (s, d) =>
+      // Two 32-bit words, not one 64-bit: bit 63 would need 1 << 63,
+      // which DuckDB rejects as signed overflow (the a25 bitmap op hit
+      // the same wall and packs 63-bit words). Hamming distance is then
+      // two popcounts — still O(words), not O(dims).
+      def word(lo: Int) = expr(
+        s"""aggregate(transform(sequence($lo, $lo + 31),
+              k -> CASE WHEN CAST(element_at(embedding, k + 1) AS DOUBLE) > 0
+                        THEN shiftleft(1L, k - $lo) ELSE 0L END),
+            0L, (acc, x) -> acc + x)""")
+      val packed = Tables.embeddings(s, d)
+        .select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+      val lhs = packed.select(col("vec_id").as("src"),
+        col("w0").as("a0"), col("w1").as("a1"))
+      val rhs = packed.select(col("vec_id").as("dst"),
+        col("w0").as("b0"), col("w1").as("b1"))
+      val ham = lhs.crossJoin(rhs).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) AS BIGINT)").as("hd"))
+      val hamTop = graft.plans.TopK.perGroup(ham, k = 5,
+        groupCols = Seq("src"), orderBy = Seq("hd" -> true, "dst" -> true))
+        .select("src", "dst")
+      val full = top5(s, d, "d64")
+      val nNodes = Tables.embeddings(s, d).agg(count(lit(1)).as("n_nodes"))
+      hamTop.join(full, Seq("src", "dst"))
+        .agg(count(lit(1)).as("n_kept"))
+        .crossJoin(broadcast(nNodes))
+        .select(
+          lit(64L).as("code_bits"),
+          col("n_nodes"), col("n_kept"),
+          stableRound(col("n_kept").cast("double") / (col("n_nodes") * 5), 6)
+            .as("recall_at_5"),
+          lit(32L).as("compression_x"))
+    },
+
     // SIM11: MMR diversity selection — Maximal Marginal Relevance, the
     // standard diversity-aware pick for few-shot example selection /
     // dedup-aware retrieval: greedily take the candidate maximizing
@@ -827,6 +873,40 @@ object RelevanceOps {
                 CAST(n_kept AS BIGINT) AS n_kept,
                 ROUND(CAST(n_kept AS DOUBLE) / (nn.n_nodes * 5) + 1e-9, 6) AS recall_at_5
          FROM kept CROSS JOIN nn ORDER BY prefix_dims""",
+
+    "emb6_binary_retrieval" ->
+      s"""WITH $duckMutualKnn,
+          packed AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                     k -> CASE WHEN CAST(embedding[CAST(k + 1 AS INTEGER)] AS DOUBLE) > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                               ELSE 0 END)) AS BIGINT) AS w0,
+                   CAST(list_sum(list_transform(generate_series(32, 63),
+                     k -> CASE WHEN CAST(embedding[CAST(k + 1 AS INTEGER)] AS DOUBLE) > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER))
+                               ELSE 0 END)) AS BIGINT) AS w1
+            FROM embeddings),
+          ham AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hd
+            FROM packed a JOIN packed b ON a.vec_id <> b.vec_id),
+          rkh AS (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY hd, dst) AS rn
+            FROM ham),
+          htop AS (SELECT src, dst FROM rkh WHERE rn <= 5),
+          nn AS (SELECT COUNT(*) AS n_nodes FROM embeddings),
+          kept AS (
+            SELECT COUNT(*) AS n_kept
+            FROM htop h JOIN knn f ON f.src = h.src AND f.dst = h.dst)
+          SELECT CAST(64 AS BIGINT) AS code_bits,
+                 CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+                 CAST(kept.n_kept AS BIGINT) AS n_kept,
+                 ROUND(CAST(kept.n_kept AS DOUBLE) / (nn.n_nodes * 5) + 1e-9, 6)
+                   AS recall_at_5,
+                 CAST(32 AS BIGINT) AS compression_x
+          FROM nn CROSS JOIN kept""",
 
     "sim10_knn_graph" ->
       s"""WITH $duckMutualKnn,

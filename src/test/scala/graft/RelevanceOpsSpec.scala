@@ -214,6 +214,28 @@ class RelevanceOpsSpec extends AnyFunSuite {
     assert(rawOrd == tmpOrd, "temperature preserves share ranking")
   }
 
+  test("emb6: packed-sign Hamming recall equals the sequential replay") {
+    // Signs from the RAW floats (the operator binarizes pre-scaling; the
+    // 1e6-scaled ints would flip coordinates in (0, 5e-7] to zero).
+    val raw = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_ > 0f).toArray).toMap
+    val ids = raw.keys.toArray.sorted
+    def hd(a: Array[Boolean], b: Array[Boolean]) = a.zip(b).count(p => p._1 != p._2)
+    val hamTop = ids.flatMap { src =>
+      ids.filter(_ != src).map(dst => (dst, hd(raw(src), raw(dst))))
+        .sortBy { case (dst, h) => (h, dst) }.take(5)
+        .map { case (dst, _) => (src, dst) }
+    }.toSet
+    val kept = (hamTop & knnReplay).size.toLong
+    val r = SparkEntry.queries("emb6_binary_retrieval")(spark, sfDir).collect().head
+    assert(r.getLong(0) == 64L && r.getLong(4) == 32L)
+    assert(r.getLong(1) == ids.length.toLong)
+    assert(r.getLong(2) == kept, s"n_kept ${r.getLong(2)} != replay $kept")
+    // 1-bit codes lose information: recall must be strictly below 1 on
+    // real-valued vectors, but far above the ~5/n random-overlap floor.
+    assert(r.getDouble(3) > 0.05 && r.getDouble(3) < 1.0)
+  }
+
   test("sim11: greedy MMR selection equals the sequential replay") {
     val qid = vecs.keys.min
     def dot(a: Long, b: Long): Long = {
