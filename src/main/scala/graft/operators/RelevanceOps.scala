@@ -444,10 +444,10 @@ object RelevanceOps {
     },
 
     // EMB6: binary-embedding retrieval evaluation — the 1-bit
-    // quantization story (sign binarization): all 64 dims PACK INTO ONE
-    // int64 word per vector (bit k = sign of coordinate k), Hamming
-    // distance is bit_count(xor) — one ALU op per PAIR instead of 64
-    // multiply-adds — and the audit reports how much of the exact top-5
+    // quantization story (sign binarization): the 64 dims pack into two
+    // 32-bit machine words per vector (bit k = sign of coordinate k),
+    // Hamming distance is two popcounts — O(words) ALU ops per PAIR
+    // instead of 64 multiply-adds — and the audit reports how much of the exact top-5
     // the Hamming ranking keeps plus the memory ratio (64 bits vs 64
     // floats = 32×). Ranking ties (equal Hamming distance) break on
     // neighbor id, so the cut is engine-independent. The packed scan is
