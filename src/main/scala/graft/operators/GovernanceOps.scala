@@ -54,6 +54,46 @@ object GovernanceOps {
         .orderBy("lang")
     },
 
+    // QC-EXP: declarative expectation suite — the Great-Expectations-style
+    // contract run as ONE operator: six rules (not-null, range, composite
+    // uniqueness, accepted values, positivity, referential integrity)
+    // evaluated from a single conditional-aggregate pass plus one semi
+    // join, each emitting (n_checked, n_ok, measured, passed). Pass/fail
+    // is decided on EXACT integers (n_ok == n_checked), never on the
+    // rounded display ratio — a 1e-7 shortfall must fail. Rule 3 is
+    // expected to FAIL on this data ((l_orderkey, l_linenumber) is not
+    // unique — the s22 lesson): a validation operator that can't show a
+    // failing row is untested by construction.
+    "qc_expectation_suite" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val base = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_shipdate").isNotNull, 1L).otherwise(0L)).as("ok_notnull"),
+        sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("ok_range"),
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))).as("n_distinct"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("ok_accept"),
+        sum(when(col("l_extendedprice") > 0, 1L).otherwise(0L)).as("ok_pos"))
+      val refOk = li.select(col("l_partkey"))
+        .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey")),
+          Seq("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("ok_ref"))
+      def rule(id: Long, name: String, okCol: org.apache.spark.sql.Column) =
+        base.crossJoin(broadcast(refOk)).select(
+          lit(id).as("rule_id"), lit(name).as("expectation"),
+          col("n").as("n_checked"), okCol.as("n_ok"),
+          stableRound(okCol.cast("double") / col("n"), 6).as("measured"),
+          (okCol === col("n")).as("passed"))
+      Seq(
+        rule(1L, "not_null:l_shipdate", col("ok_notnull")),
+        rule(2L, "range:l_quantity[1,50]", col("ok_range")),
+        rule(3L, "unique:(l_orderkey,l_linenumber)", col("n_distinct")),
+        rule(4L, "accepted_values:l_returnflag{A,N,R}", col("ok_accept")),
+        rule(5L, "positive:l_extendedprice", col("ok_pos")),
+        rule(6L, "referential:l_partkey->part", col("ok_ref")))
+        .reduce(_ unionAll _)
+        .orderBy("rule_id")
+    },
+
     // S19: encoding plan. One pass computes n_rows + per-column NDV
     // (Catalyst expands the multi-distinct agg — one exchange, not six
     // scans); the dictionary-vs-plain decision and the code width in bits
@@ -428,6 +468,38 @@ object GovernanceOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "qc_expectation_suite" ->
+      """WITH base AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_notnull,
+                  CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS ok_range,
+                  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct,
+                  CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS ok_accept,
+                  CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok_pos
+           FROM lineitem),
+         ref AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS ok_ref
+           FROM lineitem l WHERE EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+         rules AS (
+           SELECT CAST(1 AS BIGINT) AS rule_id, 'not_null:l_shipdate' AS expectation,
+                  n AS n_checked, ok_notnull AS n_ok FROM base
+           UNION ALL
+           SELECT 2, 'range:l_quantity[1,50]', n, ok_range FROM base
+           UNION ALL
+           SELECT 3, 'unique:(l_orderkey,l_linenumber)', n, n_distinct FROM base
+           UNION ALL
+           SELECT 4, 'accepted_values:l_returnflag{A,N,R}', n, ok_accept FROM base
+           UNION ALL
+           SELECT 5, 'positive:l_extendedprice', n, ok_pos FROM base
+           UNION ALL
+           SELECT 6, 'referential:l_partkey->part', b.n, r.ok_ref
+           FROM base b CROSS JOIN ref r)
+         SELECT rule_id, expectation, n_checked, n_ok,
+                ROUND(1e-9 + CAST(n_ok AS DOUBLE) / n_checked, 6) + 0.0 AS measured,
+                n_ok = n_checked AS passed
+         FROM rules ORDER BY rule_id""",
+
     "qc_kanonymity" ->
       s"""WITH g AS (
             SELECT lang, source,

@@ -25,6 +25,49 @@ object SessionScaleOps {
     // session goes NEXT. One LAG over the per-user total order
     // (ts, event_id), one pair-keyed hash-agg; the prev-marginal attaches
     // as a broadcast of the |alphabet|-sized frame.
+    // F29: stationary distribution of f27's publisher-state chain — where
+    // the session process spends its time at equilibrium, vs the empirical
+    // event share (a gap flags non-stationarity). Power iteration in
+    // g1_pagerank's EXACT integer form: π·1e12 starts uniform, each round
+    // routes floor(π_i · n_ij / n_from_i) mass along the transition
+    // counts — floor division matches DuckDB's `//` bit-for-bit, so the
+    // 8th iterate is hash-gateable. Rounds are distributed joins over the
+    // (tiny) pair table with localCheckpoint pinning each iterate
+    // (pagerank's lesson: lazy 8-deep plans re-AQE-plan every stage).
+    "f29_markov_stationary" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = graft.Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val withFrom = pairs
+        .join(pairs.groupBy("prev_type").agg(sum(col("n")).as("n_from")), "prev_type")
+        .localCheckpoint()
+      val SCALE = 1000000000000L
+      val states = withFrom.select(col("prev_type").as("state")).distinct()
+      val nStates = states.count()
+      var pi = states.withColumn("r", lit(SCALE / nStates)).localCheckpoint()
+      for (_ <- 1 to 8) {
+        pi = withFrom
+          .join(pi.withColumnRenamed("state", "prev_type"), "prev_type")
+          .groupBy(col("next_type").as("state"))
+          .agg(sum(expr("r * n DIV n_from")).as("r"))
+          .localCheckpoint()
+      }
+      val emp = graft.Tables.events(s, d)
+        .groupBy(col("event_type").as("state")).agg(count(lit(1)).as("n_events"))
+      val tot = emp.agg(sum(col("n_events")).as("n_total"))
+      pi.join(broadcast(emp), "state").crossJoin(broadcast(tot))
+        .select(col("state"), col("r").as("stationary_scaled"), col("n_events"),
+          graft.functions.Exact.stableRound(
+            col("r").cast("double") / SCALE, 6).as("stationary_share"),
+          graft.functions.Exact.stableRound(
+            col("n_events").cast("double") / col("n_total"), 6).as("empirical_share"))
+        .orderBy("state")
+    },
+
     "f27_markov_transitions" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -285,7 +328,49 @@ object SessionScaleOps {
         .orderBy("o_orderpriority")
     })
 
+  /** f29's unrolled power-iteration rounds (g1's iterCtes convention). */
+  private val f29Rounds: String = (1 to 8).map { k =>
+    s"""r$k AS (
+          SELECT wf.next_type AS state,
+                 CAST(SUM((r.r * wf.n) // wf.n_from) AS BIGINT) AS r
+          FROM wf JOIN r${k - 1} r ON r.state = wf.prev_type
+          GROUP BY 1)"""
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "f29_markov_stationary" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events),
+          p AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM e),
+          pairs AS (
+            SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          marg AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+                   FROM pairs GROUP BY 1),
+          wf AS (
+            SELECT pr.prev_type, pr.next_type, pr.n, m.n_from
+            FROM pairs pr JOIN marg m ON pr.prev_type = m.prev_type),
+          states AS (SELECT DISTINCT prev_type AS state FROM wf),
+          con AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM states),
+          r0 AS (SELECT state, (SELECT r0 FROM con) AS r FROM states),
+          $f29Rounds,
+          emp AS (SELECT event_type AS state, CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM emp)
+          SELECT r8.state, CAST(r8.r AS BIGINT) AS stationary_scaled,
+                 emp.n_events,
+                 ROUND(1e-9 + CAST(r8.r AS DOUBLE) / 1000000000000, 6) + 0.0
+                   AS stationary_share,
+                 ROUND(1e-9 + CAST(emp.n_events AS DOUBLE) / t.n_total, 6) + 0.0
+                   AS empirical_share
+          FROM r8 JOIN emp ON emp.state = r8.state CROSS JOIN tot t
+          ORDER BY r8.state""",
+
     "f27_markov_transitions" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -105,6 +105,46 @@ class LayoutPlanOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("f29: distributed power iteration equals the sequential integer replay") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._4, e._2)).map(_._3)
+      sorted.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nFrom = pairs.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val states = nFrom.keys.toSeq.sorted
+    val SCALE = 1000000000000L
+    var pi = states.map(_ -> SCALE / states.size).toMap
+    for (_ <- 1 to 8) {
+      pi = pairs.toSeq.groupBy(_._1._2).map { case (next, es) =>
+        next -> es.map { case ((prev, _), n) => pi(prev) * n / nFrom(prev) }.sum
+      }
+    }
+    val got = SparkEntry.queries("f29_markov_stationary")(spark, sfDir).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == pi(r.getString(0)),
+        s"${r.getString(0)}: ${r.getLong(1)} != replay ${pi(r.getString(0))}")
+    }
+    // Floors only lose mass; 8 rounds of <= |pairs| floors bound the loss.
+    val total = got.map(_.getLong(1)).sum
+    assert(total <= SCALE && total >= SCALE - 8L * pairs.size * states.size - SCALE % states.size)
+  }
+
+  test("qc_expectation_suite: integer pass rule, designed failure surfaces") {
+    val out = SparkEntry.queries("qc_expectation_suite")(spark, sfDir).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "n_ok <= n_checked")
+      assert(r.getBoolean(5) == (r.getLong(3) == r.getLong(2)),
+        s"rule ${r.getLong(0)}: pass decided on exact integers")
+    }
+    val byId = out.map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(!byId(3L), "(l_orderkey, l_linenumber) is known non-unique — rule 3 must fail")
+    assert(Seq(1L, 2L, 4L, 5L, 6L).forall(byId), "contract rules hold on this data")
+  }
+
   test("mm5: census equals the sequential aHash replay") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
