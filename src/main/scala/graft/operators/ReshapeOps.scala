@@ -86,6 +86,50 @@ object ReshapeOps {
     // but the gate's output ordering. At 100 TB this is exactly the
     // shuffle a MERGE INTO's matched-clause resolution pays, with
     // row_number (not max+self-join) keeping it single-pass.
+    // U13: MERGE apply — the lakehouse write primitive (Delta/Iceberg
+    // MERGE INTO) as one full-outer join: a deterministic changelog
+    // (inserts on fresh keys, updates, deletes) applies against the
+    // snapshot, matched-update / matched-delete / not-matched-insert
+    // resolved per row with coalesce logic. Money moves in exact integer
+    // cents, so the before/after balance audit is an equality, not a
+    // tolerance; the key checksum pins WHICH rows survived. One shuffle
+    // on the merge key — the same plan a storage-layer MERGE lowers to.
+    "u13_merge_apply" -> { (s, d) =>
+      val target = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val changes = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("op",
+          when(col("o_orderkey") % 7 === 0, "U")
+            .when(col("o_orderkey") % 11 === 0, "D")
+            .when(col("o_orderkey") % 13 === 0, "I"))
+        .filter(col("op").isNotNull)
+        .select(
+          when(col("op") === "I", col("o_orderkey") + 2000000000L)
+            .otherwise(col("o_orderkey")).as("k"),
+          when(col("op") === "U", col("cents") + 100L)
+            .otherwise(col("cents")).as("new_cents"),
+          col("op"))
+      val merged = target.join(changes, Seq("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("k"), coalesce(col("new_cents"), col("cents")).as("cents"))
+      val tStats = target.agg(count(lit(1)).as("n_target"),
+        sum(col("cents")).as("cents_before"))
+      val cStats = changes.groupBy().agg(
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"))
+      merged.agg(count(lit(1)).as("n_result"),
+          sum(col("cents")).as("cents_after"),
+          sum(col("k")).as("key_checksum"))
+        .crossJoin(broadcast(tStats))
+        .crossJoin(broadcast(cStats))
+        .select("n_target", "n_updates", "n_deletes", "n_inserts",
+          "n_result", "cents_before", "cents_after", "key_checksum")
+    },
+
     "u8_changelog_compact" -> { (s, d) =>
       val byUserDesc = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -194,6 +238,41 @@ object ReshapeOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "u13_merge_apply" ->
+      """WITH target AS (
+           SELECT o_orderkey AS k,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         ch0 AS (
+           SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                       WHEN o_orderkey % 11 = 0 THEN 'D'
+                       WHEN o_orderkey % 13 = 0 THEN 'I' END AS op
+           FROM orders),
+         changes AS (
+           SELECT CASE WHEN op = 'I' THEN o_orderkey + 2000000000 ELSE o_orderkey END AS k,
+                  CASE WHEN op = 'U' THEN cents + 100 ELSE cents END AS new_cents,
+                  op
+           FROM ch0 WHERE op IS NOT NULL),
+         merged AS (
+           SELECT COALESCE(t.k, c.k) AS k,
+                  COALESCE(c.new_cents, t.cents) AS cents
+           FROM target t FULL OUTER JOIN changes c ON t.k = c.k
+           WHERE COALESCE(c.op, '') <> 'D'),
+         ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_target,
+                       CAST(SUM(cents) AS BIGINT) AS cents_before FROM target),
+         cs AS (SELECT CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+                       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+                       CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts
+                FROM changes),
+         ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_result,
+                       CAST(SUM(cents) AS BIGINT) AS cents_after,
+                       CAST(SUM(k) AS BIGINT) AS key_checksum FROM merged)
+         SELECT ts.n_target, cs.n_updates, cs.n_deletes, cs.n_inserts,
+                ms.n_result, ts.cents_before, ms.cents_after, ms.key_checksum
+         FROM ts CROSS JOIN cs CROSS JOIN ms""",
+
     "u4_unpivot" ->
       """WITH wide AS (
            SELECT o_orderpriority,

@@ -145,6 +145,24 @@ class LayoutPlanOpsSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 4L, 5L, 6L).forall(byId), "contract rules hold on this data")
   }
 
+  test("u13: MERGE bookkeeping identities hold") {
+    val r = SparkEntry.queries("u13_merge_apply")(spark, sfDir).collect().head
+    val (nt, nu, nd, ni, nr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nr == nt + ni - nd, "result rows = target + inserts - deletes")
+    // Balance: each update adds exactly 100 cents; deletes remove their
+    // row's cents; inserts add theirs. Verify via the raw table.
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey AS k", "CAST(ROUND(o_totalprice * 100) AS LONG) AS cents")
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    val delCents = orders.filter { case (k, _) => k % 7 != 0 && k % 11 == 0 }.map(_._2).sum
+    val insCents = orders.filter { case (k, _) => k % 7 != 0 && k % 11 != 0 && k % 13 == 0 }
+      .map(_._2).sum
+    assert(r.getLong(6) == r.getLong(5) + nu * 100 - delCents + insCents,
+      "cents_after = cents_before + 100/update - deleted + inserted")
+    assert(nu == orders.count(_._1 % 7 == 0).toLong)
+  }
+
   test("mm5: census equals the sequential aHash replay") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
