@@ -660,6 +660,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("f28: touch pairing is a per-user equi join, never a cartesian") {
+    val p = plan("f28_attribution")
+    assert(!p.contains("CartesianProduct"),
+      s"the 24h window must ride the user_id equi join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("u13: the MERGE applies as one join on the merge key") {
+    val p = plan("u13_merge_apply")
+    assert(p.contains("FullOuter"), s"MERGE lowers to a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qc_expectation_suite: one conditional-agg pass + a semi join, no windows") {
+    val p = plan("qc_expectation_suite")
+    assert(p.contains("LeftSemi"), s"referential rule is a semi join:\n$p")
+    assert(!p.contains("Window"), s"no window in a validation pass:\n$p")
+  }
+
   test("emb5: rankings ride the native top-k over the checkpointed pair stage") {
     val p = plan("emb5_matryoshka_eval")
     // Each ranking is the heap-based TopKPerGroup (partial per partition +
