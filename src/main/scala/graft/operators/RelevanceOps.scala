@@ -489,6 +489,34 @@ object RelevanceOps {
           lit(32L).as("compression_x"))
     },
 
+    // G9: multi-source BFS distance layers — hop distance from the seed
+    // set (vec_id ≡ 0 mod 100) over the mutual-kNN graph, the reach
+    // primitive under "how far is every vector from a curated anchor"
+    // audits. Pregel form: each round min-combines a node's own distance
+    // with (neighbor distance + 1) via union-all + groupBy-MIN (MIN
+    // ignores the NULLs of never-reached nodes), 4 rounds bounded, each
+    // pinned by localCheckpoint (dd7/g1's iteration contract). Output is
+    // the layer census with unreached nodes surfaced as level -1 —
+    // dropping them would overstate connectivity. Exact integers only.
+    "g9_bfs_layers" -> { (s, d) =>
+      val mutual = mutualKnn(s, d)
+      var dist = Tables.embeddings(s, d).select(col("vec_id").as("v"),
+          when(col("vec_id") % 100 === 0, 0L).as("dist"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        dist = dist.select(col("v"), col("dist"))
+          .unionAll(mutual
+            .join(dist.withColumnRenamed("v", "src"), "src")
+            .filter(col("dist").isNotNull)
+            .select(col("dst").as("v"), (col("dist") + 1).as("dist")))
+          .groupBy("v").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.groupBy(coalesce(col("dist"), lit(-1L)).as("level"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("id_checksum"))
+        .orderBy("level")
+    },
+
     // SIM11: MMR diversity selection — Maximal Marginal Relevance, the
     // standard diversity-aware pick for few-shot example selection /
     // dedup-aware retrieval: greedily take the candidate maximizing
@@ -586,7 +614,32 @@ object RelevanceOps {
                 ORDER BY mmr DESC, v LIMIT 1)"""
   }.mkString(",\n")
 
+  /** g9's unrolled BFS rounds (g1/f29's iterCtes convention): each round
+    * min-combines own distance with neighbor distance + 1. */
+  private val bfsRounds: String = (1 to 4).map { k =>
+    s"""d$k AS (
+          SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d${k - 1}
+            UNION ALL
+            SELECT m.dst AS v, dp.dist + 1 AS dist
+            FROM mutual m JOIN d${k - 1} dp ON dp.v = m.src
+            WHERE dp.dist IS NOT NULL)
+          GROUP BY v)"""
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "g9_bfs_layers" ->
+      s"""WITH $duckMutualKnn,
+          d0 AS (
+            SELECT vec_id AS v,
+                   CASE WHEN vec_id % 100 = 0 THEN CAST(0 AS BIGINT) END AS dist
+            FROM embeddings),
+          $bfsRounds
+          SELECT COALESCE(dist, -1) AS level,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(v) AS BIGINT) AS id_checksum
+          FROM d4 GROUP BY 1 ORDER BY 1""",
+
     "f28_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type,

@@ -236,6 +236,29 @@ class RelevanceOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.05 && r.getDouble(3) < 1.0)
   }
 
+  test("g9: BFS layers equal the sequential replay") {
+    val nbrs = mutualReplay.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = vecs.keys.map(v => v -> (if (v % 100 == 0) Some(0) else None)).toMap
+    for (_ <- 1 to 4) {
+      dist = dist.map { case (v, dv) =>
+        val viaNb = nbrs.getOrElse(v, Set.empty)
+          .flatMap(u => dist(u).map(_ + 1))
+        // Pregel as implemented pushes along src->dst; since mutual edges
+        // carry both orientations, pull-from-neighbors is equivalent.
+        val best = (dv.toSeq ++ viaNb).sorted.headOption
+        v -> best
+      }
+    }
+    val expect = dist.values.map(_.getOrElse(-1)).groupBy(identity)
+      .map { case (l, g) => l.toLong -> g.size.toLong }
+    val got = SparkEntry.queries("g9_bfs_layers")(spark, sfDir).collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    // The checksum pins membership, not just counts.
+    val byLevel = dist.toSeq.groupBy(_._2.getOrElse(-1))
+      .map { case (l, g) => l.toLong -> g.map(_._1).sum }
+    got.foreach(r => assert(r.getLong(2) == byLevel(r.getLong(0)), s"level ${r.getLong(0)}"))
+  }
+
   test("sim11: greedy MMR selection equals the sequential replay") {
     val qid = vecs.keys.min
     def dot(a: Long, b: Long): Long = {
