@@ -12,7 +12,10 @@ SELECT
     AVG(f.trip_duration_minutes)                                AS avg_duration,
     AVG(f.price_per_mile)                                       AS avg_price_per_mile,
     SUM(f.total_fare)                                           AS total_revenue,
-    ROUND(SUM(CASE WHEN f.service_type = 'hvfhv' THEN 1 ELSE 0 END) * 100.0
+    -- 100e0, not 100.0: Spark parses exact-decimal literals as DECIMAL and
+    -- would emit a DECIMAL share; the double literal keeps the ratio in
+    -- double arithmetic, matching the engine (Analytics.q09).
+    ROUND(SUM(CASE WHEN f.service_type = 'hvfhv' THEN 1 ELSE 0 END) * 100e0
           / COUNT(*), 2)                                        AS hvfhv_market_share_pct
 FROM fact_trips f
 JOIN dim_zones z ON f.pickup_zone_id = z.location_id

@@ -6,7 +6,10 @@ SELECT
     COUNT(*)                                                            AS total_records,
     SUM(CASE WHEN f.is_valid THEN 1 ELSE 0 END)                         AS valid_records,
     SUM(CASE WHEN NOT f.is_valid THEN 1 ELSE 0 END)                     AS invalid_records,
-    ROUND(SUM(CASE WHEN f.is_valid THEN 1 ELSE 0 END) * 100.0
+    -- 100e0, not 100.0: Spark parses exact-decimal literals as DECIMAL and
+    -- would emit a DECIMAL pct; the double literal keeps the ratio in
+    -- double arithmetic, matching the engine (Analytics.q10).
+    ROUND(SUM(CASE WHEN f.is_valid THEN 1 ELSE 0 END) * 100e0
           / COUNT(*), 2)                                                AS data_quality_pct,
     -- Specific quality issues
     SUM(CASE WHEN f.total_fare < 0 THEN 1 ELSE 0 END)                   AS negative_fares,

@@ -142,6 +142,46 @@ object TlcDemo {
       round4(result(s).analytics("08_shared_rides_analysis"))
         .orderBy(col("trip_count").desc, col("shared_status"))
     },
+    // File-driven SQL gates (reference cli.py:279–297 `run-analytics
+    // <file.sql>`) for the seven queries whose pipeline twins run on this
+    // fixture: the .sql file executes via SqlRunner over temp views of the
+    // same warehouse, applies the twin's canonical ordering, and shares
+    // its full DuckDB hash oracle — one replay checks both paths.
+    "tlc_sql_q02" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/02_hourly_demand_patterns.sql"))
+        .orderBy("hour")
+    },
+    "tlc_sql_q04" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/04_hvfhv_platform_economics.sql"))
+        .orderBy(col("total_trips").desc, col("company_name"))
+    },
+    "tlc_sql_q05" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/05_pricing_comparison.sql"))
+        .orderBy(col("trip_count").desc, col("service_type"))
+    },
+    "tlc_sql_q07" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/07_weekend_vs_weekday.sql"))
+        .orderBy(col("is_weekend"), col("trip_count").desc, col("service_type"))
+    },
+    "tlc_sql_q08" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/08_shared_rides_analysis.sql"))
+        .orderBy(col("trip_count").desc, col("shared_status"))
+    },
+    "tlc_sql_q09" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/09_borough_comparison.sql"))
+        .orderBy(col("total_trips").desc, col("borough"))
+    },
+    "tlc_sql_q10" -> { (s, _) =>
+      SqlRunner.registerViews(result(s).tables)
+      round4(SqlRunner.runFile(s, "sql/analytics/10_data_quality_summary.sql"))
+        .orderBy(col("total_records").desc, col("service_type"))
+    },
     // ingestion_log sink schema + build path (loader.py:264–333,
     // 01_raw_tables.sql:110–130) over fixed audit entries.
     "tlc_ingestion_log" -> { (s, _) =>
@@ -251,7 +291,7 @@ object TlcDemo {
                 (base >= 0 AND d > p AND miles >= 0 AND dpay >= 0)
          FROM h3)"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "tlc_pipeline_q01" ->
       s"""WITH $fixtureCtes
           SELECT z.zone AS pickup_zone, z.borough,
@@ -435,4 +475,10 @@ object TlcDemo {
          t(load_sequence_id, source_file, service_type, row_count,
            load_duration_seconds, status, error_message, file_sha256, loaded_at)
          ORDER BY load_sequence_id""")
+
+  /** The file-driven SQL gates are the same computation over the same
+    * fixture warehouse as their DataFrame twins — one oracle checks both. */
+  val oracles: Map[String, String] = oraclesBase ++
+    Seq("q02", "q04", "q05", "q07", "q08", "q09", "q10")
+      .map(n => s"tlc_sql_$n" -> oraclesBase(s"tlc_pipeline_$n")).toMap
 }

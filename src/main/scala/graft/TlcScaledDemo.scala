@@ -245,9 +245,41 @@ object TlcScaledDemo {
       SqlRunner.registerViews(tables(s))
       round4(SqlRunner.runFile(s, "sql/analytics/01_top_zones_by_revenue.sql"))
     },
+    // The scaled-fixture .sql gates share their tlc_pipeline_* twins'
+    // oracles, so each applies the twin's canonical ordering: the file's
+    // own ORDER BY stays faithful to the reference, the gate re-sorts for
+    // the hash compare only.
+    "tlc_sql_q03" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s, "sql/analytics/03_market_share_trends.sql"))
+        .orderBy("date")
+    },
+    "tlc_sql_q06" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s, "sql/analytics/06_airport_trips_analysis.sql"))
+        .orderBy(col("trip_count").desc, col("trip_type"), col("service_type"))
+    },
+    "tlc_sql_q11" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s,
+        "sql/analytics/11_uber_lyft_vs_taxi_pricing_by_zone_hour.sql"))
+        .orderBy("pickup_zone", "hour")
+    },
+    "tlc_sql_q12" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s, "sql/analytics/12_cbd_congestion_fee_impact.sql"))
+        .orderBy("service_type")
+    },
     "tlc_sql_q13" -> { (s, _) =>
       SqlRunner.registerViews(tables(s))
-      round4(SqlRunner.runFile(s, "sql/analytics/13_take_rate_variance.sql"))
+      round4(SqlRunner.runFile(s,
+        "sql/analytics/13_hvfhv_take_rate_variance_analysis.sql"))
+    },
+    "tlc_sql_q14" -> { (s, _) =>
+      SqlRunner.registerViews(tables(s))
+      round4(SqlRunner.runFile(s,
+        "sql/analytics/14_market_share_shift_vs_pricing.sql"))
+        .orderBy("zone", "service_type")
     })
 
   // ---- DuckDB oracle: generator + standardize replay -------------------
@@ -725,5 +757,14 @@ object TlcScaledDemo {
           LIMIT 20""",
     // File-driven q13 runs through PERCENTILE_CONT … WITHIN GROUP and must
     // land on the same answer as the DataFrame gate — same oracle.
-    "tlc_sql_q13" -> oraclesBase("tlc_pipeline_q13"))
+    "tlc_sql_q13" -> oraclesBase("tlc_pipeline_q13"),
+    // The remaining scaled-fixture file gates likewise reuse their
+    // DataFrame twins' oracles: the .sql file and the engine query are the
+    // same computation over the same warehouse, so one DuckDB replay
+    // checks both paths.
+    "tlc_sql_q03" -> oraclesBase("tlc_pipeline_q03"),
+    "tlc_sql_q06" -> oraclesBase("tlc_pipeline_q06"),
+    "tlc_sql_q11" -> oraclesBase("tlc_pipeline_q11"),
+    "tlc_sql_q12" -> oraclesBase("tlc_pipeline_q12"),
+    "tlc_sql_q14" -> oraclesBase("tlc_pipeline_q14"))
 }

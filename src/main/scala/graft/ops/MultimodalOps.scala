@@ -120,26 +120,36 @@ object MultimodalOps {
     // luma grid (mm1's decoder seam); the hash/probe plumbing is
     // identical.
     "mm5_phash_dedup" -> { (s, d) =>
-      // Block sums via explode + hash-agg, NOT nested higher-order
-      // lambdas: Spark's transform/aggregate HOFs evaluate interpreted
-      // (outside whole-stage codegen), and the nested 16×16 fold benched
-      // 40+ s at sf0.1; the exploded equivalent is two codegen'd
-      // hash-aggs + one doc-partitioned window and runs in ~0.3 s. Same
+      // Block sums via explode + ONE pivot-style hash-agg, NOT nested
+      // higher-order lambdas: Spark's transform/aggregate HOFs evaluate
+      // interpreted (outside whole-stage codegen), and the nested 16×16
+      // fold benched 40+ s at sf0.1. The exploded stream aggregates
+      // straight to one row per doc — 16 conditional block sums plus the
+      // grand total in a single codegen'd hash-agg (map-side partials, one
+      // exchange on doc_id) — and the 16 threshold bits assemble in a
+      // post-agg projection. The earlier two-agg shape paid a second
+      // doc-partitioned exchange + sort for a window total between the
+      // aggs; folding the total into the same agg removes it. Same
       // integers, same hash.
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       val codes = Tables.documents(s, d)
         .select(col("doc_id"), rpad(col("text"), 256, " ").as("pw"))
         .select(col("doc_id"), explode(expr("sequence(1, 256)")).as("i"), col("pw"))
         .select(col("doc_id"), ((col("i") - 1) / 16).cast("int").as("blk"),
           ascii(expr("substring(pw, i, 1)")).cast("long").as("code"))
+      val blockSums = (0 until 16).map(k =>
+        sum(when(col("blk") === k, col("code")).otherwise(0L)).as(s"b$k"))
       val base = codes
-        .groupBy("doc_id", "blk").agg(sum(col("code")).as("bsum"))
-        .withColumn("total", sum(col("bsum")).over(w))
         .groupBy("doc_id")
-        .agg(sum(when(col("bsum") * 16 > col("total"),
-          expr("shiftleft(1L, blk)")).otherwise(0L)).as("ahash"))
+        .agg(blockSums.head, (blockSums.tail :+ sum(col("code")).as("total")): _*)
+        .select(col("doc_id"),
+          (0 until 16).map(k =>
+            when(col(s"b$k") * 16 > col("total"), lit(1L << k)).otherwise(0L))
+            .reduce(_ + _).as("ahash"))
       val perHash = base.groupBy("ahash").agg(count(lit(1)).as("n"))
+      // n_docs = Σn over the histogram — the census derives entirely from
+      // perHash, so `base` is NOT recomputed for a separate global count.
       val exact = perHash.agg(
+        sum(col("n")).as("n_docs"),
         count(lit(1)).as("n_distinct_hashes"),
         sum(expr("n * (n - 1) DIV 2")).as("n_exact_pairs"),
         max(col("n")).as("max_cluster"))
@@ -151,8 +161,7 @@ object MultimodalOps {
         .join(base.select(col("doc_id").as("doc_b"), col("ahash").as("hv")), "hv")
         .filter(col("doc_a") < col("doc_b"))
         .agg(count(lit(1)).as("n_hamming1_pairs"))
-      val nd = base.agg(count(lit(1)).as("n_docs"))
-      nd.crossJoin(broadcast(exact)).crossJoin(broadcast(ham1))
+      exact.crossJoin(broadcast(ham1))
         .select("n_docs", "n_distinct_hashes", "max_cluster",
           "n_exact_pairs", "n_hamming1_pairs")
     },

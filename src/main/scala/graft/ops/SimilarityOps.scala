@@ -374,58 +374,64 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
   }
 
-  /** IVF-style ANN: k-means coarse quantizer (MLlib), search restricted to
-    * the query's cell. Rows-only at the gate (k-means is iterative and
-    * engine-specific — no SQL oracle); recall vs the exact baseline is
-    * asserted by SimilaritySpec. Probes the NPROBE (=2) nearest centroids'
-    * cells — the standard recall lever: each extra probed cell trades one
-    * more cell's worth of exact-cosine work for recall on queries that land
-    * near a Voronoi boundary.
+  /** IVF-style ANN: coarse quantizer cells + nprobe search restricted to
+    * the probed cells — the filter-verify shape of FAISS's IVF indexes.
     *
-    * The quantizer fits on a deterministic 1-in-4 SAMPLE of the corpus
-    * (vec_id % 4 — reproducible across runs/engines): coarse centroids are
-    * a density summary, and fitting them on the full corpus is the one step
-    * of IVF that cannot scale to 100 TB (every k-means iteration is a full
-    * corpus pass). Assignment still covers every vector. Standard IVF
-    * practice (FAISS trains quantizers on a bounded sample for the same
-    * reason). */
-  /** The fitted coarse quantizer, one per (session, dataset): an IVF index
-    * is TRAINED ONCE offline and then serves every query against it (the
-    * standard ANN-index lifecycle) — re-fitting k-means per lookup would
-    * benchmark index construction, not search. */
-  private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
-
+    * The coarse quantizer is DETERMINISTICALLY SEEDED (the emb2_pq_assign
+    * recipe): cell anchors are the K_CELLS lowest-vec_id vectors, and every
+    * coordinate goes through emb1's FLOOR(v·1e6+0.5) integer scaling FIRST,
+    * so squared L2 distances are exact int64 and the argmin (ties → min
+    * cell id) cannot flip cross-engine — which upgrades this gate from
+    * rows-only to a full DuckDB hash oracle. A k-means-trained codebook
+    * would slot into the same plan (swap the anchor frame for trained
+    * centroids); the seeded choice trades a few recall points for an
+    * oracle-checkable index, and SimilaritySpec still asserts recall
+    * against the exact baseline.
+    *
+    * Shape at scale: the codebook is ONE broadcast row, so assignment is a
+    * pure projection over the corpus (no shuffle, no iteration — argmin of
+    * 16 integer dots per row via nested higher-order functions); the only
+    * at-scale work is the cell-key join of probes against the assigned
+    * corpus, then exact cosine on the surviving candidates. Probing the
+    * NPROBE (=2) nearest cells is the standard recall lever for queries
+    * that land near a Voronoi boundary. */
   private val NPROBE = 2
+  private val K_CELLS = 16
+
+  /** Exact int64 squared L2 between the row's scaled vector and an anchor's,
+    * accumulated in index order. */
+  private def cellDist(anchor: String) =
+    s"aggregate(zip_with(ivec, $anchor, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, e) -> acc + e)"
 
   def ivfQuery: Q = { (s, d) =>
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val all = vecs(s, d).withColumn("features", array_to_vector(col("v"))).cache()
-    val model = quantizerCache.computeIfAbsent((s, d), { _ =>
-      new KMeans().setK(16).setSeed(42).setMaxIter(5)
-        .setFeaturesCol("features").fit(all.filter(col("vec_id") % 4 === 0))
-    })
-    val assigned = model.transform(all)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val all = vecs(s, d)
+    val iv = all.withColumn("ivec",
+      expr("transform(v, x -> CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT))"))
+    // the codebook as ONE broadcast row: [(cell, anchor_ivec), ...]
+    val codebook = iv.orderBy("vec_id").limit(K_CELLS)
+      .select(col("vec_id").as("cell"), col("ivec").as("avec"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("avec"))))
+        .as("abook"))
+    val withBook = iv.crossJoin(broadcast(codebook))
+    // assignment = argmin over the 16 anchors, computed per-row: struct
+    // array_min orders by (dist, cell) so exact-integer ties break to the
+    // smallest cell id, same as the oracle's ROW_NUMBER (ORDER BY dist, cell).
+    val assigned = withBook
+      .withColumn("cell", expr(
+        s"""array_min(transform(abook, a ->
+              named_struct('dist', ${cellDist("a.avec")}, 'cell', a.cell))).cell"""))
+      .select(col("vec_id"), col("cell"))
     // nprobe>1: each query searches its NPROBE nearest cells, not just its
-    // own — the standard IVF recall lever (a query near a cell boundary has
-    // true neighbors on the other side). The probe list is (queries ×
-    // centroids) ranked by L2 — 10 × 16 rows, broadcast-sized — so the only
-    // at-scale work is still the cell-key join against the corpus.
-    val centroids = s.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cell", "cv")
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("cell"))
-    val probes = all.filter(col("vec_id") < NQUERY)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, e) -> a + e)"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= NPROBE)
-      .select("query_id", "cell")
+    // own. Same per-row argsort over the broadcast codebook — the probe
+    // list never touches the corpus.
+    val probes = withBook.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(
+          s"""slice(array_sort(transform(abook, a ->
+                named_struct('dist', ${cellDist("a.avec")}, 'cell', a.cell))),
+              1, $NPROBE)""")).as("pc"))
+      .select(col("query_id"), col("pc.cell").as("cell"))
     // dedupe candidate PAIRS before the cosine work — a neighbor sitting in
     // two probed cells must be scored (and ranked) once.
     val cand = assigned
@@ -516,6 +522,55 @@ object SimilarityOps {
           FROM sim WHERE raw_sim >= 0.35 ORDER BY vec_a, vec_b""",
 
     "sim2_lsh_ann" -> sim2Sql,
+
+    // SIM3: the seeded coarse quantizer replayed exactly — integer-scaled
+    // coordinates, K_CELLS lowest-vec_id anchors, exact int64 argmin
+    // assignment (ties → min cell), NPROBE nearest cells per query, exact
+    // cosine on the surviving candidates.
+    "sim3_ivf_ann" ->
+      s"""WITH $duckVecs,
+          iu AS (SELECT vec_id, i,
+                        CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT) AS ix
+                 FROM u),
+          aid AS (SELECT vec_id AS cell FROM embeddings
+                  ORDER BY vec_id LIMIT $K_CELLS),
+          adist AS (SELECT v.vec_id, av.vec_id AS cell,
+                           SUM((v.ix - av.ix) * (v.ix - av.ix)) AS dist
+                    FROM iu v
+                    JOIN iu av ON av.i = v.i
+                      AND av.vec_id IN (SELECT cell FROM aid)
+                    GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM
+                         (SELECT vec_id, cell,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+                          FROM adist)
+                       WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cell FROM
+                       (SELECT vec_id, cell,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) AS rn
+                        FROM adist WHERE vec_id < $NQUERY)
+                     WHERE rn <= $NPROBE),
+          cand AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+                   FROM probes p JOIN assigned s ON s.cell = p.cell
+                   WHERE s.vec_id <> p.query_id),
+          dot AS (SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+                  FROM cand c
+                  JOIN u a ON a.vec_id = c.query_id
+                  JOIN u b ON b.vec_id = c.neighbor_id AND b.i = a.i
+                  GROUP BY 1, 2),
+          sim AS (SELECT query_id, neighbor_id,
+                         dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = query_id
+                  JOIN n nb ON nb.vec_id = neighbor_id),
+          ranked AS (SELECT query_id, neighbor_id, raw_sim,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY raw_sim DESC, neighbor_id) AS rk
+                     FROM sim)
+          SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
+          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
 
     // SIM7: both modality rankings recomputed from scratch (sim1's dot
     // ranking + sim2's bucket machinery reduced to collision votes),

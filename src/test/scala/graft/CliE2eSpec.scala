@@ -3,7 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.tlc.{Cli, Fixtures}
+import org.apache.spark.sql.functions._
+import graft.tlc.{Cli, Downloader, Fixtures, RawLoader, Schemas}
 
 /** End-to-end Cli drive over real files: write the scaled fixture's raw
   * service frames to disk, run the full load → quality → fact → aggregate →
@@ -50,5 +51,133 @@ class CliE2eSpec extends AnyFunSuite {
     val analytics = Files.list(Paths.get(out, "analytics")).toArray.map(_.toString)
     assert(analytics.length == 14, s"expected 14 analytics outputs: ${analytics.toSeq}")
     assert(spark.read.parquet(s"$out/analytics/01_top_zones_by_revenue").count() > 0)
+  }
+
+  /** The reference's full operational story in one spec: download-skip →
+    * drift-tolerant load → quality → standardize → aggregate → query 01 on
+    * disk, over a monthly file layout with DRIFT INJECTED per service —
+    * exactly the three drift classes of schema_drift.py:75–168 (new column
+    * reported+ignored; removed column null-filled; INTEGER↔DOUBLE-family
+    * type change cast through; anything else → manual intervention). */
+  test("cli e2e over monthly drops with injected schema drift") {
+    val dir = Files.createTempDirectory("graft_cli_drift").toString
+    val (y, g, h, z) = TlcScaledDemo.rawFixture(spark)
+
+    // -- download step: fake transport, one month pre-existing → skipped --
+    val dlDir = Paths.get(dir, "raw")
+    Files.createDirectories(dlDir)
+    val preExisting = dlDir.resolve(Downloader.fileName("yellow", 2024, 11))
+    Files.write(preExisting, "already-here".getBytes)
+    val fake = new Downloader.Fetcher {
+      def fetch(url: String): Downloader.Fetched =
+        Downloader.Body(s"payload:$url".getBytes)
+    }
+    val results = Downloader.downloadRange(fake, dlDir.toString,
+      2024, 11, 2025, 1, skipIfExists = true)
+    // 3 services × 3 months + zones = 10 jobs; the pre-existing month is
+    // skipped (idempotent re-run), everything else fetched.
+    assert(results.size == 10)
+    assert(results.count(_.status == "skipped") == 1)
+    assert(results.find(_.status == "skipped").get.destPath == preExisting.toString)
+    assert(results.count(_.status == "success") == 9)
+
+    // -- monthly parquet layout with injected drift ----------------------
+    // yellow: NEW column (batch_tag) — reported, not loaded.
+    // green: REMOVED column (improvement_surcharge) — null-filled.
+    // hvfhv: tolerated TYPE CHANGES (trip_time BIGINT→INT, bcf DOUBLE→FLOAT)
+    //        — cast back to the expected types at read.
+    // One FILE per month inside the service dir (the TLC monthly-drop
+    // layout): each month writes to a staging dir, its single part file
+    // moves up as mYYYY-MM.parquet.
+    def monthly(df0: org.apache.spark.sql.DataFrame, tsCol: String,
+                sub: String): String = {
+      // real TLC drops carry no lineage column — the loader appends its own
+      val df = df0.drop("source_file")
+      val base = s"$dir/$sub"
+      Files.createDirectories(Paths.get(base))
+      Seq("2024-12" -> 12, "2025-01" -> 1).foreach { case (tag, m) =>
+        val stage = s"$dir/_stage_${sub}_$tag"
+        df.filter(month(col(tsCol)) === m)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        Files.move(Paths.get(part), Paths.get(base, s"m$tag.parquet"))
+      }
+      base
+    }
+    val yPath = monthly(y.withColumn("batch_tag", lit("b7")),
+      "tpep_pickup_datetime", "yellow")
+    val gPath = monthly(g.drop("improvement_surcharge"),
+      "lpep_pickup_datetime", "green")
+    val hPath = monthly(h
+      .withColumn("trip_time", col("trip_time").cast("int"))
+      .withColumn("bcf", col("bcf").cast("float")),
+      "pickup_datetime", "hvfhv")
+
+    // -- drift reports match schema_drift.py:75–109 semantics ------------
+    // The fixture frames carry a SUBSET of the full TLC schemas (they skip
+    // incidental columns like VendorID), so each report is compared against
+    // the un-drifted baseline: only the injected drift may differ.
+    def baseline(expected: org.apache.spark.sql.types.StructType,
+                 df: org.apache.spark.sql.DataFrame) =
+      RawLoader.detectDrift(expected, df.drop("source_file").schema)
+    val yDrift = RawLoader.detectDrift(Schemas.rawYellow,
+      spark.read.parquet(yPath).schema)
+    assert(yDrift.newColumns == Seq("batch_tag"), "injected new column reported")
+    assert(yDrift.missingColumns == baseline(Schemas.rawYellow, y).missingColumns)
+    assert(yDrift.typeChanges.isEmpty)
+    val gDrift = RawLoader.detectDrift(Schemas.rawGreen,
+      spark.read.parquet(gPath).schema)
+    val gBase = baseline(Schemas.rawGreen, g)
+    assert(!gBase.missingColumns.contains("improvement_surcharge"))
+    assert(gDrift.missingColumns.toSet ==
+      gBase.missingColumns.toSet + "improvement_surcharge",
+      "injected removed column reported")
+    assert(gDrift.newColumns.isEmpty && gDrift.typeChanges.isEmpty)
+    val hDrift = RawLoader.detectDrift(Schemas.rawHvfhv,
+      spark.read.parquet(hPath).schema)
+    assert(hDrift.typeChanges.toSet == Set(
+      ("trip_time", "LongType", "IntegerType"),
+      ("bcf", "DoubleType", "FloatType")))
+    assert(hDrift.incompatible.isEmpty, "numeric↔numeric is tolerated")
+    // An out-of-family change (timestamp → string) is the reference's
+    // manual-intervention case: load refuses.
+    val broken = s"$dir/broken"
+    y.withColumn("tpep_pickup_datetime",
+      col("tpep_pickup_datetime").cast("string"))
+      .limit(10).write.mode("overwrite").parquet(broken)
+    val err = intercept[IllegalArgumentException] {
+      RawLoader.load(spark, broken, Schemas.rawYellow, "broken.parquet")
+    }
+    assert(err.getMessage.contains("Manual intervention"))
+
+    // -- full pipeline over the drifted monthly layout -------------------
+    z.coalesce(1).write.mode("overwrite").option("header", true)
+      .csv(s"$dir/zones_csv")
+    val zonesCsv = Files.list(Paths.get(s"$dir/zones_csv")).toArray
+      .map(_.toString).filter(_.endsWith(".csv")).head
+    val out = s"$dir/warehouse"
+    Cli.runPipeline(spark, Map(
+      "yellow" -> yPath, "green" -> gPath, "hvfhv" -> hPath,
+      "zones" -> zonesCsv, "out" -> out))
+
+    val fact = spark.read.parquet(s"$out/fact_trips")
+    assert(fact.count() == 22320, "drift did not drop any trips")
+    // green's surcharges depend on the null-filled column → all null
+    // ("removed columns are OK — we just won't load them").
+    assert(fact.filter(col("service_type") === "green")
+      .filter(col("surcharges").isNotNull).count() == 0)
+    // yellow's surcharges unaffected by its extra column.
+    assert(fact.filter(col("service_type") === "yellow")
+      .filter(col("surcharges").isNull).count() == 0)
+    // hvfhv's cast-through columns kept their exact values (the fixture's
+    // trip_time is whole seconds; bcf has 2 decimals — float-exact ranges).
+    val hv = fact.filter(col("service_type") === "hvfhv")
+    assert(hv.filter(col("trip_duration_minutes").isNull).count() == 0)
+    assert(hv.agg(sum(col("surcharges"))).head().getDouble(0) > 0)
+    // query 01 materialized on disk with rows.
+    assert(spark.read.parquet(s"$out/analytics/01_top_zones_by_revenue").count() > 0)
+    val log = spark.read.parquet(s"$out/ingestion_log")
+    assert(log.filter("status = 'completed'").count() == 3)
   }
 }

@@ -54,10 +54,10 @@ class SparkEntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o diff q}")
     val rowsOnly = q diff o
-    // a13: HLL/approx-percentile sketches are engine-specific by nature;
-    // sim3: k-means centroids are float-iteration artifacts. Everything
-    // else — including the stateful streaming path — is hash-checked.
-    assert(rowsOnly == Set("a13_approx_sketches", "sim3_ivf_ann"),
+    // a13: HLL/approx-percentile sketches are engine-specific by nature.
+    // Everything else — including the stateful streaming path and the
+    // seeded-quantizer IVF ANN — is hash-checked.
+    assert(rowsOnly == Set("a13_approx_sketches"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

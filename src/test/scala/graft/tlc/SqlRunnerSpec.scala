@@ -40,22 +40,34 @@ class SqlRunnerSpec extends AnyFunSuite {
       case other => String.valueOf(other)
     }).sortBy(_.mkString("|"))
 
-  test("file-driven q01 matches the DataFrame implementation") {
-    val t = graft.TlcScaledDemo.tables(spark)
-    SqlRunner.registerViews(t)
-    val sqlResult = SqlRunner.runFile(spark, "sql/analytics/01_top_zones_by_revenue.sql")
-    val dfResult = Analytics.q01TopZonesByRevenue(t)
-    assert(sqlResult.columns.toSeq == dfResult.columns.toSeq)
-    assert(collectSorted(sqlResult) == collectSorted(dfResult))
-  }
+  // Every shipped analytics .sql file must agree with its DataFrame twin
+  // over the scaled fixture warehouse: same columns, same rows (doubles
+  // compared at 4 decimals — the files' tie-stable ROUNDs are coarser).
+  private val sqlFiles = Seq(
+    "01_top_zones_by_revenue.sql" -> "01_top_zones_by_revenue",
+    "02_hourly_demand_patterns.sql" -> "02_hourly_demand_patterns",
+    "03_market_share_trends.sql" -> "03_market_share_trends",
+    "04_hvfhv_platform_economics.sql" -> "04_hvfhv_platform_economics",
+    "05_pricing_comparison.sql" -> "05_pricing_comparison",
+    "06_airport_trips_analysis.sql" -> "06_airport_trips_analysis",
+    "07_weekend_vs_weekday.sql" -> "07_weekend_vs_weekday",
+    "08_shared_rides_analysis.sql" -> "08_shared_rides_analysis",
+    "09_borough_comparison.sql" -> "09_borough_comparison",
+    "10_data_quality_summary.sql" -> "10_data_quality_summary",
+    "11_uber_lyft_vs_taxi_pricing_by_zone_hour.sql" -> "11_uber_lyft_vs_taxi_pricing",
+    "12_cbd_congestion_fee_impact.sql" -> "12_cbd_congestion_fee_impact",
+    "13_hvfhv_take_rate_variance_analysis.sql" -> "13_hvfhv_take_rate_variance",
+    "14_market_share_shift_vs_pricing.sql" -> "14_market_share_shift_vs_pricing")
 
-  test("file-driven q13 (PERCENTILE_CONT WITHIN GROUP) matches the DataFrame implementation") {
-    val t = graft.TlcScaledDemo.tables(spark)
-    SqlRunner.registerViews(t)
-    val sqlResult = SqlRunner.runFile(spark, "sql/analytics/13_take_rate_variance.sql")
-    val dfResult = Analytics.q13TakeRateVariance(t)
-    assert(sqlResult.columns.toSeq == dfResult.columns.toSeq)
-    assert(collectSorted(sqlResult) == collectSorted(dfResult))
+  sqlFiles.foreach { case (file, key) =>
+    test(s"file-driven $file matches the DataFrame implementation") {
+      val t = graft.TlcScaledDemo.tables(spark)
+      SqlRunner.registerViews(t)
+      val sqlResult = SqlRunner.runFile(spark, s"sql/analytics/$file")
+      val dfResult = Analytics.all(t)(key)
+      assert(sqlResult.columns.toSeq == dfResult.columns.toSeq)
+      assert(collectSorted(sqlResult) == collectSorted(dfResult))
+    }
   }
 
   test("registerWarehouse registers the Cli's parquet layout as views") {
