@@ -138,6 +138,23 @@ object StreamingOps {
     }
   }
 
+  /** Synchronous drain: start → processAllAvailable → stop, result read
+    * back from the memory sink.
+    *
+    * MEASURED FLOOR (round 10, idle box): a stateful drain of a 5-ROW
+    * source costs 0.56–0.74 s regardless of state partition count
+    * (1/2/4/8 probed) with the checkpoint already on tmpfs; a stateless
+    * passthrough drain costs ~0.3 s. The cost is Structured Streaming's
+    * per-query machinery — IncrementalExecution planning, state-store
+    * provider lifecycle, offset/commit WAL, query start/stop — not this
+    * suite's configuration. It cannot be amortized across gates: the
+    * SparkSession IS shared, but each gate is by definition its own
+    * StreamingQuery (distinct plan, distinct state), and a StreamingQuery
+    * cannot be re-targeted. So the st-suite's bench total ≈ 7 drains ×
+    * ~0.6 s floor + marginal data work; per-query times are floor-bound
+    * and say nothing about throughput at scale, where one long-lived
+    * query amortizes the start-up once and the per-batch state commit is
+    * the only recurring cost. */
   private def drainToTable(s: SparkSession, agg: DataFrame, prefix: String): DataFrame =
     withStatePartitions(s) {
       val name = s"${prefix}_${runId.incrementAndGet()}"
