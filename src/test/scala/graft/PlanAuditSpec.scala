@@ -651,6 +651,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"hamming-1 pairing must be the probe equi-join, never all-pairs:\n$p")
     assert(p.contains("HashAggregate"), p)
+    // Round 10: the per-doc total folds into the single pivot-style
+    // hash-agg — no doc-partitioned window may reappear between the
+    // block sums and the bit assembly.
+    assert(!p.contains("Window"),
+      s"ahash must assemble in a post-agg projection, not a window:\n$p")
+  }
+
+  test("sim3: seeded-quantizer IVF — assignment is a broadcast projection, " +
+    "cells join broadcast, no shuffle before the cell join") {
+    val p = plan("sim3_ivf_ann")
+    // the 1-row codebook and the probe list attach as broadcasts; the
+    // only distributed joins are the cell-key candidate join and the
+    // vector fetch — never a cartesian over the corpus.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"codebook must broadcast:\n$p")
+    // k-means is gone: no MLlib iteration artifacts (the plan is pure SQL
+    // operators), and the argmin runs inside a projection.
+    assert(!p.contains("SortMergeJoin"),
+      s"cell join must stay broadcast at this scale:\n$p")
   }
 
   test("emb4: moments broadcast back onto the coordinate stream") {
