@@ -22,6 +22,48 @@ object SamplingOps {
     s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
 
   val queries: Map[String, Q] = Map(
+    // SA16: epoch-deterministic GLOBAL SHUFFLE + token-budget shard plan
+    // — the writer side of a training pipeline. Each epoch orders the
+    // corpus by a seeded content hash (a fresh deterministic permutation
+    // per epoch number — no RNG state to checkpoint, any worker can
+    // recompute any doc's position), then packs docs into fixed
+    // token-budget shards IN THAT ORDER and emits the shard manifest
+    // (doc count, token fill, owned hash range) a shard writer hands to
+    // workers. The global running offset is tx14's TWO-LEVEL distributed
+    // prefix sum — bucket by the hash's top bits, cumsum the tiny
+    // per-bucket totals, window only WITHIN buckets — so no
+    // single-partition sort exists at any scale; the shuffle order IS the
+    // hash order, so "globally shuffled" costs one hash-key exchange.
+    // Docs are not split: a shard is the docs whose cumulative START
+    // falls in its budget window, so fills overhang by at most one doc —
+    // the standard whole-doc sharding convention.
+    "sa16_shard_shuffle" -> { (s, d) =>
+      val BUDGET = 4096L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat('graft-epoch-3|', " +
+            "CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+        .withColumn("pid", (col("h") / 1048576L).cast("long")) // 256 buckets
+      val offs = docs.groupBy("pid").agg(sum(col("tokens")).as("psum"))
+        .withColumn("offset", coalesce(sum(col("psum")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("pid", "offset")
+      val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(offs), Seq("pid"))
+        .withColumn("cum_end", sum(col("tokens")).over(wLocal) + col("offset"))
+        .withColumn("shard", ((col("cum_end") - col("tokens")) / BUDGET).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          min(col("h")).as("h_min"),
+          max(col("h")).as("h_max"))
+        .orderBy("shard")
+    },
+
     // SA9: per-DOMAIN document cap — web-scale curation's guard against a
     // single domain flooding the corpus (the per-domain caps every
     // Common-Crawl-derived dataset applies). Each source keeps at most K
@@ -243,6 +285,23 @@ object SamplingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // One flat window replays the two-level prefix sum exactly: the
+    // bucketed cumsum visits docs in the same (h, doc_id) total order.
+    "sa16_shard_shuffle" ->
+      """WITH docs AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                              ('0x' || substr(md5('graft-epoch-3|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+                       FROM documents),
+          cum AS (SELECT doc_id, tokens, h,
+                         SUM(tokens) OVER (ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_end
+                  FROM docs)
+          SELECT CAST((cum_end - tokens) // 4096 AS BIGINT) AS shard,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(tokens) AS BIGINT) AS tokens,
+                 MIN(h) AS h_min, MAX(h) AS h_max
+          FROM cum GROUP BY 1 ORDER BY 1""",
+
     "sa9_domain_cap" ->
       """WITH h AS (SELECT doc_id, source,
                            ('0x' || substr(md5('graft-domain-cap' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h

@@ -44,6 +44,37 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // TX23: model-based quality scoring via the HASHING TRICK — the
+    // linear-classifier quality filter every web-corpus pipeline runs
+    // (CCNet / fastText-style: hash tokens into a fixed feature space,
+    // score = squashed dot with a weight vector). The weight vector is
+    // DERIVED, not stored: bucket b = 28-bit md5 prefix mod 1024 (the
+    // MinHash base-hash recipe), weight w_b = lcg(b) scaled to integer
+    // units in [-1000, 1000] (sim2's hyperplane convention) — so the
+    // "model" is a formula both engines replay verbatim, standing in for
+    // a broadcast weight table. A trained model slots in as a 1024-row
+    // broadcast join with zero plan change. Integer weight sums are
+    // exact (order-independent); the margin squashes through the
+    // rational sigmoid z/(1+|z|) — no libm exp, bit-identical IEEE both
+    // engines. Shape at scale: pure projection + ONE hash-agg per doc —
+    // no join, no second shuffle; the filter is a single corpus pass.
+    "tx23_hashed_classifier" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT) % 1024"))
+        .withColumn("w", (lit(1103515245L) * col("b") + 12345L) % 2147483648L % 2001L - 1000L)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
+        .withColumn("margin",
+          col("wsum").cast("double") / (col("n_tokens") * lit(1000.0)))
+        .select(col("doc_id"), col("n_tokens"),
+          graft.functions.Exact.stableRound(
+            col("margin") / (lit(1.0) + abs(col("margin"))), 6).as("quality"),
+          (col("margin") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // TX22: readability scoring (Flesch reading ease) — the classic text
     // quality prior a curation pipeline thresholds on. The synthetic
     // corpus carries no sentence punctuation, so the sentence unit is the
@@ -513,6 +544,27 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // The derived weight formula replayed verbatim; the rational sigmoid
+    // is +,/,ABS only so the rounded score is bit-identical.
+    "tx23_hashed_classifier" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                       FROM documents),
+          feats AS (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS b
+                    FROM toks),
+          w AS (SELECT doc_id,
+                       (1103515245 * b + 12345) % 2147483648 % 2001 - 1000 AS w
+                FROM feats),
+          agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS wsum
+                  FROM w GROUP BY 1),
+          m AS (SELECT doc_id, n_tokens,
+                       CAST(wsum AS DOUBLE) / (n_tokens * 1000.0) AS margin
+                FROM agg)
+          SELECT doc_id, n_tokens,
+                 ROUND(1e-9 + margin / (1.0 + ABS(margin)), 6) AS quality,
+                 margin > 0 AS keep
+          FROM m ORDER BY doc_id""",
+
     "tx22_readability" ->
       """WITH pd AS (
            SELECT lang,

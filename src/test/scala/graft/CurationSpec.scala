@@ -335,4 +335,57 @@ class CurationSpec extends AnyFunSuite {
       assert(removed <= total, s"doc $id removes more than it has")
     }
   }
+
+  test("tx23: hashed-classifier scores match a sequential replay") {
+    import java.math.BigInteger
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1).map { tok =>
+        val b = new BigInteger(md5hex(tok).take(7), 16).longValueExact() % 1024L
+        (1103515245L * b + 12345L) % 2147483648L % 2001L - 1000L
+      }
+      val margin = ws.sum.toDouble / (ws.length * 1000.0)
+      id -> ((ws.length.toLong, margin / (1.0 + math.abs(margin)), margin > 0))
+    }.toMap
+    val got = ops.TextOps.queries("tx23_hashed_classifier")(spark, sfDir)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, q, keep)) =>
+      val (en, eq, ekeep) = expected(id)
+      assert(n == en && keep == ekeep, s"doc $id")
+      assert(math.abs(q - eq) < 2e-6, s"doc $id: $q vs $eq")
+    }
+  }
+
+  test("sa16: shard plan conserves tokens, respects the budget, and partitions hash space") {
+    val shards = operators.SamplingOps.queries("sa16_shard_shuffle")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(sum(size(split(text, ' '))) AS BIGINT)")).head().getLong(0)
+    assert(shards.map(_._3).sum == totalTokens, "every token lands in exactly one shard")
+    // contiguous shard ids; each shard STARTS inside its budget window, so
+    // every shard except the last holds ≥ its budget minus one doc overhang
+    // — equivalently, the next shard exists only once this one's cumulative
+    // fill crossed the 4096 boundary.
+    assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong))
+    val fills = shards.map(_._3)
+    fills.init.zipWithIndex.foreach { case (f, i) =>
+      val cumThrough = fills.take(i + 1).sum
+      assert(cumThrough >= (i + 1) * 4096L,
+        s"shard $i closed before its budget filled")
+    }
+    // hash ranges partition the shuffle order: strictly increasing,
+    // non-overlapping
+    shards.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._4, s"shards ${a._1}/${b._1} overlap in hash space")
+      case _ =>
+    }
+  }
 }
