@@ -204,6 +204,65 @@ object StatOps {
     // Shape at scale: tiny codebook broadcast onto the exploded
     // coordinate stream, two mergeable hash-aggs, one min_by per
     // (vector, subspace) — linear in corpus size, never pairwise.
+    // EMB7: DISTRIBUTED K-MEANS TRAINING, hash-gated — two fixed Lloyd
+    // rounds over the embedding corpus in exact integer arithmetic, so
+    // the trained codebook (and its per-cell error profile) is
+    // bit-identical cross-engine and the gate carries a full DuckDB
+    // oracle. This is the "a trained codebook slots in identically"
+    // claim of sim3/emb2 made concrete: seed = 16 lowest-vec_id vectors;
+    // assignment = argmin of exact int64 squared L2 (ties → min cell,
+    // the emb2 convention); re-centering rounds each mean coordinate
+    // back onto the integer grid with (2·Σx + n) div (2n) — round-half-
+    // up in pure integer ops. Coordinates are SHIFTED non-negative
+    // (+4e6) first so truncating integer division IS floor division in
+    // both engines (they disagree on negative operands); L2 distances
+    // are shift-invariant. Fixed iteration count because convergence
+    // looping is a driver-side scalar check (dd7's discipline) — two
+    // rounds already demonstrates the train loop's full plan.
+    // Shape at scale per round: codebook = ONE broadcast row, assignment
+    // is a pure projection (argmin over 16 via nested HOFs, no shuffle),
+    // re-centering is one (cell, dim)-keyed hash-agg + a K×64-row
+    // rollup — the whole train step is one corpus pass, no iteration
+    // state on the driver beyond the broadcast codebook lineage.
+    "emb7_kmeans_train" -> { (s, d) =>
+      val K = 16
+      val iv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("""transform(embedding, x ->
+                  CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) + 4000000)""")
+          .as("ivec"))
+      val seed = iv.orderBy("vec_id").limit(K)
+        .select(col("vec_id").as("cell"), col("ivec").as("cvec"))
+      def assign(centroids: DataFrame): DataFrame = {
+        val book = centroids
+          .agg(sort_array(collect_list(struct(col("cell"), col("cvec"))))
+            .as("abook"))
+        iv.crossJoin(broadcast(book))
+          .withColumn("a", expr(
+            """array_min(transform(abook, a -> named_struct(
+                 'dist', aggregate(zip_with(ivec, a.cvec, (x, y) -> (x - y) * (x - y)),
+                                   CAST(0 AS BIGINT), (acc, e) -> acc + e),
+                 'cell', a.cell)))"""))
+          .select(col("vec_id"), col("ivec"),
+            col("a.cell").as("cell"), col("a.dist").as("dist"))
+      }
+      def recenter(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cell"), posexplode(col("ivec")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .withColumn("c", expr("(2 * sx + n) div (2 * n)"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
+          .select(col("cell"), expr("transform(ps, p -> p.c)").as("cvec"))
+      assign(recenter(assign(seed)))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("dist")).as("total_err"),
+          min(col("vec_id")).as("min_member"))
+        .orderBy("cell")
+    },
+
     "emb2_pq_assign" -> { (s, d) =>
       val iv = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -330,6 +389,44 @@ object StatOps {
                 MIN(vd) AS min_v, MAX(vd) AS max_v,
                 ROUND(1e-9 + SQRT(CAST(SUM(sq9) AS DOUBLE) / COUNT(*) / 1e9), 6) AS rms_v
          FROM t GROUP BY dim ORDER BY dim""",
+
+    // Two Lloyd rounds replayed: same seed, same integer round-half-up
+    // re-centering, same (dist, cell) tie order.
+    "emb7_kmeans_train" ->
+      """WITH u AS (
+           SELECT vec_id, i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    + 4000000 AS x
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+         aid AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
+         c0 AS (SELECT a.cell, u.dim, u.x AS c
+                FROM aid a JOIN u ON u.vec_id = a.cell),
+         d1 AS (SELECT u.vec_id, c.cell,
+                       SUM((u.x - c.c) * (u.x - c.c)) AS dist
+                FROM u JOIN c0 c ON c.dim = u.dim GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cell FROM
+                  (SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cell) AS rn
+                   FROM d1)
+                WHERE rn = 1),
+         c1 AS (SELECT a1.cell, u.dim,
+                       CAST((2 * SUM(u.x) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS c
+                FROM a1 JOIN u ON u.vec_id = a1.vec_id GROUP BY 1, 2),
+         d2 AS (SELECT u.vec_id, c.cell,
+                       SUM((u.x - c.c) * (u.x - c.c)) AS dist
+                FROM u JOIN c1 c ON c.dim = u.dim GROUP BY 1, 2),
+         a2 AS (SELECT vec_id, cell, dist FROM
+                  (SELECT vec_id, cell, dist,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cell) AS rn
+                   FROM d2)
+                WHERE rn = 1)
+         SELECT cell,
+                COUNT(*) AS n_vecs,
+                CAST(SUM(dist) AS BIGINT) AS total_err,
+                MIN(vec_id) AS min_member
+         FROM a2 GROUP BY 1 ORDER BY 1""",
 
     "emb2_pq_assign" ->
       """WITH iv AS (

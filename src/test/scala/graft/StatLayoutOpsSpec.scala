@@ -525,4 +525,49 @@ class StatLayoutOpsSpec extends AnyFunSuite {
       assert(census(key) == ((r.getLong(2), r.getLong(3))), s"cell $key")
     }
   }
+
+  test("emb7: distributed Lloyd rounds match a sequential replay and the " +
+    "assignment step is monotone") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) + 4000000L) AS ivec")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val seed = vecs.take(16).map { case (id, v) => id -> v }.toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assignAll(cs: Map[Long, Array[Long]]) =
+      vecs.map { case (id, v) =>
+        val (cell, d) = cs.toSeq.map { case (c, cv) => (c, dist(v, cv)) }
+          .minBy { case (c, d) => (d, c) }
+        (id, cell, d)
+      }
+    val a1 = assignAll(seed)
+    val c1 = a1.groupBy(_._2).map { case (cell, members) =>
+      val mv = members.map(m => vecs.find(_._1 == m._1).get._2)
+      val n = mv.length.toLong
+      cell -> mv.head.indices.map { d =>
+        val sx = mv.map(_(d)).sum
+        (2 * sx + n) / (2 * n)
+      }.toArray
+    }
+    val a2 = assignAll(c1)
+    // the gate's per-cell census equals the replay's round-2 census
+    val expected = a2.groupBy(_._2).map { case (cell, ms) =>
+      cell -> ((ms.length.toLong, ms.map(_._3).sum, ms.map(_._1).min))
+    }
+    val got = SparkEntry.queries("emb7_kmeans_train")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // Lloyd's assignment-step guarantee: re-assigning against the trained
+    // centroids never increases total error relative to keeping the
+    // round-1 assignment under those same centroids.
+    val errKept = a1.map { case (id, cell, _) =>
+      dist(vecs.find(_._1 == id).get._2, c1(cell))
+    }.sum
+    assert(a2.map(_._3).sum <= errKept, "assignment step must be monotone")
+  }
 }
