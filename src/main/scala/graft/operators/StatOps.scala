@@ -34,6 +34,78 @@ import graft.functions.Exact._
   * column-level statistical audit family.
   */
 object StatOps {
+
+  /** Embeddings on the exact integer grid, SHIFTED non-negative (+4e6) so
+    * truncating integer division is floor division in both engines — the
+    * emb7 k-means convention (L2 distances are shift-invariant). */
+  private[graft] def intGrid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      expr("""transform(embedding, x ->
+                CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) + 4000000)""")
+        .as("ivec"))
+
+  /** Lloyd assignment: each vector to its nearest centroid by exact int64
+    * squared L2 (ties → min cell id). The codebook collapses to ONE
+    * broadcast row, so assignment is a pure projection over the corpus. */
+  private[graft] def lloydAssign(iv: DataFrame, centroids: DataFrame): DataFrame = {
+    val book = centroids
+      .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("abook"))
+    iv.crossJoin(broadcast(book))
+      .withColumn("a", expr(
+        """array_min(transform(abook, a -> named_struct(
+             'dist', aggregate(zip_with(ivec, a.cvec, (x, y) -> (x - y) * (x - y)),
+                               CAST(0 AS BIGINT), (acc, e) -> acc + e),
+             'cell', a.cell)))"""))
+      .select(col("vec_id"), col("ivec"),
+        col("a.cell").as("cell"), col("a.dist").as("dist"))
+  }
+
+  /** Lloyd re-centering on the integer grid: round-half-up means via
+    * (2·Σx + n) div (2n), pure integer ops (operands non-negative). */
+  private[graft] def lloydRecenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("ivec")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", expr("(2 * sx + n) div (2 * n)"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> p.c)").as("cvec"))
+
+  /** The emb7-trained codebook: one Lloyd round from the deterministic
+    * seed (16 lowest-vec_id vectors). Shared by the emb7 census gate and
+    * sim12's trained-quantizer IVF search. */
+  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val iv = intGrid(s, d)
+    val seed = iv.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cell"), col("ivec").as("cvec"))
+    lloydRecenter(lloydAssign(iv, seed))
+  }
+
+  /** The emb7 oracle's CTE chain through the trained codebook `c1`
+    * (cell, dim, c) — shared by the emb7 and sim12 oracles. Binds `iu`
+    * (vec_id, dim, x: shifted integer grid) and `aid`/`c0`/`d1`/`a1`. */
+  private[graft] val duckTrainedCentroids: String =
+    """iu AS (
+         SELECT vec_id, i - 1 AS dim,
+                CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  + 4000000 AS x
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+       aid AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
+       c0 AS (SELECT a.cell, iu.dim, iu.x AS c
+              FROM aid a JOIN iu ON iu.vec_id = a.cell),
+       d1 AS (SELECT iu.vec_id, c.cell,
+                     SUM((iu.x - c.c) * (iu.x - c.c)) AS dist
+              FROM iu JOIN c0 c ON c.dim = iu.dim GROUP BY 1, 2),
+       a1 AS (SELECT vec_id, cell FROM
+                (SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cell) AS rn
+                 FROM d1)
+              WHERE rn = 1),
+       c1 AS (SELECT a1.cell, iu.dim,
+                     CAST((2 * SUM(iu.x) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS c
+              FROM a1 JOIN iu ON iu.vec_id = a1.vec_id GROUP BY 1, 2)"""
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -225,36 +297,7 @@ object StatOps {
     // rollup — the whole train step is one corpus pass, no iteration
     // state on the driver beyond the broadcast codebook lineage.
     "emb7_kmeans_train" -> { (s, d) =>
-      val K = 16
-      val iv = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("""transform(embedding, x ->
-                  CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) + 4000000)""")
-          .as("ivec"))
-      val seed = iv.orderBy("vec_id").limit(K)
-        .select(col("vec_id").as("cell"), col("ivec").as("cvec"))
-      def assign(centroids: DataFrame): DataFrame = {
-        val book = centroids
-          .agg(sort_array(collect_list(struct(col("cell"), col("cvec"))))
-            .as("abook"))
-        iv.crossJoin(broadcast(book))
-          .withColumn("a", expr(
-            """array_min(transform(abook, a -> named_struct(
-                 'dist', aggregate(zip_with(ivec, a.cvec, (x, y) -> (x - y) * (x - y)),
-                                   CAST(0 AS BIGINT), (acc, e) -> acc + e),
-                 'cell', a.cell)))"""))
-          .select(col("vec_id"), col("ivec"),
-            col("a.cell").as("cell"), col("a.dist").as("dist"))
-      }
-      def recenter(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cell"), posexplode(col("ivec")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim")
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-          .withColumn("c", expr("(2 * sx + n) div (2 * n)"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
-          .select(col("cell"), expr("transform(ps, p -> p.c)").as("cvec"))
-      assign(recenter(assign(seed)))
+      lloydAssign(intGrid(s, d), trainedCentroids(s, d))
         .groupBy("cell")
         .agg(
           count(lit(1)).as("n_vecs"),
@@ -391,31 +434,13 @@ object StatOps {
          FROM t GROUP BY dim ORDER BY dim""",
 
     // Two Lloyd rounds replayed: same seed, same integer round-half-up
-    // re-centering, same (dist, cell) tie order.
+    // re-centering, same (dist, cell) tie order. The chain through the
+    // trained codebook c1 is duckTrainedCentroids (shared with sim12).
     "emb7_kmeans_train" ->
-      """WITH u AS (
-           SELECT vec_id, i - 1 AS dim,
-                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-                    + 4000000 AS x
-           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
-         aid AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
-         c0 AS (SELECT a.cell, u.dim, u.x AS c
-                FROM aid a JOIN u ON u.vec_id = a.cell),
-         d1 AS (SELECT u.vec_id, c.cell,
-                       SUM((u.x - c.c) * (u.x - c.c)) AS dist
-                FROM u JOIN c0 c ON c.dim = u.dim GROUP BY 1, 2),
-         a1 AS (SELECT vec_id, cell FROM
-                  (SELECT vec_id, cell,
-                          ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY dist, cell) AS rn
-                   FROM d1)
-                WHERE rn = 1),
-         c1 AS (SELECT a1.cell, u.dim,
-                       CAST((2 * SUM(u.x) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS c
-                FROM a1 JOIN u ON u.vec_id = a1.vec_id GROUP BY 1, 2),
-         d2 AS (SELECT u.vec_id, c.cell,
-                       SUM((u.x - c.c) * (u.x - c.c)) AS dist
-                FROM u JOIN c1 c ON c.dim = u.dim GROUP BY 1, 2),
+      s"""WITH $duckTrainedCentroids,
+         d2 AS (SELECT iu.vec_id, c.cell,
+                       SUM((iu.x - c.c) * (iu.x - c.c)) AS dist
+                FROM iu JOIN c1 c ON c.dim = iu.dim GROUP BY 1, 2),
          a2 AS (SELECT vec_id, cell, dist FROM
                   (SELECT vec_id, cell, dist,
                           ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -127,6 +127,47 @@ object SimilarityOps {
 
     "sim3_ivf_ann" -> ivfQuery,
 
+    // SIM12: IVF search over the TRAINED coarse quantizer — the
+    // train → index → search chain closed end-to-end: emb7's one-round
+    // Lloyd codebook (StatOps.trainedCentroids, exact integer centroids)
+    // replaces sim3's raw seed anchors; the search half (argmin cell
+    // assignment as a broadcast projection, NPROBE nearest cells per
+    // query, exact cosine on the survivors) is identical. Hash-gated
+    // like sim3 — the trained centroids are bit-identical cross-engine,
+    // so "training improved the index" is itself an auditable claim
+    // (SimilaritySpec compares recall against sim3's).
+    "sim12_ivf_trained" -> { (s, d) =>
+      val all = vecs(s, d)
+      val iv = graft.operators.StatOps.intGrid(s, d)
+      val assigned = graft.operators.StatOps
+        .lloydAssign(iv, graft.operators.StatOps.trainedCentroids(s, d))
+        .select("vec_id", "cell")
+      val book = graft.operators.StatOps.trainedCentroids(s, d)
+        .agg(sort_array(collect_list(struct(col("cell"), col("cvec"))))
+          .as("abook"))
+      val probes = iv.filter(col("vec_id") < NQUERY)
+        .crossJoin(broadcast(book))
+        .select(col("vec_id").as("query_id"),
+          explode(expr(
+            s"""slice(array_sort(transform(abook, a -> named_struct(
+                  'dist', aggregate(zip_with(ivec, a.cvec, (x, y) -> (x - y) * (x - y)),
+                                    CAST(0 AS BIGINT), (acc, e) -> acc + e),
+                  'cell', a.cell))), 1, $NPROBE)""")).as("pc"))
+        .select(col("query_id"), col("pc.cell").as("cell"))
+      val cand = assigned
+        .select(col("vec_id").as("neighbor_id"), col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val qv = all.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = cand
+        .join(all.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+      topkPerQuery(scored)
+    },
+
     // SIM7: reciprocal-rank fusion of two retrieval modalities — the
     // standard way hybrid search merges rankings that don't share a score
     // scale (RRF, Cormack et al. SIGIR'09): here the exact cosine ranking
@@ -555,6 +596,47 @@ object SimilarityOps {
           cand AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
                    FROM probes p JOIN assigned s ON s.cell = p.cell
                    WHERE s.vec_id <> p.query_id),
+          dot AS (SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+                  FROM cand c
+                  JOIN u a ON a.vec_id = c.query_id
+                  JOIN u b ON b.vec_id = c.neighbor_id AND b.i = a.i
+                  GROUP BY 1, 2),
+          sim AS (SELECT query_id, neighbor_id,
+                         dp / (na.nrm * nb.nrm) AS raw_sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = query_id
+                  JOIN n nb ON nb.vec_id = neighbor_id),
+          ranked AS (SELECT query_id, neighbor_id, raw_sim,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY raw_sim DESC, neighbor_id) AS rk
+                     FROM sim)
+          SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
+          FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
+
+    // SIM12: the sim3 search replay with the trained codebook c1 (emb7's
+    // shared CTE chain) in place of the raw anchors.
+    "sim12_ivf_trained" ->
+      s"""WITH ${graft.operators.StatOps.duckTrainedCentroids},
+          $duckVecs,
+          adist AS (SELECT iu.vec_id, c.cell,
+                           SUM((iu.x - c.c) * (iu.x - c.c)) AS dist
+                    FROM iu JOIN c1 c ON c.dim = iu.dim
+                    GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM
+                         (SELECT vec_id, cell,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+                          FROM adist)
+                       WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cell FROM
+                       (SELECT vec_id, cell,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) AS rn
+                        FROM adist WHERE vec_id < $NQUERY)
+                     WHERE rn <= $NPROBE),
+          cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                   FROM probes p JOIN assigned a ON a.cell = p.cell
+                   WHERE a.vec_id <> p.query_id),
           dot AS (SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
                   FROM cand c
                   JOIN u a ON a.vec_id = c.query_id

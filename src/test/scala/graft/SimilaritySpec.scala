@@ -50,6 +50,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("trained-quantizer IVF (sim12) recalls at least as a usable index") {
+    val exact = pairs("sim1_cosine_topk")
+    val trained = pairs("sim12_ivf_trained")
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    val rSeed = (exact & pairs("sim3_ivf_ann")).size.toDouble / exact.size
+    assert(rTrained >= 0.2, s"trained-IVF recall $rTrained too low")
+    // training centers the cells on corpus density; on this corpus the
+    // trained codebook must not LOSE recall vs the raw seed anchors
+    // (equality allowed — one Lloyd round can leave assignments fixed).
+    assert(rTrained >= rSeed - 1e-9,
+      s"trained recall $rTrained below seeded recall $rSeed")
+  }
+
   test("sim5: distributed recall@k agrees with the set-intersection recall") {
     val exact = pairs("sim1_cosine_topk")
     val ann = pairs("sim2_lsh_ann")
