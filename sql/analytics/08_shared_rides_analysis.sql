@@ -12,7 +12,7 @@ SELECT
     -- 100e0, not 100.0: Spark parses exact-decimal literals as DECIMAL and
     -- would emit a DECIMAL percentage; the double literal keeps the whole
     -- ratio in double arithmetic, matching the engine (Analytics.q08).
-    ROUND(COUNT(*) * 100e0 / SUM(COUNT(*)) OVER (), 2)      AS percentage,
+    ROUND(COUNT(*) * 100e0 / SUM(COUNT(*)) OVER () + 1e-9, 2)      AS percentage,
     AVG(f.total_fare)                                       AS avg_fare,
     AVG(f.trip_distance_miles)                              AS avg_distance,
     AVG(f.price_per_mile)                                   AS avg_price_per_mile,

@@ -16,7 +16,7 @@ SELECT
     -- would emit a DECIMAL share; the double literal keeps the ratio in
     -- double arithmetic, matching the engine (Analytics.q09).
     ROUND(SUM(CASE WHEN f.service_type = 'hvfhv' THEN 1 ELSE 0 END) * 100e0
-          / COUNT(*), 2)                                        AS hvfhv_market_share_pct
+          / COUNT(*) + 1e-9, 2)                                        AS hvfhv_market_share_pct
 FROM fact_trips f
 JOIN dim_zones z ON f.pickup_zone_id = z.location_id
 WHERE f.is_valid = TRUE

@@ -10,7 +10,7 @@ SELECT
     -- would emit a DECIMAL pct; the double literal keeps the ratio in
     -- double arithmetic, matching the engine (Analytics.q10).
     ROUND(SUM(CASE WHEN f.is_valid THEN 1 ELSE 0 END) * 100e0
-          / COUNT(*), 2)                                                AS data_quality_pct,
+          / COUNT(*) + 1e-9, 2)                                                AS data_quality_pct,
     -- Specific quality issues
     SUM(CASE WHEN f.total_fare < 0 THEN 1 ELSE 0 END)                   AS negative_fares,
     SUM(CASE WHEN f.trip_distance_miles < 0 THEN 1 ELSE 0 END)          AS negative_distances,

@@ -314,7 +314,7 @@ object TlcDemo {
                  COUNT(*) AS total_records,
                  CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
                  CAST(SUM(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS BIGINT) AS invalid_records,
-                 ROUND(CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*), 2) AS data_quality_pct,
+                 ROUND(1e-9 + CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*), 2) AS data_quality_pct,
                  CAST(SUM(CASE WHEN total_fare < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_fares,
                  CAST(SUM(CASE WHEN trip_distance_miles < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_distances,
                  CAST(SUM(CASE WHEN trip_duration_minutes < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_durations,
@@ -378,7 +378,7 @@ object TlcDemo {
                  ROUND(AVG(trip_duration_minutes), 4) AS avg_duration,
                  ROUND(AVG(price_per_mile), 4) AS avg_price_per_mile,
                  ROUND(SUM(total_fare), 4) AS total_revenue,
-                 ROUND(CAST(SUM(CASE WHEN service_type = 'hvfhv' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+                 ROUND(1e-9 + CAST(SUM(CASE WHEN service_type = 'hvfhv' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
                        / COUNT(*), 2) AS hvfhv_market_share_pct
           FROM fact JOIN zones z ON pickup_zone_id = z.location_id
           WHERE is_valid AND z.borough <> 'Unknown'
@@ -444,7 +444,7 @@ object TlcDemo {
                    ROUND(AVG(driver_pay), 4) AS avg_driver_pay
             FROM tagged GROUP BY 1)
           SELECT shared_status, trip_count,
-                 ROUND(trip_count * 100.0 / SUM(trip_count) OVER (), 2) AS percentage,
+                 ROUND(1e-9 + trip_count * 100.0 / SUM(trip_count) OVER (), 2) AS percentage,
                  avg_fare, avg_distance, avg_price_per_mile,
                  avg_take_rate_pct, avg_driver_pay
           FROM grp

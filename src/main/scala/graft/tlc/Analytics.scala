@@ -197,7 +197,10 @@ object Analytics {
         (avg(col("take_rate")) * 100).as("avg_take_rate_pct"),
         avg(col("driver_pay")).as("avg_driver_pay"))
       .withColumn("percentage",
-        round(col("trip_count") * 100.0 / sum(col("trip_count")).over(Window.partitionBy()), 2))
+        // stableRound, not round: count ratios like 97*100/800 = 12.125
+        // land exactly on half-cent boundaries where Spark (HALF_UP) and
+        // DuckDB (half-even) split — same fix as q03/q11 (round-9 advice).
+        stableRound(col("trip_count") * 100.0 / sum(col("trip_count")).over(Window.partitionBy()), 2))
       .select("shared_status", "trip_count", "percentage", "avg_fare", "avg_distance",
         "avg_price_per_mile", "avg_take_rate_pct", "avg_driver_pay")
       .orderBy(col("trip_count").desc)
@@ -218,7 +221,7 @@ object Analytics {
         avg(col("trip_duration_minutes")).as("avg_duration"),
         avg(col("price_per_mile")).as("avg_price_per_mile"),
         sum(col("total_fare")).as("total_revenue"),
-        round(sum(when(col("service_type") === "hvfhv", 1).otherwise(0)) * 100.0 /
+        stableRound(sum(when(col("service_type") === "hvfhv", 1).otherwise(0)) * 100.0 /
           count(lit(1)), 2).as("hvfhv_market_share_pct"))
       .orderBy(col("total_trips").desc)
 
@@ -231,7 +234,7 @@ object Analytics {
         count(lit(1)).as("total_records"),
         sum(when(col("is_valid"), 1).otherwise(0)).as("valid_records"),
         sum(when(!col("is_valid"), 1).otherwise(0)).as("invalid_records"),
-        round(sum(when(col("is_valid"), 1).otherwise(0)) * 100.0 / count(lit(1)), 2)
+        stableRound(sum(when(col("is_valid"), 1).otherwise(0)) * 100.0 / count(lit(1)), 2)
           .as("data_quality_pct"),
         sum(when(col("total_fare") < 0, 1).otherwise(0)).as("negative_fares"),
         sum(when(col("trip_distance_miles") < 0, 1).otherwise(0)).as("negative_distances"),
