@@ -29,6 +29,49 @@ object GovernanceOps {
   private val k = 5 // k-anonymity threshold
 
   val queries: Map[String, Q] = Map(
+    // QC-DATACARD: the per-source datasheet a corpus release ships
+    // (Datasheets for Datasets, Gebru et al. 2018 — public): volume
+    // (docs/tokens/chars), language spread, the MODEL-BASED keep rate
+    // (tx23's hashed-linear classifier margin > 0, recomputed here from
+    // the same derived weights), and the exact-duplicate rate
+    // (1 − distinct md5(text) / docs). One gate composing three audit
+    // modalities so the release card is itself hash-checked. Shape at
+    // scale: the token pass is tx23's single explode + two mergeable
+    // hash-aggs; dup counting is one distinct-agg per source — linear,
+    // no joins except the per-source rollup merge.
+    "qc_datacard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val perDoc = docs
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT) % 1024"))
+        .withColumn("w",
+          (lit(1103515245L) * col("b") + 12345L) % 2147483648L % 2001L - 1000L)
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+      val tokenSide = perDoc.groupBy("source")
+        .agg(
+          sum(col("n_toks")).as("total_tokens"),
+          sum(when(col("wsum") > 0, 1L).otherwise(0L)).as("n_keep"))
+      val docSide = docs.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      docSide.join(tokenSide, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("n_langs"),
+          stableRound(col("n_keep").cast("double") / col("n_docs"), 6)
+            .as("keep_rate"),
+          stableRound(lit(1.0) -
+            col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+            .as("exact_dup_rate"))
+        .orderBy("source")
+    },
+
     // QC-K: k-anonymity audit. Quasi-identifier = (lang, source, length
     // bucket); any QI group with fewer than k members re-identifies its
     // documents, so the suppression rate (share of docs that would need
@@ -499,6 +542,33 @@ object GovernanceOps {
                 ROUND(1e-9 + CAST(n_ok AS DOUBLE) / n_checked, 6) + 0.0 AS measured,
                 n_ok = n_checked AS passed
          FROM rules ORDER BY rule_id""",
+
+    "qc_datacard" ->
+      """WITH toks AS (SELECT doc_id, source,
+                              UNNEST(string_split(text, ' ')) AS tok
+                       FROM documents),
+          w AS (SELECT doc_id, source,
+                       (1103515245 * (('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024)
+                        + 12345) % 2147483648 % 2001 - 1000 AS w
+                FROM toks),
+          per_doc AS (SELECT doc_id, source, COUNT(*) AS n_toks,
+                             SUM(w) AS wsum
+                      FROM w GROUP BY 1, 2),
+          tok_side AS (SELECT source,
+                              CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                              CAST(SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+                       FROM per_doc GROUP BY 1),
+          doc_side AS (SELECT source, COUNT(*) AS n_docs,
+                              CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                              COUNT(DISTINCT md5(text)) AS n_distinct_texts
+                       FROM documents GROUP BY 1)
+          SELECT d.source, d.n_docs, t.total_tokens, d.total_chars, d.n_langs,
+                 ROUND(1e-9 + CAST(t.n_keep AS DOUBLE) / d.n_docs, 6) AS keep_rate,
+                 ROUND(1e-9 + 1.0 - CAST(d.n_distinct_texts AS DOUBLE) / d.n_docs, 6)
+                   AS exact_dup_rate
+          FROM doc_side d JOIN tok_side t ON t.source = d.source
+          ORDER BY d.source""",
 
     "qc_kanonymity" ->
       s"""WITH g AS (

@@ -274,4 +274,28 @@ class GovernanceOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == expectPatterns, s"n_patterns at $h")
     }
   }
+
+  test("qc_datacard: per-source card conserves docs/tokens and agrees with tx23") {
+    val docs = Tables.documents(spark, sfDir)
+    val cards = SparkEntry.queries("qc_datacard")(spark, sfDir).collect()
+    assert(cards.map(_.getLong(1)).sum == docs.count(), "doc conservation")
+    val totalToks = docs.selectExpr(
+      "CAST(sum(size(split(text, ' '))) AS BIGINT)").head().getLong(0)
+    assert(cards.map(_.getLong(2)).sum == totalToks, "token conservation")
+    // the card's keep counts must equal tx23's per-doc keep flags rolled
+    // up by source (same derived weights, same margin)
+    val keepBySource = SparkEntry.queries("tx23_hashed_classifier")(spark, sfDir)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cards.foreach { r =>
+      val src = r.getString(0)
+      val nKeep = math.round(r.getDouble(5) * r.getLong(1)).toLong
+      assert(nKeep == keepBySource(src), s"keep rate at $src")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0, s"dup rate at $src")
+    }
+  }
 }
