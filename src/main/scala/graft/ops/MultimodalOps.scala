@@ -62,6 +62,49 @@ object MultimodalOps {
     // pure projection that never touches the payload tail, which is what
     // makes routing free at 100 TB: no decode, no full-blob read past the
     // header). The oracle replays the injection rule.
+    // MM6: MODALITY-BALANCED BATCH COMPOSITION — the multimodal training
+    // batcher: each batch interleaves modalities at a fixed 2:1:1 recipe
+    // (two text slots, one image, one audio — mm3's doc_id%3 synthetic
+    // modality convention), with a seeded-hash shuffle per modality so
+    // batch membership is a deterministic permutation (sa16's no-RNG-state
+    // epoch convention). Slot index = per-modality rank via the TWO-LEVEL
+    // distributed prefix count (bucket by hash prefix, cumsum the tiny
+    // per-bucket counts, row_number only WITHIN buckets) — a naive
+    // per-modality global window would funnel the corpus into 3
+    // partitions. Tail batches that miss a modality surface as
+    // is_complete = false (the drop-last-incomplete-batch audit).
+    "mm6_batch_compose" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("modality", (col("doc_id") % 3).cast("int"))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat('graft-batch|', " +
+            "CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+        .withColumn("pid", (col("h") / 1048576L).cast("long"))
+      val offs = docs.groupBy("modality", "pid")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          w.partitionBy("modality").orderBy("pid")
+            .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+        .select("modality", "pid", "off")
+      val wLocal = w.partitionBy("modality", "pid").orderBy("h", "doc_id")
+      docs.join(broadcast(offs), Seq("modality", "pid"))
+        .withColumn("rn", row_number().over(wLocal) - 1 + col("off"))
+        .withColumn("batch",
+          expr("CASE WHEN modality = 0 THEN rn div 2 ELSE rn END"))
+        .groupBy("batch")
+        .agg(
+          sum(when(col("modality") === 0, 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("modality") === 1, 1L).otherwise(0L)).as("n_image"),
+          sum(when(col("modality") === 2, 1L).otherwise(0L)).as("n_audio"),
+          sum(col("tokens")).as("total_tokens"))
+        .withColumn("is_complete",
+          col("n_text") === 2 && col("n_image") === 1 && col("n_audio") === 1)
+        .orderBy("batch")
+    },
+
     "mm3_modality_route" -> { (s, d) =>
       val blobs = Tables.documents(s, d).select(col("doc_id"), expr(
         """concat(CASE CAST(doc_id % 3 AS INT)
@@ -189,6 +232,32 @@ object MultimodalOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // One flat per-modality window replays the two-level prefix count:
+    // same (h, doc_id) total order, same 2:1:1 slotting.
+    "mm6_batch_compose" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                  CAST(doc_id % 3 AS INT) AS modality,
+                  ('0x' || substr(md5('graft-batch|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+           FROM documents),
+         rn AS (SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY modality
+                         ORDER BY h, doc_id) - 1 AS rn
+                FROM docs),
+         slotted AS (SELECT *,
+                            CASE WHEN modality = 0 THEN rn // 2 ELSE rn END AS batch
+                     FROM rn)
+         SELECT CAST(batch AS BIGINT) AS batch,
+                CAST(SUM(CASE WHEN modality = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                CAST(SUM(CASE WHEN modality = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+                CAST(SUM(CASE WHEN modality = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+                CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                (SUM(CASE WHEN modality = 0 THEN 1 ELSE 0 END) = 2 AND
+                 SUM(CASE WHEN modality = 1 THEN 1 ELSE 0 END) = 1 AND
+                 SUM(CASE WHEN modality = 2 THEN 1 ELSE 0 END) = 1) AS is_complete
+         FROM slotted GROUP BY 1 ORDER BY 1""",
+
     // ASCII text: octet_length == n_chars, first byte == first code point,
     // md5(blob) == md5(text).
     "mm1_binary_decode" ->

@@ -186,4 +186,25 @@ class LayoutPlanOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == exactPairs, "n_exact_pairs")
     assert(r.getLong(4) == ham1, "n_hamming1_pairs")
   }
+
+  test("mm6: batch composition conserves docs and fills the 2:1:1 recipe") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val batches = SparkEntry.queries("mm6_batch_compose")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))
+    assert(batches.map(b => b._2 + b._3 + b._4).sum == nDocs,
+      "every doc lands in exactly one batch")
+    // complete batches carry exactly the recipe; incomplete ones exist
+    // only at the per-modality tails
+    batches.filter(_._5).foreach { b =>
+      assert((b._2, b._3, b._4) == ((2L, 1L, 1L)), s"batch ${b._1}")
+    }
+    val nText = batches.map(_._2).sum
+    val nImg = batches.map(_._3).sum
+    val nAud = batches.map(_._4).sum
+    val fullBatches = math.min(math.min(nText / 2, nImg), nAud)
+    assert(batches.count(_._5) == fullBatches,
+      "complete-batch count = min over modality capacities")
+  }
 }
