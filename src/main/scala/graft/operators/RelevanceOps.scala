@@ -160,6 +160,76 @@ object RelevanceOps {
         .limit(20)
     },
 
+    // IR3: RETRIEVE → RERANK — the two-stage ranking pipeline every
+    // production retrieval stack runs: ir1's BM25 top-20 is the cheap
+    // recall stage; a second-stage scorer (here a deterministic fusion of
+    // term coverage, the rounded BM25 score, and a length prior — the
+    // replayable stand-in for a cross-encoder, which would slot in as a
+    // batched model-scoring map over the same 20-row frame) reorders the
+    // candidates, and the gate emits both ranks, the per-doc movement,
+    // and the concordant/discordant pair census (Kendall-tau numerator)
+    // quantifying how much stage 2 disagreed with stage 1. All ranking
+    // inputs are exact (integer coverage/ranks, 6-dp-rounded scores), so
+    // the full pipeline hash-gates. Shape at scale: stage 2 touches only
+    // the k-sized candidate frame per query — the expensive model pass
+    // is O(k), never corpus-sized; windows partition by query_id.
+    "ir3_rerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("dl", size(col("ts")).cast("long"))
+      val withTf = QUERY.foldLeft(docs) { (df, t) =>
+        df.withColumn(s"tf_$t",
+          expr(s"CAST(size(filter(ts, x -> x = '$t')) AS LONG)"))
+      }
+      val stats = withTf.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).as("sum_dl") +: QUERY.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+      val contribs = QUERY.map { t =>
+        val tf = col(s"tf_$t").cast("double")
+        val idf = (col("n_docs").cast("double") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }
+      val cand = withTf.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("bm25", stableRound(contribs.reduceLeft(_ + _), 6))
+        .filter(QUERY.map(t => col(s"tf_$t")).reduceLeft(_ + _) > 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("query_id", lit(0L))
+        .withColumn("coverage",
+          QUERY.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .reduceLeft(_ + _))
+        .withColumn("rr_score",
+          lit(2.0) * col("coverage") + lit(0.1) * col("bm25") +
+            lit(100.0) / (col("dl").cast("double") + lit(50.0)))
+      val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      val ranked = cand
+        .withColumn("bm25_rank",
+          row_number().over(wQ.orderBy(col("bm25").desc, col("doc_id"))))
+        .withColumn("rerank_rank",
+          row_number().over(wQ.orderBy(col("rr_score").desc, col("doc_id"))))
+      val a = ranked.select(col("query_id"), col("doc_id").as("id_a"),
+        col("bm25_rank").as("ba"), col("rerank_rank").as("ra"))
+      val b = ranked.select(col("query_id"), col("doc_id").as("id_b"),
+        col("bm25_rank").as("bb"), col("rerank_rank").as("rb"))
+      val tau = a.join(b, Seq("query_id")).filter(col("id_a") < col("id_b"))
+        .groupBy("query_id")
+        .agg(
+          sum(when((col("ba") - col("bb")) * (col("ra") - col("rb")) > 0, 1L)
+            .otherwise(0L)).as("n_concordant"),
+          sum(when((col("ba") - col("bb")) * (col("ra") - col("rb")) < 0, 1L)
+            .otherwise(0L)).as("n_discordant"))
+      ranked.join(broadcast(tau), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+          col("rerank_rank"),
+          (col("bm25_rank") - col("rerank_rank")).as("rank_delta"),
+          stableRound(col("rr_score"), 6).as("rerank_score"),
+          col("n_concordant"), col("n_discordant"))
+        .orderBy("rerank_rank")
+    },
+
     // IR2: pseudo-relevance-feedback query expansion (Rocchio's term-
     // selection half): take ir1's top-10 documents as the relevant set,
     // score every term they contain by feedback-tf × the same rational
@@ -762,6 +832,73 @@ object RelevanceOps {
                 ROUND(score + 1e-9, 6) AS bm25_score
          FROM scored
          ORDER BY bm25_score DESC, doc_id LIMIT 20""",
+
+    // ir1's scored CTE + the fused second stage, both ranks, pair census.
+    "ir3_rerank" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS ts,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, dl,
+                  CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+                  CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
+                  CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector
+           FROM docs),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                  SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                  SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                  SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+           FROM tf),
+         scored AS (
+           SELECT t.doc_id, t.dl, t.tf_hash, t.tf_join, t.tf_vector,
+                  ROUND(
+                  (CAST(s.n_docs AS DOUBLE) - s.df_hash + 0.5) / (CAST(s.df_hash AS DOUBLE) + 0.5)
+                    * (CAST(t.tf_hash AS DOUBLE) * 2.2)
+                    / (CAST(t.tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                + (CAST(s.n_docs AS DOUBLE) - s.df_join + 0.5) / (CAST(s.df_join AS DOUBLE) + 0.5)
+                    * (CAST(t.tf_join AS DOUBLE) * 2.2)
+                    / (CAST(t.tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                + (CAST(s.n_docs AS DOUBLE) - s.df_vector + 0.5) / (CAST(s.df_vector AS DOUBLE) + 0.5)
+                    * (CAST(t.tf_vector AS DOUBLE) * 2.2)
+                    / (CAST(t.tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                  + 1e-9, 6) AS bm25
+           FROM tf t CROSS JOIN stats s
+           WHERE t.tf_hash + t.tf_join + t.tf_vector > 0),
+         cand AS (
+           SELECT CAST(0 AS BIGINT) AS query_id, doc_id, dl,
+                  CAST((CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) +
+                       (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) +
+                       (CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS coverage,
+                  bm25
+           FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20),
+         rr AS (
+           SELECT query_id, doc_id, bm25,
+                  2.0 * coverage + 0.1 * bm25 + 100.0 / (CAST(dl AS DOUBLE) + 50.0) AS rr_score
+           FROM cand),
+         ranked AS (
+           SELECT query_id, doc_id, rr_score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS bm25_rank,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rr_score DESC, doc_id) AS rerank_rank
+           FROM rr),
+         tau AS (
+           SELECT a.query_id,
+                  CAST(SUM(CASE WHEN (a.bm25_rank - b.bm25_rank) * (a.rerank_rank - b.rerank_rank) > 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+                  CAST(SUM(CASE WHEN (a.bm25_rank - b.bm25_rank) * (a.rerank_rank - b.rerank_rank) < 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+           FROM ranked a JOIN ranked b
+             ON a.query_id = b.query_id AND a.doc_id < b.doc_id
+           GROUP BY 1)
+         SELECT r.query_id, r.doc_id,
+                CAST(r.bm25_rank AS BIGINT) AS bm25_rank,
+                CAST(r.rerank_rank AS BIGINT) AS rerank_rank,
+                CAST(r.bm25_rank - r.rerank_rank AS BIGINT) AS rank_delta,
+                ROUND(r.rr_score + 1e-9, 6) AS rerank_score,
+                t.n_concordant, t.n_discordant
+         FROM ranked r JOIN tau t ON t.query_id = r.query_id
+         ORDER BY r.rerank_rank""",
 
     "ir2_prf_expansion" ->
       """WITH docs AS (

@@ -350,4 +350,25 @@ class RelevanceOpsSpec extends AnyFunSuite {
         assert(r.getDouble(2) < 0, s"$et majority-down implies negative median")
     }
   }
+
+  test("ir3: rerank is a permutation of ir1's candidates with a consistent pair census") {
+    val ir1 = SparkEntry.queries("ir1_bm25_topk")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("ir3_rerank")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).toSet == ir1,
+      "stage 2 reorders exactly the stage-1 candidate set")
+    val n = rows.length
+    assert(rows.map(r => r.getInt(3)).sorted.toSeq == (1 to n),
+      "rerank ranks are a permutation of 1..k")
+    assert(rows.map(r => r.getInt(2)).sorted.toSeq == (1 to n),
+      "bm25 ranks are a permutation of 1..k")
+    assert(rows.map(r => r.getInt(4)).sum == 0, "rank deltas cancel")
+    // pair census recomputed from the emitted ranks
+    val rk = rows.map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    val pairs = for {
+      (ida, ba, ra) <- rk; (idb, bb, rb) <- rk if ida < idb
+    } yield (ba - bb) * (ra - rb)
+    assert(rows.head.getLong(6) == pairs.count(_ > 0).toLong, "concordant")
+    assert(rows.head.getLong(7) == pairs.count(_ < 0).toLong, "discordant")
+  }
 }
