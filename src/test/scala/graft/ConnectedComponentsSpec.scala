@@ -42,4 +42,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(result(5L) == (5L, 2L) && result(6L) == (5L, 2L))
     assert(result(7L) == (7L, 1L))
   }
+
+  private def ccStar(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    ops.DedupOps.ccTwoStar(pairs.toDF("doc_a", "doc_b"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("two-star contraction agrees with label propagation on every fixture graph") {
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+        (20L, 22L), (3L, 20L)),
+      (100L until 120L).map(i => (i, i + 1)),          // 20-hop path
+      Seq((5L, 6L), (5L, 6L), (6L, 5L), (7L, 7L)),
+      // two stars joined at the tips + a far singleton pair
+      (1L to 5L).map(i => (0L, i)) ++ (11L to 15L).map(i => (10L, i)) ++
+        Seq((5L, 15L), (40L, 41L)))
+    graphs.foreach { g =>
+      assert(ccStar(g) == cc(g), s"two-star diverged on $g")
+    }
+  }
+
+  test("two-star converges on a path far deeper than its round budget allows propagation") {
+    // 60-hop path: min-label propagation needs ~60 rounds (dd7 caps at
+    // 50 and is never given such graphs); two-star's alternation closes
+    // it within its 25-round cap — the O(log n) claim, exercised.
+    val path = (200L until 260L).map(i => (i, i + 1))
+    val result = ccStar(path)
+    assert(result.values.forall { case (cid, n) => cid == 200L && n == 61L })
+  }
 }
