@@ -64,6 +64,46 @@ object SamplingOps {
         .orderBy("shard")
     },
 
+    // SA17: CURRICULUM PHASE PLAN — the length-based curriculum schedule
+    // (easy → hard by token count, the classic warm-up ordering): the
+    // corpus sorts by (tokens, doc_id) and splits into three phases at
+    // 20% / 50% of the total token budget. Phase boundaries are EXACT
+    // integer comparisons on the cumulative start offset (cum·5 < T,
+    // cum·2 < T — no float fractions to disagree on), and the running
+    // offset is the two-level distributed prefix sum keyed by token-value
+    // range buckets (pid = tokens div 64 follows the sort key), so no
+    // single-partition sort exists. Output: the per-phase manifest a
+    // training scheduler consumes (docs, tokens, length range).
+    "sa17_curriculum_plan" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("pid", (col("tokens") / 64L).cast("long"))
+      val offs = docs.groupBy("pid").agg(sum(col("tokens")).as("psum"))
+        .withColumn("offset", coalesce(sum(col("psum")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("pid", "offset")
+      val total = docs.agg(sum(col("tokens")).as("t_total"))
+      val wLocal = Window.partitionBy("pid").orderBy("tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(offs), Seq("pid"))
+        .withColumn("cum_end", sum(col("tokens")).over(wLocal) + col("offset"))
+        .withColumn("cum_start", col("cum_end") - col("tokens"))
+        .crossJoin(broadcast(total))
+        .withColumn("phase",
+          when(col("cum_start") * 5 < col("t_total"), 1L)
+            .when(col("cum_start") * 2 < col("t_total"), 2L)
+            .otherwise(3L))
+        .groupBy("phase")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          min(col("tokens")).as("min_len"),
+          max(col("tokens")).as("max_len"))
+        .orderBy("phase")
+    },
+
     // SA9: per-DOMAIN document cap — web-scale curation's guard against a
     // single domain flooding the corpus (the per-domain caps every
     // Common-Crawl-derived dataset applies). Each source keeps at most K
@@ -285,6 +325,28 @@ object SamplingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // Flat-window replay of the value-bucketed prefix sum: same
+    // (tokens, doc_id) total order, same integer phase boundaries.
+    "sa17_curriculum_plan" ->
+      """WITH docs AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+                       FROM documents),
+          cum AS (SELECT doc_id, tokens,
+                         SUM(tokens) OVER (ORDER BY tokens, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_end,
+                         SUM(tokens) OVER () AS t_total
+                  FROM docs),
+          phased AS (SELECT tokens,
+                            CASE WHEN (cum_end - tokens) * 5 < t_total THEN 1
+                                 WHEN (cum_end - tokens) * 2 < t_total THEN 2
+                                 ELSE 3 END AS phase
+                     FROM cum)
+          SELECT CAST(phase AS BIGINT) AS phase,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(tokens) AS BIGINT) AS tokens,
+                 MIN(tokens) AS min_len, MAX(tokens) AS max_len
+          FROM phased GROUP BY 1 ORDER BY 1""",
+
     // One flat window replays the two-level prefix sum exactly: the
     // bucketed cumsum visits docs in the same (h, doc_id) total order.
     "sa16_shard_shuffle" ->

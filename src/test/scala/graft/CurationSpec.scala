@@ -388,4 +388,27 @@ class CurationSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("sa17: curriculum phases conserve the corpus and order by length") {
+    val phases = operators.SamplingOps.queries("sa17_curriculum_plan")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+    assert(phases.map(_._2).sum == docs.count(), "doc conservation")
+    val totalToks = docs.selectExpr(
+      "CAST(sum(size(split(text, ' '))) AS BIGINT)").head().getLong(0)
+    assert(phases.map(_._3).sum == totalToks, "token conservation")
+    // easy -> hard: each phase's length range sits at or below the next's
+    phases.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 <= b._4, s"phase ${a._1} max_len exceeds phase ${b._1} min_len")
+      case _ =>
+    }
+    // the 20/50% boundaries hold up to one straddling doc: phase 1 ends
+    // at or after 20% of tokens, phases 1+2 at or after 50%
+    assert(phases.length == 3)
+    assert(phases(0)._3 * 5 >= totalToks - 5 * phases(0)._5)
+    assert((phases(0)._3 + phases(1)._3) * 2 >= totalToks - 2 * phases(1)._5)
+  }
 }
