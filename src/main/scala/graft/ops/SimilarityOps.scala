@@ -168,6 +168,62 @@ object SimilarityOps {
       topkPerQuery(scored)
     },
 
+    // DD26: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 — public): dedup
+    // by MEANING, not surface form — the step after dd2/dd6 in a modern
+    // curation stack. Vectors assign to emb7's trained k-means cells;
+    // within each cell, pairs above the cosine threshold are semantic
+    // duplicates; duplicate groups close under connected components
+    // (dd7's machinery); each group keeps the member FARTHEST from its
+    // cell centroid (the paper's diversity-preserving rule — exact int64
+    // distance, ties → min id). The cluster-bounded pair space is
+    // SemDeDup's own scale story: pair work is Σ|cell|², bounded by
+    // sizing k with the corpus, never global all-pairs. Every stage is
+    // deterministic (integer centroids/distances, rounded-free threshold
+    // compare like dd6), so the full train → cluster → dedup chain
+    // hash-gates.
+    "dd26_semdedup" -> { (s, d) =>
+      val all = vecs(s, d)
+      // materialized once: the assignment subtree (full Lloyd pipeline)
+      // feeds four consumers below (both pair sides, the representative
+      // pick, the final manifest) — without truncation each re-runs the
+      // train+assign plan. The query's sf0.1 idle time (~5 s) is stage
+      // COUNT, not data: train + pair-verify + iterative CC chain ~15
+      // sequential jobs at the ~0.3 s floor each (cells are balanced at
+      // ~125 vectors, 862 sem pairs — probed round 10).
+      val assigned = graft.operators.StatOps.lloydAssign(
+          graft.operators.StatOps.intGrid(s, d),
+          graft.operators.StatOps.trainedCentroids(s, d))
+        .select(col("vec_id"), col("cell"), col("dist"))
+        .localCheckpoint()
+      val withV = assigned.join(all, Seq("vec_id"))
+      val pairs = withV
+        .select(col("cell"), col("vec_id").as("vec_a"), col("v").as("qv"))
+        .join(withV.select(col("cell"), col("vec_id").as("vec_b"), col("v")),
+          Seq("cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
+        .filter(col("raw_sim") >= 0.35)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val clusters = DedupOps.connectedComponents(pairs)
+      val rep = clusters
+        .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(max(struct(col("dist"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster_id"), (-col("best.nid")).as("rep_id"))
+      assigned
+        .join(clusters.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left")
+        .join(broadcast(rep), Seq("cluster_id"), "left")
+        .select(
+          col("vec_id"), col("cell"),
+          coalesce(col("cluster_id"), col("vec_id")).as("sem_cluster"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"),
+          col("dist").as("centroid_dist"),
+          (col("cluster_id").isNull || col("vec_id") === col("rep_id"))
+            .as("keep"))
+        .orderBy("vec_id")
+    },
+
     // SIM7: reciprocal-rank fusion of two retrieval modalities — the
     // standard way hybrid search merges rankings that don't share a score
     // scale (RRF, Cormack et al. SIGIR'09): here the exact cosine ranking
@@ -653,6 +709,61 @@ object SimilarityOps {
                      FROM sim)
           SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS sim
           FROM ranked WHERE rk <= $TOPK ORDER BY query_id, neighbor_id""",
+
+    // DD26: trained cells + within-cell cosine pairs + recursive-CTE
+    // components + farthest-from-centroid representative.
+    "dd26_semdedup" ->
+      s"""WITH RECURSIVE ${graft.operators.StatOps.duckTrainedCentroids},
+          $duckVecs,
+          adist AS (SELECT iu.vec_id, c.cell,
+                           SUM((iu.x - c.c) * (iu.x - c.c)) AS dist
+                    FROM iu JOIN c1 c ON c.dim = iu.dim
+                    GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell, dist FROM
+                         (SELECT vec_id, cell, dist,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+                          FROM adist)
+                       WHERE rn = 1),
+          cospairs AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+                       FROM assigned x JOIN assigned y
+                         ON x.cell = y.cell AND x.vec_id < y.vec_id),
+          dot AS (SELECT p.doc_a, p.doc_b, SUM(a.x * b.x) AS dp
+                  FROM cospairs p
+                  JOIN u a ON a.vec_id = p.doc_a
+                  JOIN u b ON b.vec_id = p.doc_b AND b.i = a.i
+                  GROUP BY 1, 2),
+          sem_pairs AS (SELECT doc_a, doc_b FROM dot
+                        JOIN n na ON na.vec_id = doc_a
+                        JOIN n nb ON nb.vec_id = doc_b
+                        WHERE dp / (na.nrm * nb.nrm) >= 0.35),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM sem_pairs
+                    UNION ALL SELECT doc_b, doc_a FROM sem_pairs),
+          cnodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          walk(src, node) AS (
+            SELECT doc_id, doc_id FROM cnodes
+            UNION
+            SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+          cluster AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+                      FROM walk GROUP BY 1),
+          sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+                    FROM cluster GROUP BY 1),
+          rep AS (SELECT cluster_id, doc_id AS rep_id FROM
+                    (SELECT c.cluster_id, c.doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY a.dist DESC, c.doc_id) AS rn
+                     FROM cluster c JOIN assigned a ON a.vec_id = c.doc_id)
+                  WHERE rn = 1)
+          SELECT a.vec_id, a.cell,
+                 CAST(COALESCE(c.cluster_id, a.vec_id) AS BIGINT) AS sem_cluster,
+                 CAST(COALESCE(s.n_members, 1) AS BIGINT) AS n_members,
+                 CAST(a.dist AS BIGINT) AS centroid_dist,
+                 (c.cluster_id IS NULL OR a.vec_id = r.rep_id) AS keep
+          FROM assigned a
+          LEFT JOIN cluster c ON c.doc_id = a.vec_id
+          LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+          LEFT JOIN rep r ON r.cluster_id = c.cluster_id
+          ORDER BY a.vec_id""",
 
     // SIM7: both modality rankings recomputed from scratch (sim1's dot
     // ranking + sim2's bucket machinery reduced to collision votes),

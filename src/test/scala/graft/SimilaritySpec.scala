@@ -63,6 +63,22 @@ class SimilaritySpec extends AnyFunSuite {
       s"trained recall $rTrained below seeded recall $rSeed")
   }
 
+  test("dd26: every semantic-dup group keeps exactly its farthest-from-centroid member") {
+    val rows = SparkEntry.queries("dd26_semdedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.count(_._5) == 1, s"cluster $cid must keep exactly one member")
+      assert(ms.forall(_._3 == ms.length.toLong), s"cluster $cid n_members")
+      val kept = ms.find(_._5).get
+      // the paper's rule: representative = max centroid distance, ties -> min id
+      val best = ms.maxBy(m => (m._4, -m._1))
+      assert(kept._1 == best._1, s"cluster $cid kept ${kept._1} not ${best._1}")
+    }
+    // singletons keep themselves
+    assert(rows.filter(_._3 == 1L).forall(_._5))
+  }
+
   test("sim5: distributed recall@k agrees with the set-intersection recall") {
     val exact = pairs("sim1_cosine_topk")
     val ann = pairs("sim2_lsh_ann")
