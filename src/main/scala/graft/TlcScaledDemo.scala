@@ -34,8 +34,21 @@ object TlcScaledDemo {
 
   // ---- Spark-side generator -------------------------------------------
 
-  private def base(s: SparkSession): DataFrame =
-    s.range(0, 22320).toDF("i")
+  private def base(s: SparkSession): DataFrame = baseN(s, 1)
+
+  /** `base` generalized to `copies` stacked replicas of the 22,320-trip
+    * pattern — the BENCH_E2E scale knob (tlc.RawGen). copies=1 reduces to
+    * the EXACT original expression tree (cpy=0, i0=i), so the hash-gated
+    * fixture is untouched; copies=K reuses the day/zone/hour/service grid
+    * per replica while the LCG noise runs over the FULL index (every copy
+    * gets distinct fares/distances/tips) and the second field shifts by the
+    * copy index so timestamps spread. Content-hash trip_ids collide only
+    * where full (timestamps, zones, distance) rows coincide — both engines
+    * dedup the identical set, so cross-engine parity is preserved at any
+    * scale. */
+  private[graft] def baseN(s: SparkSession, copies: Int): DataFrame =
+    s.range(0, 22320L * copies).toDF("i0")
+      .selectExpr("i0", "i0 % 22320 AS i", "i0 div 22320 AS cpy")
       .selectExpr(
         "i",
         // 360 trips/day = 6 zones × 4 hours × 3 services × 5 trips, so the
@@ -51,12 +64,13 @@ object TlcScaledDemo {
         "(i div 15) % 4 AS h",
         "(i div 5) % 3 AS s_idx",
         "i % 5 AS k",
-        "(i * 1103515245 + 12345) % 2147483648 AS r")
+        "cpy",
+        "(i0 * 1103515245 + 12345) % 2147483648 AS r")
       .selectExpr(
         "*",
         "CASE h WHEN 0 THEN 7 WHEN 1 THEN 10 WHEN 2 THEN 18 ELSE 22 END AS hh",
         "s_idx * 5 + k AS mi",
-        "(day * 24 + z * 4 + h) % 60 AS sec",
+        "(day * 24 + z * 4 + h + cpy) % 60 AS sec",
         "r % 100 AS r1",
         "(r div 100) % 100 AS r2",
         "(r div 10000) % 100 AS r3",
@@ -165,8 +179,13 @@ object TlcScaledDemo {
     * e2e Cli test writes these to disk and drives the full load → fact →
     * aggregate → analytics path over real files. */
   private[graft] def rawFixture(s: SparkSession)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = rawFixtureN(s, 1)
+
+  /** Raw frames at `copies`× the fixture scale (baseN's scaladoc) — the
+    * BENCH_E2E input generator (tlc.RawGen writes these to parquet). */
+  private[graft] def rawFixtureN(s: SparkSession, copies: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val b = base(s)
+    val b = baseN(s, copies)
     (rawYellow(b), rawGreen(b), rawHvfhv(b), rawZones(s))
   }
 

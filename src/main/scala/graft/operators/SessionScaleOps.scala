@@ -233,6 +233,15 @@ object SessionScaleOps {
     // unchanged and the gate hash-checks exactly.
     "f19_session_pmi" -> { (s, d) =>
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // st feeds FOUR consumers (session count, per-type marginals, both
+      // pair-join sides) — unmaterialized, each re-runs the events scan +
+      // sessionize window + distinct, quadrupling the dominant cost (the
+      // r10 verdict's 4× gap at sf1 was exactly this). The distinct itself
+      // already rides the window's user_id partitioning (no extra
+      // exchange — plan-checked); localCheckpoint materializes the
+      // (user, session, type) triple set, which is the SMALL distillate of
+      // the event stream (bounded by sessions × type vocabulary), so the
+      // four consumers read it instead of the corpus. dd7's discipline.
       val st = Tables.events(s, d)
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev_us", lag(col("us"), 1).over(byUser))
@@ -242,6 +251,7 @@ object SessionScaleOps {
         .withColumn("session_id",
           sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .select("user_id", "session_id", "event_type").distinct()
+        .localCheckpoint()
       val nSess = st.select("user_id", "session_id").distinct()
         .agg(count(lit(1)).as("n_sessions"))
       val nT = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
@@ -308,9 +318,28 @@ object SessionScaleOps {
         .orderBy("l_returnflag")
     },
 
+    // A13's HASH-GATED TWIN: the exact half of the sketch-vs-exact audit
+    // (distinct count + interpolated median per priority) carries a full
+    // DuckDB oracle, so the only thing left rows-only in a13 itself is the
+    // engine-specific sketch internals — whose error BOUNDS are asserted in
+    // LateRoundOpsSpec (approx_count_distinct rsd, percentile_approx
+    // accuracy), making every a13 column either hash-gated here or
+    // spec-bounded there.
+    "a13_exact_stats" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_distinct"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_median"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // Sketch aggregates: HLL distinct + approximate percentile next to their
     // exact counterparts with observed relative error. No DuckDB oracle —
-    // sketch internals are engine-specific (driver records rows-only).
+    // sketch internals are engine-specific (driver records rows-only);
+    // the exact columns hash-gate via the a13_exact_stats twin above and
+    // the sketch error bounds are asserted in LateRoundOpsSpec.
     "a13_approx_sketches" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -338,6 +367,13 @@ object SessionScaleOps {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "a13_exact_stats" ->
+      """SELECT o_orderpriority,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
     "f29_markov_stationary" ->
       s"""WITH e AS (
             SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

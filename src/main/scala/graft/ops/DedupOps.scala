@@ -576,6 +576,13 @@ object DedupOps {
       edges = next
       iter += 1
     }
+    // the cap is a safety bound (alternation converges in O(log n) rounds,
+    // so 25 covers any graph this side of 2^25 nodes of pure chain) — but if
+    // it IS hit, the label extraction below would run on a non-star edge set
+    // and silently emit wrong component ids; fail loudly instead.
+    require(converged,
+      s"ccTwoStar: star contraction did not converge within $iter rounds — " +
+        "component labels would be incorrect; raise the round cap")
     // converged star graph: each non-root points at its component minimum
     val labels = nodes
       .join(edges.select(col("v").as("doc_id"), col("u").as("root"))

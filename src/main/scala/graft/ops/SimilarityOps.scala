@@ -139,10 +139,16 @@ object SimilarityOps {
     "sim12_ivf_trained" -> { (s, d) =>
       val all = vecs(s, d)
       val iv = graft.operators.StatOps.intGrid(s, d)
+      // trained once, consumed twice (assignment + probe codebook):
+      // localCheckpoint the K-row codebook so the seed→assign→recenter
+      // training subtree runs a single time per query, not once per
+      // consumer (dd26's discipline for the identical subtree).
+      val cent = graft.operators.StatOps.trainedCentroids(s, d)
+        .localCheckpoint()
       val assigned = graft.operators.StatOps
-        .lloydAssign(iv, graft.operators.StatOps.trainedCentroids(s, d))
+        .lloydAssign(iv, cent)
         .select("vec_id", "cell")
-      val book = graft.operators.StatOps.trainedCentroids(s, d)
+      val book = cent
         .agg(sort_array(collect_list(struct(col("cell"), col("cvec"))))
           .as("abook"))
       val probes = iv.filter(col("vec_id") < NQUERY)
@@ -202,7 +208,12 @@ object SimilarityOps {
           Seq("cell"))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("raw_sim", expr("cosine_sim(qv, v)"))
-        .filter(col("raw_sim") >= 0.35)
+        // threshold on the ROUNDED value (oracle mirrors ROUND(1e-9+x, 6)):
+        // dd26 feeds this decision into connected components, so a pair
+        // sitting within float-summation noise of 0.35 flipping cross-engine
+        // would restructure whole clusters — rounding first makes the
+        // boundary decision summation-order-independent.
+        .filter(graft.functions.Exact.stableRound(col("raw_sim"), 6) >= 0.35)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       val clusters = DedupOps.connectedComponents(pairs)
       val rep = clusters
@@ -736,7 +747,7 @@ object SimilarityOps {
           sem_pairs AS (SELECT doc_a, doc_b FROM dot
                         JOIN n na ON na.vec_id = doc_a
                         JOIN n nb ON nb.vec_id = doc_b
-                        WHERE dp / (na.nrm * nb.nrm) >= 0.35),
+                        WHERE ROUND(1e-9 + dp / (na.nrm * nb.nrm), 6) >= 0.35),
           edges AS (SELECT doc_a AS src, doc_b AS dst FROM sem_pairs
                     UNION ALL SELECT doc_b, doc_a FROM sem_pairs),
           cnodes AS (SELECT DISTINCT src AS doc_id FROM edges),

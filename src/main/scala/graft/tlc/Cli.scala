@@ -94,8 +94,27 @@ object Cli {
   }
 
   /** The e2e body behind `main`, session-injected so tests can drive it
-    * without the session lifecycle. */
+    * without the session lifecycle.
+    *
+    * Stage wall times (load → quality → standardize → aggregates → dims →
+    * analytics → finalize) are printed per stage to stderr and, when
+    * `--timings file.json` is passed, written as one JSON object — the
+    * BASELINE.md "stage wall time on identical input" comparable
+    * (BENCH_E2E artifacts; reference point: docs/QUICK_START.md:19–34's
+    * 3–5 min sample pipeline).
+    *
+    * After the fact write, every downstream stage reads the MATERIALIZED
+    * fact_trips back from disk (Pipeline.derive's scaladoc): one
+    * standardize pass per pipeline run, like the reference's warehouse. */
   private[graft] def runPipeline(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings(stage) = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[timing] stage=$stage seconds=${timings(stage)}%.3f")
+      r
+    }
     // Per-file load audit (reference loader.py:264–333): each raw source
     // load appends an ingestion_log entry with row count, duration, checksum
     // and status, written alongside the data sinks below.
@@ -130,23 +149,40 @@ object Cli {
     // Stage retry counts mirror the reference's Prefect task config
     // (flows.py: load-data 2, transform-to-fact 2, build-aggregates 2,
     // quality-check 1); see Retry's scaladoc for why retries wrap actions.
-    val result = Pipeline.run(spark,
+    // `load` covers validation (row count + column probe + SHA256) of each
+    // raw file; the parquet scan itself is lazy and is paid once, in the
+    // `standardize` stage's fact write.
+    val (rawY, rawG, rawH) = timed("load") {(
       Retry.withRetries(2, "load-yellow")(loadRaw("yellow", Schemas.rawYellow)),
       Retry.withRetries(2, "load-green")(loadRaw("green", Schemas.rawGreen)),
-      Retry.withRetries(2, "load-hvfhv")(loadRaw("hvfhv", Schemas.rawHvfhv)),
-      zones)
+      Retry.withRetries(2, "load-hvfhv")(loadRaw("hvfhv", Schemas.rawHvfhv)))}
+
+    // Pipeline.run executes the quality-check actions eagerly (the rest of
+    // the Result is lazy lineage), so its wall time IS the quality stage.
+    val result = timed("quality") { Pipeline.run(spark, rawY, rawG, rawH, zones) }
 
     val out = opts("out")
-    Retry.withRetries(2, "transform-to-fact") {
-      Pipeline.writeFact(result.fact, s"$out/fact_trips")
+    val nFact = timed("standardize") {
+      Retry.withRetries(2, "transform-to-fact") {
+        Pipeline.writeFact(result.fact, s"$out/fact_trips")
+      }
+      Retry.withRetries(1, "quality-check") {
+        result.qualityMetrics.coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/data_quality_metrics")
+      }
+      spark.read.parquet(s"$out/fact_trips").count()
     }
-    Retry.withRetries(1, "quality-check") {
-      result.qualityMetrics.coalesce(1).write.mode("overwrite")
-        .parquet(s"$out/data_quality_metrics")
-    }
-    Retry.withRetries(2, "build-aggregates") {
-      result.aggregates.foreach { case (name, df) =>
-        Aggregations.write(df, s"$out/$name")
+    // Everything downstream reads the MATERIALIZED fact partitioned by
+    // pickup_date — one standardize pass per run, and date-scoped analytics
+    // prune partitions (Pipeline.derive's scaladoc).
+    val factOnDisk = spark.read.parquet(s"$out/fact_trips")
+    val (tables, aggregates, analytics) = Pipeline.derive(spark, factOnDisk, zones)
+
+    timed("aggregates") {
+      Retry.withRetries(2, "build-aggregates") {
+        aggregates.foreach { case (name, df) =>
+          Aggregations.write(df, s"$out/$name")
+        }
       }
     }
     // Dims and analytics results write WITHOUT a coalesce(1) funnel: dims
@@ -154,19 +190,31 @@ object Cli {
     // outputs grow with the data span (q13 is months × companies), and a
     // single-task write serializes the whole frame through one core. Plain
     // parallel writes let each result keep its natural parallelism.
-    Seq(
-      "dim_zones" -> result.tables.dimZones,
-      "dim_date" -> result.tables.dimDate,
-      "dim_time" -> result.tables.dimTime,
-      "dim_service" -> result.tables.dimService,
-      "dim_hvfhs_company" -> result.tables.dimHvfhsCompany)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$out/$name")
-      }
-    result.analytics.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/analytics/$name")
+    timed("dims") {
+      Seq(
+        "dim_zones" -> tables.dimZones,
+        "dim_date" -> tables.dimDate,
+        "dim_time" -> tables.dimTime,
+        "dim_service" -> tables.dimService,
+        "dim_hvfhs_company" -> tables.dimHvfhsCompany)
+        .foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$out/$name")
+        }
     }
-    IngestionLog.write(IngestionLog.build(spark, logEntries.toSeq), s"$out/ingestion_log")
-    println(s"[graft] pipeline complete: ${result.fact.count()} fact rows -> $out")
+    timed("analytics") {
+      analytics.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$out/analytics/$name")
+      }
+    }
+    timed("finalize") {
+      IngestionLog.write(IngestionLog.build(spark, logEntries.toSeq), s"$out/ingestion_log")
+    }
+    opts.get("timings").foreach { path =>
+      val suffix = f""", "total": ${timings.values.sum}%.3f, "fact_rows": $nFact}"""
+      val json = timings.map { case (k, v) => f""""$k": $v%.3f""" }
+        .mkString("{", ", ", suffix)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    }
+    println(s"[graft] pipeline complete: $nFact fact rows -> $out")
   }
 }

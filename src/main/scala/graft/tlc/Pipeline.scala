@@ -43,7 +43,20 @@ object Pipeline {
       .reduce(_ unionByName _)
 
     val fact = Standardize.all(rawYellow, rawGreen, rawHvfhv)
+    val (tables, aggs, analytics) = derive(spark, fact, rawTaxiZones)
+    Result(fact, tables, aggs, quality, analytics)
+  }
 
+  /** Everything DOWNSTREAM of the fact: dims + aggregate tables + the 14
+    * analytics queries, over whatever fact frame is passed. Split out so the
+    * Cli can point it at the MATERIALIZED fact_trips it just wrote (the
+    * reference's own warehouse design — aggregations.py and every analytics
+    * query read the fact TABLE, not the raw-to-fact lineage): without this,
+    * each of the 4 aggregate writes and 14 analytics writes re-derived
+    * load → standardize from the raw files, a 19× repetition of the most
+    * expensive pass at warehouse scale. */
+  def derive(spark: SparkSession, fact: DataFrame, rawTaxiZones: DataFrame)
+      : (TlcTables, Map[String, DataFrame], Map[String, DataFrame]) = {
     val tables = TlcTables(
       fact = fact,
       dimZones = Dimensions.dimZones(rawTaxiZones),
@@ -52,10 +65,7 @@ object Pipeline {
       dimService = Dimensions.dimService(spark),
       dimHvfhsCompany = Dimensions.dimHvfhsCompany(spark),
       aggMarketShare = Aggregations.marketShare(fact))
-
-    val aggs = Aggregations.buildAll(fact)
-
-    Result(fact, tables, aggs, quality, Analytics.all(tables))
+    (tables, Aggregations.buildAll(fact), Analytics.all(tables))
   }
 
   /** Persist the fact partitioned by pickup_date (SURVEY.md §7.4 risk 10). */

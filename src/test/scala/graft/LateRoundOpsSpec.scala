@@ -82,4 +82,30 @@ class LateRoundOpsSpec extends AnyFunSuite {
     // form provably could not at n=4) — the fixture data must show some
     assert(rows.exists(_._7), "no anomaly fired anywhere at sf0.001")
   }
+
+  test("a13: sketch columns stay inside their declared error bounds; exact " +
+    "columns equal the hash-gated twin") {
+    val sketches = SparkEntry.queries("a13_approx_sketches")(spark, sfDir).collect()
+    assert(sketches.nonEmpty)
+    sketches.foreach { r =>
+      val prio = r.getString(0)
+      // approx_count_distinct was asked for rsd = 0.02; HLL++ at that rsd
+      // stays within a few standard errors on any input — 10% is a hard
+      // ceiling that still catches a broken sketch outright
+      assert(r.getDouble(5) <= 0.10, s"$prio: HLL distinct rel err ${r.getDouble(5)}")
+      // percentile_approx at accuracy 10000 has rank error <= n/10000; at
+      // fixture scale that is exact-or-near-exact — 5% value error ceiling
+      assert(r.getDouble(6) <= 0.05, s"$prio: approx median rel err ${r.getDouble(6)}")
+    }
+    // the exact columns must be THE SAME numbers the hash-gated twin
+    // (a13_exact_stats, full DuckDB oracle) verifies cross-engine
+    val twin = SparkEntry.queries("a13_exact_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    sketches.foreach { r =>
+      val (d, m) = twin(r.getString(0))
+      assert(r.getLong(1) == d, s"${r.getString(0)}: exact_distinct drifted from twin")
+      assert(math.abs(r.getDouble(3) - m) <= 5e-5,
+        s"${r.getString(0)}: exact_median drifted from twin")
+    }
+  }
 }

@@ -71,10 +71,14 @@ def main():
                user_id + {c * ku} AS user_id, event_type, value, props
         FROM '{src}/events.parquet'"""))
 
+    # shifted copies prepend 'v{c} ' to text, so n_chars must shift by the
+    # prefix length too — otherwise ~90% of sf1 docs carry n_chars !=
+    # length(text) and length-proxy gates bench against stale metadata
     write("documents", copies(lambda c: f"""
         SELECT doc_id + {c * kd} AS doc_id,
                {"text" if c == 0 else f"'v{c} ' || text"} AS text,
-               lang, source, n_chars
+               lang, source,
+               {"n_chars" if c == 0 else f"n_chars + {len(f'v{c} ')}"} AS n_chars
         FROM '{src}/documents.parquet'"""))
 
     write("embeddings", copies(lambda c: f"""
