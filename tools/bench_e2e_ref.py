@@ -55,9 +55,11 @@ def main():
     timings = {}
 
     def timed(name, fn):
+        print(f"[ref] stage {name}...", file=sys.stderr, flush=True)
         t0 = time.time()
         r = fn()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[ref] stage {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return r
 
     def part_files(name):
@@ -93,6 +95,7 @@ def main():
     def analytics():
         conn = DatabaseConnection.get_connection()
         for f in sorted(glob.glob("/root/reference/sql/analytics/*.sql")):
+            print(f"[ref] {Path(f).stem}", file=sys.stderr, flush=True)
             sql = Path(f).read_text()
             df = conn.execute(sql).fetchdf()
             analytics_rows[Path(f).stem] = len(df)
