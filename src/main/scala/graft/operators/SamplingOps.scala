@@ -22,6 +22,48 @@ object SamplingOps {
     s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
 
   val queries: Map[String, Q] = Map(
+    // SA18: DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023), the domain-targeting selector: score every raw document by
+    // how much more likely its hashed-unigram features are under the
+    // TARGET distribution (here: the lang='en' slice) than under the raw
+    // corpus, then keep the top-K by importance weight. Both feature
+    // distributions are add-one-smoothed counts over the tx23 hashing-
+    // trick space (28-bit md5 prefix mod 1024), so "train" is two
+    // 1024-row count aggs and "score" is one broadcast join + per-doc
+    // sum — one corpus scan each, no iteration. Shape at scale: the
+    // bucket-ratio table is CONSTANT-sized (1024 rows broadcast), the
+    // totals are a 1-row broadcast, selection is orderBy+limit
+    // (TakeOrdered, never a global sort materialization). Ranking and
+    // the emitted weight use the ROUNDED value (6 digits) so the top-K
+    // cut is summation-order independent; ties break on doc_id.
+    "sa18_dsir_resample" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT) % 1024"))
+      val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ct = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val totals = toks.agg(
+        count(lit(1)).as("nr"),
+        count(when(col("lang") === "en", lit(1))).as("nt"))
+      val ratio = cr.join(ct, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(1024L)))
+            - log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(1024L))))
+            .as("lr"))
+      toks.join(broadcast(ratio), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("w"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          graft.functions.Exact.stableRound(col("w"), 6).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // SA16: epoch-deterministic GLOBAL SHUFFLE + token-budget shard plan
     // — the writer side of a training pipeline. Each epoch orders the
     // corpus by a seeded content hash (a fresh deterministic permutation
@@ -325,6 +367,29 @@ object SamplingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // Same hashed-feature space, smoothing, and rounded-weight ranking;
+    // ln() on exact integer ratios both engines.
+    "sa18_dsir_resample" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                              UNNEST(string_split(text, ' ')) AS tok
+                       FROM documents),
+          b AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS b
+                FROM toks),
+          cr AS (SELECT b, COUNT(*) AS cr FROM b GROUP BY 1),
+          ct AS (SELECT b, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS nr,
+                         COUNT(*) FILTER (WHERE lang = 'en') AS nt
+                  FROM b),
+          lr AS (SELECT cr.b,
+                        ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (tot.nt + 1024))
+                          - ln(CAST(cr.cr + 1 AS DOUBLE) / (tot.nr + 1024)) AS lr
+                 FROM cr LEFT JOIN ct USING (b), tot),
+          w AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, SUM(lr) AS w
+                FROM b JOIN lr USING (b) GROUP BY 1, 2)
+          SELECT doc_id, lang, n_tokens, ROUND(1e-9 + w, 6) AS weight
+          FROM w ORDER BY weight DESC, doc_id LIMIT 100""",
+
     // Flat-window replay of the value-bucketed prefix sum: same
     // (tokens, doc_id) total order, same integer phase boundaries.
     "sa17_curriculum_plan" ->

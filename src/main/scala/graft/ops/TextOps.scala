@@ -44,6 +44,50 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // TX24: N-GRAM LM PERPLEXITY FILTER — the CCNet/Wikipedia-LM quality
+    // gate (score every document by a language model trained on the corpus
+    // itself; filter on bits-per-token). Model = add-one-smoothed bigram
+    // LM: P(w2|w1) = (c2(w1 w2)+1) / (c1(w1)+V), where c1 counts contexts
+    // (bigrams starting with w1) and V is the context vocabulary size, so
+    // train and score are BOTH pure aggregation over one bigram stream —
+    // no iteration, no state. The bigram stream comes from the codegen'd
+    // NGramsGenerator UDTF (tx10's hot-map seam — streams grams into
+    // Generate, no per-row array materialization). Shape at scale: one
+    // corpus scan → two vocab-sized count aggs (c2, c1 — log-scale smaller
+    // than the corpus, AQE broadcasts them when small, plain shuffle joins
+    // otherwise) → one per-doc agg. log2 terms are doubles on exact
+    // integer ratios; the per-doc mean rounds at 4 digits, far above
+    // 1ulp-per-term summation noise. Docs under 2 tokens have no bigrams
+    // and drop out (both engines). keep = cross-entropy under a fixed
+    // 12-bit threshold, decided on the ROUNDED value so the cut is
+    // summation-order independent (dd26's convention).
+    "tx24_ngram_perplexity" -> { (s, d) =>
+      graft.functions.NGramsGenerator.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .createOrReplaceTempView("tx24_docs")
+      val bg = s.sql(
+        "SELECT doc_id, ngram FROM tx24_docs LATERAL VIEW ngrams(ts, 2) g AS ngram")
+        .withColumn("w1", expr("substring_index(ngram, ' ', 1)"))
+      val c2 = bg.groupBy("ngram").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = bg.agg(countDistinct(col("w1")).as("v"))
+      bg.join(c2, Seq("ngram"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp",
+          log2((col("c2") + lit(1)).cast("double") / (col("c1") + col("v"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (-sum(col("lp")) / count(lit(1))).as("h"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.functions.Exact.stableRound(col("h"), 4).as("bits_per_token"),
+          graft.functions.Exact.stableRound(pow(lit(2.0), col("h")), 2)
+            .as("perplexity"),
+          (graft.functions.Exact.stableRound(col("h"), 4) < 12.0).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // TX23: model-based quality scoring via the HASHING TRICK — the
     // linear-classifier quality filter every web-corpus pipeline runs
     // (CCNet / fastText-style: hash tokens into a fixed feature space,
@@ -553,6 +597,28 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Bigram stream replayed via lateral UNNEST over 1-indexed positions
+    // (range(1, len) = 1..len-1, so ts[i]/ts[i+1] are in bounds); counts,
+    // smoothing and the rounded-threshold keep mirror the Spark side.
+    "tx24_ngram_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          bg AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS ngram
+                 FROM t, UNNEST(range(1, len(ts))) AS g(i)),
+          c2 AS (SELECT ngram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+          c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+          v AS (SELECT COUNT(DISTINCT w1) AS v FROM bg),
+          scored AS (SELECT bg.doc_id,
+                            log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
+                     FROM bg JOIN c2 USING (ngram) JOIN c1 USING (w1), v),
+          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                         -SUM(lp) / COUNT(*) AS h
+                  FROM scored GROUP BY 1)
+          SELECT doc_id, n_bigrams,
+                 ROUND(1e-9 + h, 4) AS bits_per_token,
+                 ROUND(1e-9 + POW(2.0, h), 2) AS perplexity,
+                 ROUND(1e-9 + h, 4) < 12.0 AS keep
+          FROM agg ORDER BY doc_id""",
+
     // The derived weight formula replayed verbatim; the rational sigmoid
     // is +,/,ABS only so the rounded score is bit-identical.
     "tx23_hashed_classifier" ->

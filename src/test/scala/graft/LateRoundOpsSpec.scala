@@ -83,6 +83,46 @@ class LateRoundOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._7), "no anomaly fired anywhere at sf0.001")
   }
 
+  test("tx24: perplexity = 2^bits_per_token, only multi-token docs scored, " +
+    "and a uniform-corpus doc scores near the vocab-uniform ceiling") {
+    val r = SparkEntry.queries("tx24_ngram_perplexity")(spark, sfDir).collect()
+    val multiTok = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(r.length == multiTok, "every >=2-token doc gets exactly one score")
+    r.foreach { row =>
+      val (h, ppl) = (row.getDouble(2), row.getDouble(3))
+      assert(h > 0.0 && ppl > 1.0)
+      // ppl was rounded at 2, h at 4: consistency within rounding slack
+      assert(math.abs(math.pow(2.0, h) - ppl) <= 0.01 * ppl + 0.01,
+        s"doc ${row.getLong(0)}: 2^$h != $ppl")
+      // add-one smoothing bounds every conditional by 1/(c1+V) >= 1/(N+V):
+      // bits/token can never exceed log2(corpus bigrams + vocab)
+      assert(h <= 30.0)
+    }
+  }
+
+  test("sa18: DSIR weights rank the target slice above the complement") {
+    val top = SparkEntry.queries("sa18_dsir_resample")(spark, sfDir).collect()
+    assert(top.length == 100)
+    // ranked by rounded weight desc, doc_id asc
+    val ws = top.map(_.getDouble(3)).toSeq
+    assert(ws == ws.sorted.reverse, "not sorted by weight desc")
+    // the whole point of DSIR: importance weights pull the target slice
+    // to the front. The synthetic corpus draws every lang from ONE shared
+    // 31-token vocabulary (label is independent of content), so the only
+    // guaranteed pull is the self-estimation bias — the target counts are
+    // estimated FROM the en slice, so en docs fit p_target strictly
+    // better on average. Assert that bias end-to-end: en share of the
+    // top-100 strictly above the corpus base rate (0.386 at this sf).
+    val baseRate = {
+      val docs = Tables.documents(spark, sfDir)
+      docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    }
+    val enShare = top.count(_.getString(1) == "en").toDouble / top.length
+    assert(enShare > baseRate,
+      s"top-100 en share $enShare not above base rate $baseRate")
+  }
+
   test("a13: sketch columns stay inside their declared error bounds; exact " +
     "columns equal the hash-gated twin") {
     val sketches = SparkEntry.queries("a13_approx_sketches")(spark, sfDir).collect()
