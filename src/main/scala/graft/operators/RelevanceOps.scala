@@ -647,6 +647,40 @@ object RelevanceOps {
           stableRound(col("within_label").cast("double") / col("mutual_edges"), 6)
             .as("homophily"))
         .orderBy("label")
+    },
+
+    // SIM13: LABEL PROPAGATION over the mutual-kNN graph (Zhu &
+    // Ghahramani 2002, label spreading — public): semi-supervised label
+    // assignment for curation, where a small labeled seed set extends to
+    // the unlabeled mass through embedding-space neighbors — the
+    // classifier-free way to scale quality/domain labels to 100 TB.
+    // Hold out every 5th vector, predict its label as the majority vote
+    // of its seed-labeled mutual neighbors (integer votes, ties to the
+    // smaller label — fully deterministic, no float scores), and audit
+    // the prediction against the held-out truth. The graph is the
+    // memoized mutual-kNN stage output (sim10's machinery): edges are
+    // ≤ k per node, so the vote is one broadcast-join + hash-agg —
+    // nothing quadratic, nothing iterative.
+    "sim13_label_spread" -> { (s, d) =>
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = mutualKnn(s, d)
+        .join(broadcast(labels
+          .filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("src"), col("label").as("true_label"))), "src")
+        .join(broadcast(labels
+          .filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("dst"), col("label").as("nbr_label"))), "dst")
+        .groupBy("src", "true_label", "nbr_label")
+        .agg(count(lit(1)).as("n"))
+      votes
+        .groupBy(col("src").as("vec_id"), col("true_label"))
+        .agg(
+          max(struct(col("n"), (-col("nbr_label")).as("nl"))).as("b"),
+          sum("n").as("total_votes"))
+        .select(col("vec_id"), (-col("b.nl")).as("pred_label"),
+          col("b.n").as("n_votes"), col("total_votes"), col("true_label"),
+          (col("b.nl") === -col("true_label")).as("correct"))
+        .orderBy("vec_id")
     })
 
   /** DuckDB mirror of [[mutualKnn]] (shared by the sim10 and g6 oracles). */
@@ -1116,5 +1150,28 @@ object RelevanceOps {
                 ROUND(CAST(c.within_label AS DOUBLE) / c.mutual_edges + 1e-9, 6)
                   AS homophily
          FROM census c JOIN nodes n ON n.label = c.label
-         ORDER BY c.label""")
+         ORDER BY c.label""",
+
+    // SIM13: same mutual-kNN CTE; the majority vote is a rank-1 window
+    // under the identical (votes DESC, label ASC) total order.
+    "sim13_label_spread" ->
+      s"""WITH $duckMutualKnn,
+         lab AS (SELECT vec_id, label FROM embeddings),
+         votes AS (
+           SELECT m.src, ls.label AS true_label, ld.label AS nbr_label,
+                  COUNT(*) AS n
+           FROM mutual m
+           JOIN lab ls ON ls.vec_id = m.src AND ls.vec_id % 5 = 0
+           JOIN lab ld ON ld.vec_id = m.dst AND ld.vec_id % 5 <> 0
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT src, true_label, nbr_label, n,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY n DESC, nbr_label) AS rn,
+                  CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS total_votes
+           FROM votes)
+         SELECT src AS vec_id, nbr_label AS pred_label,
+                CAST(n AS BIGINT) AS n_votes, total_votes, true_label,
+                (nbr_label = true_label) AS correct
+         FROM ranked WHERE rn = 1 ORDER BY src""")
 }

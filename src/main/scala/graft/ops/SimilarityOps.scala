@@ -235,6 +235,47 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // EMB8: CONTRASTIVE PAIR MINING — constructing the training triples
+    // an embedding model is tuned on (anchor, positive, hard negative):
+    // hard-negative mining (Karpukhin et al. 2020 DPR; Xiong et al. 2021
+    // ANCE — public) wants negatives that are CLOSE to the anchor yet
+    // wrong, and the standard scale trick is exactly the one this repo
+    // already trains: restrict candidate pairs to the anchor's coarse
+    // cell (ANCE mines from an ANN index; here emb7's trained k-means
+    // cells), so pair work is Σ|cell|², never global all-pairs. Within
+    // the anchor's cell: positive = highest-cosine neighbor at
+    // sim >= 0.35 (dd26's semantic-duplicate band), hard negative =
+    // highest-cosine neighbor BELOW 0.2 (closest confusable non-match;
+    // the [0.2, 0.35) margin band is excluded as label noise). Both
+    // argmaxes are one hash-agg over the pair stream (max(struct)), ties
+    // to the smaller id; thresholds compare on stableRound like dd26, so
+    // the triple set is summation-order-independent and hash-gates.
+    "emb8_contrastive_mining" -> { (s, d) =>
+      val all = vecs(s, d)
+      val assigned = graft.operators.StatOps.lloydAssign(
+          graft.operators.StatOps.intGrid(s, d),
+          graft.operators.StatOps.trainedCentroids(s, d))
+        .select(col("vec_id"), col("cell"))
+        .localCheckpoint() // train+assign subtree feeds both pair sides
+      val withV = assigned.join(all, Seq("vec_id"))
+      val sims = withV
+        .select(col("cell"), col("vec_id").as("anchor_id"), col("v").as("av"))
+        .join(withV.select(col("cell"), col("vec_id").as("cand_id"), col("v")),
+          Seq("cell"))
+        .filter(col("anchor_id") =!= col("cand_id"))
+        .withColumn("sim",
+          graft.functions.Exact.stableRound(expr("cosine_sim(av, v)"), 6))
+        .select("anchor_id", "cand_id", "sim")
+      def best(in: DataFrame, prefix: String): DataFrame = in
+        .groupBy("anchor_id")
+        .agg(max(struct(col("sim"), (-col("cand_id")).as("nid"))).as("b"))
+        .select(col("anchor_id"), (-col("b.nid")).as(s"${prefix}_id"),
+          col("b.sim").as(s"${prefix}_sim"))
+      best(sims.filter(col("sim") >= 0.35), "positive")
+        .join(best(sims.filter(col("sim") < 0.2), "negative"), Seq("anchor_id"))
+        .orderBy("anchor_id")
+    },
+
     // SIM7: reciprocal-rank fusion of two retrieval modalities — the
     // standard way hybrid search merges rankings that don't share a score
     // scale (RRF, Cormack et al. SIGIR'09): here the exact cosine ranking
@@ -775,6 +816,52 @@ object SimilarityOps {
           LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
           LEFT JOIN rep r ON r.cluster_id = c.cluster_id
           ORDER BY a.vec_id""",
+
+    // EMB8: same trained-cell assignment chain as sim12/dd26, then the
+    // two per-anchor argmaxes as rank-1 windows over the in-cell pair sims.
+    "emb8_contrastive_mining" ->
+      s"""WITH ${graft.operators.StatOps.duckTrainedCentroids},
+          $duckVecs,
+          adist AS (SELECT iu.vec_id, c.cell,
+                           SUM((iu.x - c.c) * (iu.x - c.c)) AS dist
+                    FROM iu JOIN c1 c ON c.dim = iu.dim
+                    GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM
+                         (SELECT vec_id, cell,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+                          FROM adist)
+                       WHERE rn = 1),
+          prs AS (SELECT x.vec_id AS anchor_id, y.vec_id AS cand_id
+                  FROM assigned x JOIN assigned y
+                    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+          dot AS (SELECT p.anchor_id, p.cand_id, SUM(a.x * b.x) AS dp
+                  FROM prs p
+                  JOIN u a ON a.vec_id = p.anchor_id
+                  JOIN u b ON b.vec_id = p.cand_id AND b.i = a.i
+                  GROUP BY 1, 2),
+          sim AS (SELECT anchor_id, cand_id,
+                         ROUND(1e-9 + dp / (na.nrm * nb.nrm), 6) AS sim
+                  FROM dot
+                  JOIN n na ON na.vec_id = anchor_id
+                  JOIN n nb ON nb.vec_id = cand_id),
+          pos AS (SELECT anchor_id, cand_id, sim FROM
+                    (SELECT anchor_id, cand_id, sim,
+                            ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY sim DESC, cand_id) AS rn
+                     FROM sim WHERE sim >= 0.35)
+                  WHERE rn = 1),
+          neg AS (SELECT anchor_id, cand_id, sim FROM
+                    (SELECT anchor_id, cand_id, sim,
+                            ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY sim DESC, cand_id) AS rn
+                     FROM sim WHERE sim < 0.2)
+                  WHERE rn = 1)
+          SELECT p.anchor_id,
+                 p.cand_id AS positive_id, p.sim AS positive_sim,
+                 g.cand_id AS negative_id, g.sim AS negative_sim
+          FROM pos p JOIN neg g USING (anchor_id)
+          ORDER BY p.anchor_id""",
 
     // SIM7: both modality rankings recomputed from scratch (sim1's dot
     // ranking + sim2's bucket machinery reduced to collision votes),

@@ -56,6 +56,32 @@ class RelevanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim13: propagated labels equal the sequential majority-vote replay") {
+    val got = SparkEntry.queries("sim13_label_spread")(spark, sfDir).collect()
+    assert(got.nonEmpty, "no held-out vectors received votes")
+    // replay: per held-out src, majority label over seed-labeled mutual
+    // neighbors, ties to the smaller label
+    val expect = mutualReplay.toSeq
+      .filter { case (s, d) => s % 5 == 0 && d % 5 != 0 }
+      .groupBy(_._1)
+      .map { case (src, es) =>
+        val byLabel = es.groupBy { case (_, d) => labels(d) }
+          .map { case (l, g) => (l, g.size) }
+        val (predL, n) = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+        src -> (predL, n.toLong, es.size.toLong)
+      }
+    assert(got.length == expect.size, "one row per voted held-out vector")
+    got.foreach { r =>
+      val v = r.getLong(0)
+      val (predL, n, tot) = expect(v)
+      assert(r.getInt(1) == predL, s"vec $v pred_label")
+      assert(r.getLong(2) == n, s"vec $v n_votes")
+      assert(r.getLong(3) == tot, s"vec $v total_votes")
+      assert(r.getInt(4) == labels(v), s"vec $v true_label")
+      assert(r.getBoolean(5) == (predL == labels(v)), s"vec $v correct flag")
+    }
+  }
+
   test("g6: candidates are non-adjacent, cn counts match the replay") {
     val rows = SparkEntry.queries("g6_link_prediction")(spark, sfDir).collect()
     assert(rows.nonEmpty, "sf0.001 mutual-kNN graph must yield wedge candidates")

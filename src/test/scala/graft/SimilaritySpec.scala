@@ -174,4 +174,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got == expect.toSeq, s"query $q MIPS top-5")
     }
   }
+
+  test("emb8: mined triples respect the margin bands and stay in-cell") {
+    val rows = SparkEntry.queries("emb8_contrastive_mining")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "no contrastive triples mined")
+    rows.foreach { r =>
+      val (a, p, ps, n, ns) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(ps >= 0.35, s"anchor $a positive_sim $ps below band")
+      assert(ns < 0.2, s"anchor $a negative_sim $ns inside margin")
+      assert(p != n && p != a && n != a, s"anchor $a degenerate triple")
+      assert(ps > ns, s"anchor $a margin inverted")
+    }
+    // every participant of a triple shares the anchor's trained cell
+    val cells = graft.operators.StatOps.lloydAssign(
+        graft.operators.StatOps.intGrid(spark, sfDir),
+        graft.operators.StatOps.trainedCentroids(spark, sfDir))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(cells(a) == cells(p) && cells(a) == cells(n),
+        s"triple for anchor $a crosses cells")
+    }
+  }
 }

@@ -91,14 +91,23 @@ def main():
         return AggregationBuilder.build_all()
 
     analytics_rows = {}
+    analytics_failed = {}
 
     def analytics():
+        # Per-query failure capture: the reference's own schema dropped
+        # fact_trips.dropoff_zone_id / dropoff_datetime (schema.py), but
+        # sql/analytics/06 and 10 still reference them — `run-analytics`
+        # on those files fails against the reference's own pipeline. Time
+        # the stage over the queries that run; record the failures.
         conn = DatabaseConnection.get_connection()
         for f in sorted(glob.glob("/root/reference/sql/analytics/*.sql")):
             print(f"[ref] {Path(f).stem}", file=sys.stderr, flush=True)
             sql = Path(f).read_text()
-            df = conn.execute(sql).fetchdf()
-            analytics_rows[Path(f).stem] = len(df)
+            try:
+                df = conn.execute(sql).fetchdf()
+                analytics_rows[Path(f).stem] = len(df)
+            except Exception as e:
+                analytics_failed[Path(f).stem] = str(e).split("\n")[0][:200]
 
     timed("init_schema", init_schema)
     timed("load", load)
@@ -112,6 +121,8 @@ def main():
     timings["total"] = round(sum(timings.values()), 3)
     timings["fact_rows"] = fact_rows
     timings["analytics_rows"] = analytics_rows
+    if analytics_failed:
+        timings["analytics_failed"] = analytics_failed
     print(json.dumps(timings))
 
 

@@ -19,20 +19,35 @@ Usage:
 e.g.
     python3 tools/duckbase.py /root/testdata/sf0.1 /tmp/verify/oracle_sql.json DUCKBASE_r05.json 3
 """
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def time_query(con, sql):
+def time_query(con, sql, hard_timeout=None):
     """Adaptive min-of-N (same stop rule as graft.Bench): stop when 2 runs
-    agree within 20% of the running min, cap 5 runs / 30 s."""
-    con.sql(sql).fetchall()                        # warm
+    agree within 20% of the running min, cap 5 runs / 30 s. With
+    hard_timeout (sec), a watchdog interrupts any single run past the cap
+    (DUCKBASE_TIMEOUT env) — the query is then reported as timed out."""
+    import threading
+
+    def run_once():
+        if hard_timeout is None:
+            con.sql(sql).fetchall()
+            return
+        t = threading.Timer(hard_timeout, con.interrupt)
+        t.start()
+        try:
+            con.sql(sql).fetchall()
+        finally:
+            t.cancel()
+
+    run_once()                                     # warm
     ts, attempts, elapsed = [], 0, 0.0
     while True:
         t0 = time.perf_counter()
-        con.sql(sql).fetchall()
+        run_once()
         dt = time.perf_counter() - t0
         attempts += 1
         elapsed += dt
@@ -49,18 +64,26 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
-    times = {}
+    hard_timeout = float(os.environ["DUCKBASE_TIMEOUT"]) \
+        if "DUCKBASE_TIMEOUT" in os.environ else None
+    times, timeouts = {}, []
     for r in range(repeats):
         for name in sorted(oracle):
             # Queries already past the 30 s per-query cap (dd12's recursive
             # CTE is ~355 s) are timed on the first repeat only — they are
             # excluded from the headline ratio anyway (value_excl_dd12).
             prev = times.get(name)
-            if r > 0 and prev is not None and prev > 30.0:
+            if r > 0 and ((prev is not None and prev > 30.0)
+                          or name in timeouts):
                 continue
             try:
-                dt = time_query(con, oracle[name])
+                dt = time_query(con, oracle[name], hard_timeout)
                 times[name] = round(dt if prev is None else min(prev, dt), 3)
+            except duckdb.InterruptException:
+                times.setdefault(name, None)
+                timeouts.append(name)
+                print(f"TIMEOUT {name}: interrupted after {hard_timeout}s",
+                      file=sys.stderr)
             except Exception as e:
                 times.setdefault(name, None)
                 if r == 0:
@@ -77,6 +100,8 @@ def main():
             f"graft.Bench), per-query min over {repeats} suite repeat(s); "
             "queries past the 30s cap timed on repeat 1 only",
         "suite_repeats": repeats,
+        **({"hard_timeout_sec": hard_timeout, "timed_out": sorted(set(timeouts))}
+           if hard_timeout is not None else {}),
         "note": "dd12_embedding_manifest is an outlier (~355 s): DuckDB's "
             "recursive-CTE connected components enumerates every "
             "(src, reachable-node) pair, quadratic per cluster, while the "
