@@ -331,6 +331,65 @@ object StatOps {
         .groupBy("sub", "code")
         .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("total_err"))
         .orderBy("sub", "code")
+    },
+
+    // EMB9: PCA TRAINING BY POWER ITERATION, hash-gated — the dominant
+    // principal direction of the embedding corpus via three fixed
+    // matrix-free power rounds (w ← normalize(Aᵀ(Aw)) over the
+    // mean-centered corpus), emb7's exact-arithmetic discipline applied
+    // to a second iterative trainer: centering uses the shifted grid's
+    // round-half-up integer means (the shift cancels in y = xs − μ, so
+    // y IS the centered data); the row projection t = y·w stays in
+    // int64 at ANY corpus size (|y| ≤ 8e6, |w| ≤ 1e6, 64 dims
+    // ⇒ |t| ≤ 5e14); t is coarsened by an abs-guarded integer division
+    // (sign·(|t| div 1e3) — div on negatives differs cross-engine, abs
+    // first makes truncation = floor in both) before the back-
+    // projection Σ t·y, which accumulates in DECIMAL(38,0)/HUGEINT —
+    // exact in both engines; per-round renormalization maps the max
+    // coordinate to ±1e6 with the (2a·1e6 + m) div (2m) round-half-up
+    // integer form. Fixed 3 rounds (convergence looping would be a
+    // driver scalar per round — dd7's discipline; three rounds
+    // demonstrate the loop and the Rayleigh monotonicity is spec-
+    // asserted). Shape at scale: the WHOLE training run is one job —
+    // per round two corpus-pass hash-aggs (project, back-project) and
+    // a 64-row broadcast of state; no driver round-trips, no
+    // materialized Gram matrix (never O(d²·n) work), no iteration
+    // state beyond the broadcast loading vector.
+    "emb9_pca_power" -> { (s, d) =>
+      val xs = intGrid(s, d)
+        .select(col("vec_id"), posexplode(col("ivec")).as(Seq("dim", "xs")))
+      // 64-row means, materialized once: every subsequent corpus pass
+      // (yvec build + one back-projection per round) re-derives y from
+      // the scan, and without truncation each would re-run the mean agg
+      val mu = xs.groupBy("dim")
+        .agg(expr("(2 * sum(xs) + count(*)) div (2 * count(*))").as("m"))
+        .localCheckpoint()
+      val y = xs.join(broadcast(mu), "dim")
+        .select(col("vec_id"), col("dim"), (col("xs") - col("m")).as("y"))
+      val yvec = y.groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("y")))).as("p"))
+        .select(col("vec_id"), expr("transform(p, q -> q.y)").as("yv"))
+      var w: DataFrame = mu.select(col("dim"), lit(1000000L).as("w"))
+      for (_ <- 1 to 3) {
+        val wRow = w
+          .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("pw"))
+          .select(expr("transform(pw, q -> q.w)").as("wv"))
+        val t = yvec.crossJoin(broadcast(wRow))
+          .select(col("vec_id"), expr(
+            """aggregate(zip_with(yv, wv, (a, b) -> a * b),
+                         CAST(0 AS BIGINT), (acc, e) -> acc + e)""").as("t"))
+          .select(col("vec_id"), expr(
+            "(CASE WHEN t < 0 THEN -1 ELSE 1 END) * (abs(t) div 1000)").as("t2"))
+        val sv = y.join(t, "vec_id")
+          .groupBy("dim")
+          .agg(sum(expr("CAST(t2 AS DECIMAL(38,0)) * y")).as("sv"))
+        val mx = sv.agg(greatest(max(abs(col("sv"))), lit(1)).as("mx"))
+        w = sv.crossJoin(broadcast(mx))
+          .select(col("dim"), expr(
+            """(CASE WHEN sv < 0 THEN -1 ELSE 1 END) *
+               ((2000000 * abs(sv) + mx) div (2 * mx))""").as("w"))
+      }
+      w.select(col("dim"), col("w").cast("long").as("loading")).orderBy("dim")
     })
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +537,61 @@ object StatOps {
                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
                 CAST(SUM(dist) AS BIGINT) AS total_err
          FROM best WHERE rn = 1
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Three power rounds unrolled; all integer/HUGEINT arithmetic with
+    // abs-before-div so truncating // is floor division, mirroring the
+    // Spark side's DECIMAL(38,0) accumulation exactly.
+    "emb9_pca_power" ->
+      """WITH iu AS (
+           SELECT vec_id, i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    + 4000000 AS xs
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+         mu AS (SELECT dim,
+                       CAST((2 * SUM(xs) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m
+                FROM iu GROUP BY 1),
+         y AS (SELECT vec_id, iu.dim, iu.xs - mu.m AS y
+               FROM iu JOIN mu USING (dim)),
+         w0 AS (SELECT dim, CAST(1000000 AS BIGINT) AS w FROM mu),
+         t1 AS (SELECT vec_id, SUM(y.y * w0.w) AS t
+                FROM y JOIN w0 USING (dim) GROUP BY 1),
+         u1 AS (SELECT vec_id,
+                       (CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                         * CAST(ABS(t) // 1000 AS BIGINT) AS t2
+                FROM t1),
+         s1 AS (SELECT dim, SUM(CAST(t2 AS HUGEINT) * y) AS sv
+                FROM y JOIN u1 USING (vec_id) GROUP BY 1),
+         m1 AS (SELECT GREATEST(MAX(ABS(sv)), 1) AS mx FROM s1),
+         w1 AS (SELECT dim,
+                       (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                         * CAST((2000000 * ABS(sv) + mx) // (2 * mx) AS BIGINT) AS w
+                FROM s1, m1),
+         t2 AS (SELECT vec_id, SUM(y.y * w1.w) AS t
+                FROM y JOIN w1 USING (dim) GROUP BY 1),
+         u2 AS (SELECT vec_id,
+                       (CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                         * CAST(ABS(t) // 1000 AS BIGINT) AS t2
+                FROM t2),
+         s2 AS (SELECT dim, SUM(CAST(t2 AS HUGEINT) * y) AS sv
+                FROM y JOIN u2 USING (vec_id) GROUP BY 1),
+         m2 AS (SELECT GREATEST(MAX(ABS(sv)), 1) AS mx FROM s2),
+         w2 AS (SELECT dim,
+                       (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                         * CAST((2000000 * ABS(sv) + mx) // (2 * mx) AS BIGINT) AS w
+                FROM s2, m2),
+         t3 AS (SELECT vec_id, SUM(y.y * w2.w) AS t
+                FROM y JOIN w2 USING (dim) GROUP BY 1),
+         u3 AS (SELECT vec_id,
+                       (CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                         * CAST(ABS(t) // 1000 AS BIGINT) AS t2
+                FROM t3),
+         s3 AS (SELECT dim, SUM(CAST(t2 AS HUGEINT) * y) AS sv
+                FROM y JOIN u3 USING (vec_id) GROUP BY 1),
+         m3 AS (SELECT GREATEST(MAX(ABS(sv)), 1) AS mx FROM s3),
+         w3 AS (SELECT dim,
+                       (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                         * CAST((2000000 * ABS(sv) + mx) // (2 * mx) AS BIGINT) AS w
+                FROM s3, m3)
+         SELECT dim, CAST(w AS BIGINT) AS loading FROM w3 ORDER BY dim""")
 }

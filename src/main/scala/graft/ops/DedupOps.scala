@@ -527,6 +527,53 @@ object DedupOps {
     out
   }
 
+  /** Connected components when the pair space is PARTITIONED BY
+    * CONSTRUCTION: every edge lies inside one bounded group (a k-means
+    * cell, a blocking key) and each doc belongs to exactly one group, so
+    * components cannot span groups and the global iterative machinery
+    * (connectedComponents / ccTwoStar above) is overkill. One shuffle on
+    * the group key, then a local union-find over the group's edge list —
+    * the group's pair count is bounded at |group|² by the caller's own
+    * scale argument (SemDeDup sizes k so cells stay small), so the local
+    * pass is O(|group|² α) with trivial memory. Versus the iterative CC:
+    * zero rounds, zero driver scalars, and component sizes fall out of the
+    * same local pass (no sizes join). NOT valid for LSH-band pairs, where
+    * a doc sits in many buckets and components chain across them — use
+    * connectedComponents there.
+    * Returns connectedComponents' exact output shape and labels:
+    * (doc_id, cluster_id = min reachable doc_id, n_members). */
+  private[graft] def boundedComponents(pairs: DataFrame, groupCol: String): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val comp = pairs
+      .select(col(groupCol).cast("long"), col("doc_a").cast("long"),
+        col("doc_b").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // min root wins, so each tree's root is the component minimum
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val roots = parent.keys.map(x => (x, find(x))).toArray
+        val sz = scala.collection.mutable.LongMap.empty[Long]
+        roots.foreach { case (_, r) => sz(r) = sz.getOrElse(r, 0L) + 1L }
+        roots.iterator.map { case (x, r) => (x, r, sz(r)) }
+      }
+      .toDF("doc_id", "cluster_id", "n_members")
+    comp.orderBy("doc_id")
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14 — public):
     * large-star points every strictly-larger neighbor at the

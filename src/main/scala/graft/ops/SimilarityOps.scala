@@ -192,10 +192,12 @@ object SimilarityOps {
       // materialized once: the assignment subtree (full Lloyd pipeline)
       // feeds four consumers below (both pair sides, the representative
       // pick, the final manifest) — without truncation each re-runs the
-      // train+assign plan. The query's sf0.1 idle time (~5 s) is stage
-      // COUNT, not data: train + pair-verify + iterative CC chain ~15
-      // sequential jobs at the ~0.3 s floor each (cells are balanced at
-      // ~125 vectors, 862 sem pairs — probed round 10).
+      // train+assign plan. Remaining cost is the trained-codebook chain
+      // (emb7's two Lloyd rounds) plus one pair-verify pass; the CC step
+      // is a single per-cell union-find stage (boundedComponents), not
+      // the iterative chain that made this the suite's slowest gate in
+      // round 10 (~3.9 s idle; cells are balanced at ~125 vectors,
+      // 862 sem pairs — probed round 10).
       val assigned = graft.operators.StatOps.lloydAssign(
           graft.operators.StatOps.intGrid(s, d),
           graft.operators.StatOps.trainedCentroids(s, d))
@@ -214,8 +216,13 @@ object SimilarityOps {
         // would restructure whole clusters — rounding first makes the
         // boundary decision summation-order-independent.
         .filter(graft.functions.Exact.stableRound(col("raw_sim"), 6) >= 0.35)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val clusters = DedupOps.connectedComponents(pairs)
+        .select(col("cell"), col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      // Components cannot span cells (pairs exist only within a cell and
+      // each vec has exactly one cell), so the iterative CC machinery is
+      // unnecessary — one per-cell local union-find replaces the
+      // rounds × (join + agg + checkpoint) chain that made this the
+      // suite's slowest gate. Labels are identical (min member id).
+      val clusters = DedupOps.boundedComponents(pairs, "cell")
       val rep = clusters
         .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
         .groupBy("cluster_id")

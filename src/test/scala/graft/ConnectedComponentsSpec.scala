@@ -65,6 +65,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  private def ccBounded(pairs: Seq[(Long, Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    ops.DedupOps.boundedComponents(pairs.toDF("cell", "doc_a", "doc_b"), "cell")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("bounded per-group union-find agrees with label propagation when edges stay in-group") {
+    // Same fixture graphs, each assigned a group id such that no edge
+    // crosses groups (the dd26 precondition: pairs exist only within a
+    // k-means cell). Components, labels, and sizes must be identical to
+    // the global iterative result.
+    val grouped = Seq(
+      // path+triangle+bridge all share one component → one group; the
+      // isolated pair gets its own
+      Seq((1L, 1L, 2L), (1L, 2L, 3L), (2L, 10L, 11L), (1L, 20L, 21L),
+        (1L, 21L, 22L), (1L, 20L, 22L), (1L, 3L, 20L)),
+      // 20-hop path in one group
+      (100L until 120L).map(i => (7L, i, i + 1)),
+      // duplicate/self edges
+      Seq((1L, 5L, 6L), (1L, 5L, 6L), (1L, 6L, 5L), (2L, 7L, 7L)))
+    grouped.foreach { g =>
+      val flat = g.map { case (_, a, b) => (a, b) }
+      assert(ccBounded(g) == cc(flat), s"boundedComponents diverged on $g")
+    }
+  }
+
   test("two-star converges on a path far deeper than its round budget allows propagation") {
     // 60-hop path: min-label propagation needs ~60 rounds (dd7 caps at
     // 50 and is never given such graphs); two-star's alternation closes

@@ -570,4 +570,51 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     }.sum
     assert(a2.map(_._3).sum <= errKept, "assignment step must be monotone")
   }
+
+  test("emb9: power-iteration PCA matches a sequential exact replay, stays " +
+    "normalized, and improves the Rayleigh quotient") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) + 4000000L) AS ivec")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val dims = vecs.head._2.length
+    val n = vecs.length.toLong
+    val mu = Array.tabulate(dims) { d =>
+      val sx = vecs.map(_._2(d)).sum
+      (2 * sx + n) / (2 * n)
+    }
+    val ys = vecs.map { case (_, v) => Array.tabulate(dims)(d => v(d) - mu(d)) }
+    def rayleigh(w: Array[Long]): BigDecimal = {
+      val num = ys.map { y =>
+        val t = BigInt(y.indices.map(d => y(d) * w(d)).sum)
+        t * t
+      }.sum
+      val den = BigInt(w.map(x => x * x).sum)
+      BigDecimal(num) / BigDecimal(den)
+    }
+    var w = Array.fill(dims)(1000000L)
+    val rho0 = rayleigh(w)
+    for (_ <- 1 to 3) {
+      val s = Array.fill(dims)(BigInt(0))
+      ys.foreach { y =>
+        val t = y.indices.map(d => y(d) * w(d)).sum
+        val t2 = (if (t < 0) -1L else 1L) * (math.abs(t) / 1000L)
+        y.indices.foreach(d => s(d) += BigInt(t2) * BigInt(y(d)))
+      }
+      val m = s.map(_.abs).max.max(BigInt(1))
+      w = s.map(sv =>
+        ((if (sv < 0) -1 else 1) * ((BigInt(2000000) * sv.abs + m) / (2 * m))).toLong)
+    }
+    val got = SparkEntry.queries("emb9_pca_power")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(got.toSeq == w.toSeq, "distributed loadings != sequential replay")
+    assert(got.map(math.abs).max == 1000000L, "normalization invariant")
+    // power iteration must strictly improve the dominant-direction fit
+    // from the uninformed all-ones start (tolerance for the integer
+    // coarsening at each round)
+    assert(rayleigh(w) >= rho0 * BigDecimal("0.999999"),
+      s"Rayleigh quotient regressed: $rho0 -> ${rayleigh(w)}")
+  }
 }
