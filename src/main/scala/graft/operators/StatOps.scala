@@ -356,41 +356,90 @@ object StatOps {
     // materialized Gram matrix (never O(d²·n) work), no iteration
     // state beyond the broadcast loading vector.
     "emb9_pca_power" -> { (s, d) =>
-      val xs = intGrid(s, d)
-        .select(col("vec_id"), posexplode(col("ivec")).as(Seq("dim", "xs")))
-      // 64-row means, materialized once: every subsequent corpus pass
-      // (yvec build + one back-projection per round) re-derives y from
-      // the scan, and without truncation each would re-run the mean agg
-      val mu = xs.groupBy("dim")
-        .agg(expr("(2 * sum(xs) + count(*)) div (2 * count(*))").as("m"))
-        .localCheckpoint()
-      val y = xs.join(broadcast(mu), "dim")
-        .select(col("vec_id"), col("dim"), (col("xs") - col("m")).as("y"))
-      val yvec = y.groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("y")))).as("p"))
-        .select(col("vec_id"), expr("transform(p, q -> q.y)").as("yv"))
-      var w: DataFrame = mu.select(col("dim"), lit(1000000L).as("w"))
-      for (_ <- 1 to 3) {
-        val wRow = w
-          .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("pw"))
-          .select(expr("transform(pw, q -> q.w)").as("wv"))
-        val t = yvec.crossJoin(broadcast(wRow))
-          .select(col("vec_id"), expr(
-            """aggregate(zip_with(yv, wv, (a, b) -> a * b),
-                         CAST(0 AS BIGINT), (acc, e) -> acc + e)""").as("t"))
-          .select(col("vec_id"), expr(
-            "(CASE WHEN t < 0 THEN -1 ELSE 1 END) * (abs(t) div 1000)").as("t2"))
-        val sv = y.join(t, "vec_id")
-          .groupBy("dim")
-          .agg(sum(expr("CAST(t2 AS DECIMAL(38,0)) * y")).as("sv"))
-        val mx = sv.agg(greatest(max(abs(col("sv"))), lit(1)).as("mx"))
-        w = sv.crossJoin(broadcast(mx))
-          .select(col("dim"), expr(
-            """(CASE WHEN sv < 0 THEN -1 ELSE 1 END) *
-               ((2000000 * abs(sv) + mx) div (2 * mx))""").as("w"))
-      }
-      w.select(col("dim"), col("w").cast("long").as("loading")).orderBy("dim")
+      pcaState(s, d)._3
+        .select(col("dim"), col("w").cast("long").as("loading")).orderBy("dim")
+    },
+
+    // EMB10: PCA PROJECTION APPLY — the train→apply half of the emb9
+    // chain, the same relationship sim12 has to emb7: the trained
+    // loading w is applied to every vector as (a) the integer projection
+    // coefficient coeff = sign(t)·(|t| div (S div 1e6)) where t = y·w
+    // and S = Σw² (i.e. 1e6·⟨y,w⟩/⟨w,w⟩, the rank-1 PCA coordinate on
+    // the 1e6 grid) and (b) the exact rank-1 reconstruction residual
+    // energy Σ_d (y_d − sign(coeff·w_d)·(|coeff·w_d| div 1e6))² — the
+    // information the compression loses, the outlier score a curation
+    // pass reviews. Bounds: |t| ≤ 5e14 (int64); Cauchy-Schwarz gives
+    // |coeff·w_d/1e6| ≤ ‖y‖₂ ≤ 6.4e7, so resid² ≤ 5.2e15 and the
+    // 64-dim energy ≤ 3.4e17 — all exact int64, abs-guarded divisions
+    // so truncation = floor in both engines. Shape at scale: train is
+    // emb9's one job; apply is a pure broadcast projection over the
+    // corpus (two 1-row broadcasts: packed w and S) — no shuffle, no
+    // second corpus pass beyond the scan.
+    "emb10_pca_project" -> { (s, d) =>
+      val (_, yvec, w) = pcaState(s, d)
+      val wRow = w
+        .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("pw"))
+        .select(expr("transform(pw, q -> q.w)").as("wv"))
+      val sRow = w.agg(sum(col("w") * col("w")).as("ss"))
+      yvec.crossJoin(broadcast(wRow)).crossJoin(broadcast(sRow))
+        .select(col("vec_id"), col("yv"), col("wv"), expr(
+          """aggregate(zip_with(yv, wv, (a, b) -> a * b),
+                       CAST(0 AS BIGINT), (acc, e) -> acc + e)""").as("t"),
+          col("ss"))
+        .select(col("vec_id"), col("yv"), col("wv"), expr(
+          "(CASE WHEN t < 0 THEN -1 ELSE 1 END) * (abs(t) div (ss div 1000000))")
+          .as("coeff"))
+        .select(col("vec_id"), col("coeff"), expr(
+          """aggregate(zip_with(yv, wv, (yd, wd) ->
+               (yd - (CASE WHEN coeff * wd < 0 THEN -1 ELSE 1 END)
+                     * (abs(coeff * wd) div 1000000))
+               * (yd - (CASE WHEN coeff * wd < 0 THEN -1 ELSE 1 END)
+                       * (abs(coeff * wd) div 1000000))),
+             CAST(0 AS BIGINT), (acc, e) -> acc + e)""").as("resid_energy"))
+        .orderBy("vec_id")
     })
+
+  /** emb9's training state, shared with emb10's apply step: the centered
+    * corpus as (vec_id, dim, y) rows and as packed (vec_id, yv) arrays,
+    * plus the loading vector w after three power rounds. See the
+    * emb9_pca_power scaladoc for the exact-arithmetic scheme. */
+  private[graft] def pcaState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val xs = intGrid(s, d)
+      .select(col("vec_id"), posexplode(col("ivec")).as(Seq("dim", "xs")))
+    // 64-row means, materialized once: every subsequent corpus pass
+    // (yvec build + one back-projection per round) re-derives y from
+    // the scan, and without truncation each would re-run the mean agg
+    val mu = xs.groupBy("dim")
+      .agg(expr("(2 * sum(xs) + count(*)) div (2 * count(*))").as("m"))
+      .localCheckpoint()
+    val y = xs.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("xs") - col("m")).as("y"))
+    val yvec = y.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("y")))).as("p"))
+      .select(col("vec_id"), expr("transform(p, q -> q.y)").as("yv"))
+    var w: DataFrame = mu.select(col("dim"), lit(1000000L).as("w"))
+    for (_ <- 1 to 3) {
+      val wRow = w
+        .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("pw"))
+        .select(expr("transform(pw, q -> q.w)").as("wv"))
+      val t = yvec.crossJoin(broadcast(wRow))
+        .select(col("vec_id"), expr(
+          """aggregate(zip_with(yv, wv, (a, b) -> a * b),
+                       CAST(0 AS BIGINT), (acc, e) -> acc + e)""").as("t"))
+        .select(col("vec_id"), expr(
+          "(CASE WHEN t < 0 THEN -1 ELSE 1 END) * (abs(t) div 1000)").as("t2"))
+      val sv = y.join(t, "vec_id")
+        .groupBy("dim")
+        .agg(sum(expr("CAST(t2 AS DECIMAL(38,0)) * y")).as("sv"))
+      val mx = sv.agg(greatest(max(abs(col("sv"))), lit(1)).as("mx"))
+      w = sv.crossJoin(broadcast(mx))
+        .select(col("dim"), expr(
+          """(CASE WHEN sv < 0 THEN -1 ELSE 1 END) *
+             ((2000000 * abs(sv) + mx) div (2 * mx))""").as("w"))
+    }
+    (y, yvec, w)
+  }
 
   val oracles: Map[String, String] = Map(
     "f20_pearson_corr" ->
@@ -543,7 +592,37 @@ object StatOps {
     // abs-before-div so truncating // is floor division, mirroring the
     // Spark side's DECIMAL(38,0) accumulation exactly.
     "emb9_pca_power" ->
-      """WITH iu AS (
+      s"""WITH $duckPcaChain
+         SELECT dim, CAST(w AS BIGINT) AS loading FROM w3 ORDER BY dim""",
+
+    // emb9's trained loading applied: integer projection coefficient and
+    // exact rank-1 residual energy (see the Spark-side scaladoc for the
+    // bounds). SUM(BIGINT) lands as HUGEINT in DuckDB → CAST back to
+    // BIGINT so the hash classes match.
+    "emb10_pca_project" ->
+      s"""WITH $duckPcaChain,
+         ss AS (SELECT SUM(w * w) AS ss FROM w3),
+         tv AS (SELECT vec_id, SUM(y.y * w3.w) AS t
+                FROM y JOIN w3 USING (dim) GROUP BY 1),
+         cv AS (SELECT vec_id,
+                       (CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                         * CAST(ABS(t) // CAST(ss // 1000000 AS BIGINT) AS BIGINT)
+                         AS coeff
+                FROM tv, ss)
+         SELECT y.vec_id, cv.coeff,
+                CAST(SUM((y.y - (CASE WHEN cv.coeff * w3.w < 0 THEN -1 ELSE 1 END)
+                                  * CAST(ABS(cv.coeff * w3.w) // 1000000 AS BIGINT))
+                         * (y.y - (CASE WHEN cv.coeff * w3.w < 0 THEN -1 ELSE 1 END)
+                                    * CAST(ABS(cv.coeff * w3.w) // 1000000 AS BIGINT)))
+                     AS BIGINT) AS resid_energy
+         FROM y JOIN w3 USING (dim) JOIN cv ON cv.vec_id = y.vec_id
+         GROUP BY 1, 2 ORDER BY y.vec_id""")
+
+  /** The DuckDB replay of pcaState's three power rounds (shared by the
+    * emb9 and emb10 oracles): CTE chain ending at `y` (centered corpus)
+    * and `w3` (the trained loading). */
+  private[graft] def duckPcaChain: String =
+      """iu AS (
            SELECT vec_id, i - 1 AS dim,
                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
                     + 4000000 AS xs
@@ -592,6 +671,5 @@ object StatOps {
          w3 AS (SELECT dim,
                        (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
                          * CAST((2000000 * ABS(sv) + mx) // (2 * mx) AS BIGINT) AS w
-                FROM s3, m3)
-         SELECT dim, CAST(w AS BIGINT) AS loading FROM w3 ORDER BY dim""")
+                FROM s3, m3)"""
 }

@@ -283,6 +283,47 @@ object SimilarityOps {
         .orderBy("anchor_id")
     },
 
+    // TX25: CLUSTER TOPIC LABELING (c-TF-IDF, Grootendorst's BERTopic
+    // scheme, public): each emb7-trained k-means cell gets its top-3
+    // characteristic terms, scored cell_tf × (n_cells+1)/(cell_df+1) —
+    // term frequency within the cell against how many cells contain the
+    // term at all. This is the corpus-map step of a curation pipeline
+    // (Nemotron-CC-style domain clustering): cluster the embeddings,
+    // then NAME the clusters so humans can audit the mixture. The score
+    // is a product/quotient of integers (log-free, tx13's convention) so
+    // it hash-gates; ties → lexicographically smaller term. Shape at
+    // scale: assignment is emb7's broadcast-codebook projection; tf is
+    // one (cell, term) hash-agg over the token stream; cell-df is a
+    // re-agg of tf (never a second corpus scan); n_cells is a 1-row
+    // broadcast; the rank window partitions by cell (bounded at K cells
+    // × vocabulary, never by corpus size).
+    "tx25_cluster_terms" -> { (s, d) =>
+      val cells = graft.operators.StatOps.lloydAssign(
+          graft.operators.StatOps.intGrid(s, d),
+          graft.operators.StatOps.trainedCentroids(s, d))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val tf = Tables.documents(s, d)
+        .join(cells, Seq("doc_id"))
+        .select(col("cell"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("cell", "term").agg(count(lit(1)).as("ctf"))
+      val cdf = tf.groupBy("term").agg(count(lit(1)).as("cdf"))
+      val nc = tf.select(col("cell")).distinct()
+        .agg(count(lit(1)).as("n_cells"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("score").desc, col("term"))
+      tf.join(cdf, Seq("term"))
+        .crossJoin(broadcast(nc))
+        .withColumn("score",
+          col("ctf") * (col("n_cells") + lit(1.0)) / (col("cdf") + lit(1.0)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("cell"), col("rk").cast("long").as("rk"), col("term"),
+          col("ctf"), round(col("score"), 4).as("score"))
+        .orderBy("cell", "rk")
+    },
+
     // SIM7: reciprocal-rank fusion of two retrieval modalities — the
     // standard way hybrid search merges rankings that don't share a score
     // scale (RRF, Cormack et al. SIGIR'09): here the exact cosine ranking
@@ -869,6 +910,39 @@ object SimilarityOps {
                  g.cand_id AS negative_id, g.sim AS negative_sim
           FROM pos p JOIN neg g USING (anchor_id)
           ORDER BY p.anchor_id""",
+
+    // TX25: same trained-cell assignment chain, then c-TF-IDF over the
+    // member documents' tokens (tx13's log-free integer-ratio scoring).
+    "tx25_cluster_terms" ->
+      s"""WITH ${graft.operators.StatOps.duckTrainedCentroids},
+          adist AS (SELECT iu.vec_id, c.cell,
+                           SUM((iu.x - c.c) * (iu.x - c.c)) AS dist
+                    FROM iu JOIN c1 c ON c.dim = iu.dim
+                    GROUP BY 1, 2),
+          assigned AS (SELECT vec_id AS doc_id, cell FROM
+                         (SELECT vec_id, cell,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+                          FROM adist)
+                       WHERE rn = 1),
+          tok AS (SELECT a.cell, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                    FROM documents) t
+                  JOIN assigned a USING (doc_id)
+                  WHERE length(term) >= 3),
+          tf AS (SELECT cell, term, COUNT(*) AS ctf FROM tok GROUP BY 1, 2),
+          cdf AS (SELECT term, COUNT(*) AS cdf FROM tf GROUP BY 1),
+          nc AS (SELECT COUNT(DISTINCT cell) AS n_cells FROM tf),
+          scored AS (SELECT cell, term, ctf,
+                            ctf * (n_cells + 1.0) / (cdf + 1.0) AS score
+                     FROM tf JOIN cdf USING (term) CROSS JOIN nc),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY score DESC, term) AS rk
+                FROM scored)
+          SELECT cell, rk, term, ctf, ROUND(score, 4) AS score
+          FROM r WHERE rk <= 3
+          ORDER BY cell, rk""",
 
     // SIM7: both modality rankings recomputed from scratch (sim1's dot
     // ranking + sim2's bucket machinery reduced to collision votes),

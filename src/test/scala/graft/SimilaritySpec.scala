@@ -199,4 +199,44 @@ class SimilaritySpec extends AnyFunSuite {
         s"triple for anchor $a crosses cells")
     }
   }
+
+  test("tx25: cluster topic terms come from member documents and rank " +
+    "by the c-TF-IDF order") {
+    val rows = SparkEntry.queries("tx25_cluster_terms")(spark, sfDir)
+      .collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no cluster terms emitted")
+    // per cell: ranks are exactly 1..k (k ≤ 3), scores non-increasing,
+    // ties broken by term ascending
+    rows.groupBy(_._1).foreach { case (cell, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"cell $cell rank gap")
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, _, s1), (_, _, t2, _, s2)) =>
+          assert(s1 > s2 || (s1 == s2 && t1 < t2),
+            s"cell $cell order violated: ($t1,$s1) before ($t2,$s2)")
+        case _ =>
+      }
+    }
+    // every labeled term occurs, with the claimed frequency, in the
+    // cell's member documents
+    val cells = graft.operators.StatOps.lloydAssign(
+        graft.operators.StatOps.intGrid(spark, sfDir),
+        graft.operators.StatOps.trainedCentroids(spark, sfDir))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    val docTerms = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z]+").filter(_.length >= 3))
+      .toMap
+    rows.foreach { case (cell, _, term, ctf, _) =>
+      val freq = docTerms.collect {
+        case (id, ts) if cells.get(id).contains(cell) => ts.count(_ == term)
+      }.sum
+      assert(freq == ctf, s"cell $cell term '$term': claimed $ctf, found $freq")
+    }
+  }
 }

@@ -616,5 +616,34 @@ class StatLayoutOpsSpec extends AnyFunSuite {
     // coarsening at each round)
     assert(rayleigh(w) >= rho0 * BigDecimal("0.999999"),
       s"Rayleigh quotient regressed: $rho0 -> ${rayleigh(w)}")
+
+    // emb10 (train→apply): the projection coefficient and the rank-1
+    // residual energy against a sequential replay using THIS w, plus the
+    // residual-shrinks-the-vector invariant (the rank-1 reconstruction
+    // must not lose more energy than the vector has).
+    val ss = w.map(x => x * x).sum
+    val expected = vecs.map(_._1).zip(ys).map { case (id, y) =>
+      val t = y.indices.map(d => y(d) * w(d)).sum
+      val c = (if (t < 0) -1L else 1L) * (math.abs(t) / (ss / 1000000L))
+      val e = y.indices.map { d =>
+        val cw = c * w(d)
+        val recon = (if (cw < 0) -1L else 1L) * (math.abs(cw) / 1000000L)
+        val r = y(d) - recon
+        r * r
+      }.sum
+      (id, c, e)
+    }
+    val gotP = SparkEntry.queries("emb10_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(gotP.toSeq == expected.toSeq,
+      "distributed projection != sequential replay")
+    val yEnergy = ys.map(y => y.map(v => v * v).sum).zip(gotP)
+    yEnergy.foreach { case (ey, (id, _, e)) =>
+      // +256 = worst-case integer-coarsening slack (≤2 per dim, squared
+      // cross-term bounded by the 64-dim sum; exact when y = 0)
+      assert(e <= ey + 256,
+        s"vec $id: residual energy $e exceeds vector energy $ey")
+    }
   }
 }
