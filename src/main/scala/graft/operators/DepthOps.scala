@@ -280,9 +280,15 @@ object DepthOps {
     // is histogram-bucket two-phase refinement (bucket counts → locate
     // the median bucket → recurse), every pass a mergeable agg.
     "w12_robust_mad" -> { (s, d) =>
+      // checkpointed: cnt feeds the median window AND the deviation
+      // re-count, dev feeds the MAD window AND the census — without the
+      // truncation each consumer re-runs the fact scan+agg (4 scans in
+      // the static plan; exchange reuse does not fire across the
+      // float-normalization wrappers)
       val cnt = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       // discrete median over a (key, value, count) table
       def discMedian(in: DataFrame, out: String): DataFrame = {
         val cum = Window.partitionBy("l_returnflag").orderBy("v")
@@ -298,6 +304,7 @@ object DepthOps {
         .select(col("l_returnflag"),
           abs(col("v") - col("med")).as("v"), col("c"), col("med"))
         .groupBy("l_returnflag", "v", "med").agg(sum(col("c")).as("c"))
+        .localCheckpoint()
       val mad = discMedian(dev, "mad")
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy("l_returnflag")

@@ -22,6 +22,57 @@ object SamplingOps {
     s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
 
   val queries: Map[String, Q] = Map(
+    // SA19: UNIMAX budget allocation (Chung et al. 2023, public) — the
+    // mixture rule that replaced temperature sampling for multilingual
+    // pretraining: give every stratum as equal a token budget as
+    // possible WITHOUT repeating any stratum past its available tokens
+    // (the cap that prevents epoching tail languages into memorization).
+    // Exact integer water-filling: strata sorted by availability, the
+    // pivot m = the largest rank where granting every remaining stratum
+    // rank-m's availability still fits the budget (feasibility is
+    // monotone in rank, so the pivot is a MAX over the prefix-feasible
+    // set — no iteration); below the pivot a stratum takes all it has,
+    // above it the leftover budget splits evenly (floor division).
+    // allocated = least(avail, cap) is exact in int64; epochs_ppm =
+    // allocated·1e6 div avail is the repeat factor on the ppm grid.
+    // Budget = 40% of the corpus (2·total div 5). Shape at scale: one
+    // corpus hash-agg to strata; everything after (rank window, cumsum,
+    // pivot max, cap) runs on the DIMENSION-sized strata table
+    // (#lang × #source rows) — the global window never sees corpus rows.
+    "sa19_unimax" -> { (s, d) =>
+      // checkpointed: the dimension-sized strata table feeds the total,
+      // the rank window, and (through ranked) the pivot and the final
+      // projection — one corpus pass total, never one per consumer
+      val strata = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang", "source")
+        .agg(sum(col("n_tokens")).as("avail"))
+        .localCheckpoint()
+      val tot = strata.agg(
+        sum(col("avail")).as("total"), count(lit(1)).as("k"))
+      val ord = Window.orderBy(col("avail"), col("lang"), col("source"))
+      val ranked = strata.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(2 * total) div 5"))
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("avail")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // cum is monotone in i, so max(i) and max(cum) over the feasible
+      // prefix are the same row's values
+      val pivot = ranked
+        .filter(col("cum") + (col("k") - col("i")) * col("avail") <= col("budget"))
+        .agg(max(col("i")).as("m"), max(col("cum")).as("sm"))
+        .select(coalesce(col("m"), lit(0L)).as("m"),
+          coalesce(col("sm"), lit(0L)).as("sm"))
+      ranked.crossJoin(broadcast(pivot))
+        .withColumn("cap", expr("(budget - sm) div (k - m)"))
+        .withColumn("allocated", least(col("avail"), col("cap")))
+        .select(col("lang"), col("source"), col("avail"),
+          col("allocated"),
+          expr("(allocated * 1000000) div avail").as("epochs_ppm"),
+          (col("avail") > col("cap")).as("capped"))
+        .orderBy("lang", "source")
+    },
+
     // SA18: DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023), the domain-targeting selector: score every raw document by
     // how much more likely its hashed-unigram features are under the
@@ -367,6 +418,35 @@ object SamplingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // Same integer water-filling: monotone feasibility prefix, pivot by
+    // MAX, floor-division cap. SUM()s cast back to BIGINT (HUGEINT→
+    // float64 is a hash class).
+    "sa19_unimax" ->
+      """WITH strata AS (
+           SELECT lang, source,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total,
+                        COUNT(*) AS k,
+                        CAST((2 * SUM(avail)) // 5 AS BIGINT) AS budget
+                 FROM strata),
+         ranked AS (
+           SELECT lang, source, avail, total, k, budget,
+                  CAST(ROW_NUMBER() OVER (ORDER BY avail, lang, source) AS BIGINT) AS i,
+                  CAST(SUM(avail) OVER (ORDER BY avail, lang, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM strata CROSS JOIN tot),
+         pv AS (
+           SELECT COALESCE(MAX(i), 0) AS m, COALESCE(MAX(cum), 0) AS sm
+           FROM ranked WHERE cum + (k - i) * avail <= budget)
+         SELECT lang, source, avail,
+                CAST(LEAST(avail, (budget - sm) // (k - m)) AS BIGINT) AS allocated,
+                CAST((LEAST(avail, (budget - sm) // (k - m)) * 1000000) // avail
+                     AS BIGINT) AS epochs_ppm,
+                avail > (budget - sm) // (k - m) AS capped
+         FROM ranked CROSS JOIN pv
+         ORDER BY lang, source""",
+
     // Same hashed-feature space, smoothing, and rounded-weight ranking;
     // ln() on exact integer ratios both engines.
     "sa18_dsir_resample" ->

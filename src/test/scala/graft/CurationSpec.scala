@@ -411,4 +411,38 @@ class CurationSpec extends AnyFunSuite {
     assert(phases(0)._3 * 5 >= totalToks - 5 * phases(0)._5)
     assert((phases(0)._3 + phases(1)._3) * 2 >= totalToks - 2 * phases(1)._5)
   }
+
+  test("sa19: UniMax allocation conserves the budget, never over-draws a " +
+    "stratum, and matches a sequential water-filling replay") {
+    val rows = SparkEntry.queries("sa19_unimax")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty, "no strata emitted")
+    val k = rows.length
+    val total = rows.map(_._3).sum
+    val budget = 2 * total / 5
+    val alloc = rows.map(_._4).sum
+    assert(alloc <= budget, s"allocation $alloc exceeds budget $budget")
+    // floor-division slack is < the number of above-pivot strata ≤ k
+    assert(budget - alloc < k, s"unspent ${budget - alloc} with $k strata")
+    rows.foreach { case (l, src, av, al, ep, capped) =>
+      assert(al <= av, s"$l/$src over-drawn: $al > $av")
+      assert(ep == al * 1000000L / av, s"$l/$src epochs_ppm mismatch")
+      if (capped) assert(al < av, s"$l/$src capped but fully drawn")
+      else assert(al == av, s"$l/$src uncapped but rationed")
+    }
+    // every capped stratum receives the same (single) cap value
+    assert(rows.filter(_._6).map(_._4).toSet.size <= 1, "multiple cap values")
+    // sequential replay of the pivot + cap
+    val sorted = rows.sortBy(r => (r._3, r._1, r._2))
+    var m = 0; var sm = 0L; var cum = 0L
+    sorted.zipWithIndex.foreach { case (r, idx) =>
+      cum += r._3
+      if (cum + (k - idx - 1) * r._3 <= budget) { m = idx + 1; sm = cum }
+    }
+    val cap = (budget - sm) / (k - m)
+    rows.foreach { case (l, src, av, al, _, _) =>
+      assert(al == math.min(av, cap), s"$l/$src: $al != min($av, $cap)")
+    }
+  }
 }

@@ -714,4 +714,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Cross, (ida"),
       s"no re-derivation of the all-pairs stage:\n$p")
   }
+
+  test("w12: the fact is aggregated once — downstream medians/census read " +
+    "the checkpointed count tables, never a re-scan") {
+    val p = plan("w12_robust_mad")
+    assert(!p.contains("FileScan"),
+      s"w12 final stage must not re-scan the fact:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"count tables must arrive as checkpoint scans:\n$p")
+    // the old form's per-group sort-collect aggregate must stay gone
+    assert(!p.contains("percentile_disc"), s"sort-collect percentile:\n$p")
+  }
+
+  test("sa19: the corpus collapses to strata before any window — the rank/" +
+    "cumsum machinery only ever sees the checkpointed dimension table") {
+    val p = plan("sa19_unimax")
+    assert(!p.contains("FileScan"),
+      s"sa19 downstream stages must not re-scan documents:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"strata must arrive as a checkpoint scan:\n$p")
+    assert(p.contains("Window"), s"rank/cumsum window expected:\n$p")
+  }
 }
