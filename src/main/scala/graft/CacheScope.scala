@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry for QUERY-LOCAL `persist()` calls, so the benchmark harness can
+  * evict them between timed repeats.
+  *
+  * Why (ADVICE r11): Spark's CacheManager dedups cache entries by logical
+  * plan, so a persisted frame built fresh inside a query function is still
+  * served from the PREVIOUS run's warm InMemoryRelation on every timed
+  * repeat — the committed sample then excludes the scan+agg work the DuckDB
+  * comparable re-executes every run. Frames whose lifetime is one query
+  * execution therefore persist through [[persistScoped]], and Bench calls
+  * [[drain]] between timed runs so each sample pays the full plan cost.
+  *
+  * Memoized CROSS-query state (Tables' opt-in base-table cache, the staged
+  * dedup/graph pipeline caches, trained-model stages) must NOT go through
+  * here — being warm across queries is their declared contract.
+  */
+object CacheScope {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** `df.persist()` + register for [[drain]]. */
+  def persistScoped(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    live.add(p)
+    p
+  }
+
+  /** Unpersist every scoped frame. Removing the CacheManager entry makes the
+    * next structurally-identical plan recompute instead of plan-dedup-reusing
+    * the warm buffers. No-op when nothing is registered. */
+  def drain(): Unit = {
+    var d = live.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = live.poll()
+    }
+  }
+}

@@ -73,6 +73,6 @@ object CharGramsGenerator {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_grams",
       exprs => CharGramsGenerator(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]),
+        NGramsGenerator.literalInt(exprs(1), "char_grams")),
       "scala_udf")
 }

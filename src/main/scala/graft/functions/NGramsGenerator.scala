@@ -57,12 +57,31 @@ case class NGramsGenerator(child: Expression, n: Int)
 }
 
 object NGramsGenerator {
+  /** Fold a registration-time argument to an Int, with a clear error when
+    * the caller passes a column or a non-integral literal (a bare
+    * `.eval(null).asInstanceOf[Int]` throws an opaque ClassCastException /
+    * NPE at parse time for e.g. `CAST(4 AS BIGINT)` or a column ref). */
+  private[functions] def literalInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Int = {
+    def fail(got: String): Nothing = throw new IllegalArgumentException(
+      s"$fn(input, n): n must be a foldable integer literal, got $got")
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => fail("NULL")
+      case other => fail(s"${other.getClass.getSimpleName} ${e.sql}")
+    }
+  }
+
   /** Register `ngrams(tokens, n)` as a session generator function (usable
     * in SQL generator position / LATERAL VIEW). Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngrams",
-      exprs => NGramsGenerator(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]),
+      exprs => NGramsGenerator(exprs(0), literalInt(exprs(1), "ngrams")),
       "scala_udf")
 }

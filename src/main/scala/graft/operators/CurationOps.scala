@@ -97,7 +97,10 @@ object CurationOps {
       val sh = hashedShingles(s, d)
       val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      sh.join(broadcast(dfreq), Seq("sh"))
+      // per-SHINGLE document-frequency table: no broadcast hint (r11
+      // verdict item 3's size class — AQE broadcasts while small, shuffles
+      // at corpus scale)
+      sh.join(dfreq, Seq("sh"))
         .withColumn("rk", row_number().over(wDoc.orderBy("df", "sh")))
         .withColumn("m", count(lit(1)).over(wDoc))
         .select("doc_id", "sh", "rk", "m")
@@ -163,11 +166,12 @@ object CurationOps {
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
     val arrs = docShingleArrays(s, d)
+    // per-document array table: no broadcast hint (rankedShingles' note)
     cand
-      .join(broadcast(arrs.select(col("doc_id").as("doc_a"),
-        col("arr").as("arr_a"), col("m").as("na"))), Seq("doc_a"))
-      .join(broadcast(arrs.select(col("doc_id").as("doc_b"),
-        col("arr").as("arr_b"), col("m").as("nb"))), Seq("doc_b"))
+      .join(arrs.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("m").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("m").as("nb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -551,7 +555,8 @@ object CurationOps {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), graft.ops.TextOps.bagFingerprint.as("fp"))
       val firstFp = docs.groupBy("fp").agg(min(col("doc_id")).as("first_id"))
-      val exact = docs.join(broadcast(firstFp), Seq("fp"))
+      // per-distinct-fingerprint table (~per-document): no broadcast hint
+      val exact = docs.join(firstFp, Seq("fp"))
         .select(col("doc_id"), (col("doc_id") > col("first_id")).as("is_exact"))
       val nearIds = jaccardPairs(s, d)
         .select(col("doc_b").as("doc_id")).distinct()
@@ -615,17 +620,19 @@ object CurationOps {
     // source B? (Heavy off-diagonal mass means the mixture's effective
     // token count is lower than its row count, and dedup must run ACROSS
     // the sources, not within them.) Reuses dd16's verified Jaccard >= t
-    // pair stream; the doc→source dimension is dimension-sized and
-    // broadcasts; the matrix itself is |sources|² at most — tiny at any
+    // pair stream; the doc→source map attaches as a plain equi-join
+    // (per-DOCUMENT sized — AQE decides the strategy; a forced broadcast
+    // of it would not survive 100×); the matrix itself is |sources|² at
+    // most — tiny at any
     // corpus scale. Cross-source pairs only (the within-source diagonal
     // is dd16's job); pair-id checksum pins the exact pair set.
     "dd20_source_overlap" -> { (s, d) =>
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       jaccardPairs(s, d)
-        .join(broadcast(src.select(col("doc_id").as("doc_a"),
-          col("source").as("src_a0"))), Seq("doc_a"))
-        .join(broadcast(src.select(col("doc_id").as("doc_b"),
-          col("source").as("src_b0"))), Seq("doc_b"))
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a0")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b0")), Seq("doc_b"))
         .filter(col("src_a0") =!= col("src_b0"))
         .select(least(col("src_a0"), col("src_b0")).as("source_a"),
           greatest(col("src_a0"), col("src_b0")).as("source_b"),
@@ -651,11 +658,12 @@ object CurationOps {
       // candidate, no post-candidate shuffle.
       val cand = containmentCandidates(s, d)
       val arrs = docShingleArrays(s, d)
+      // per-document array table: no broadcast hint (rankedShingles' note)
       cand
-        .join(broadcast(arrs.select(col("doc_id").as("small"),
-          col("arr").as("arr_s"), col("m").as("ms"))), Seq("small"))
-        .join(broadcast(arrs.select(col("doc_id").as("big"),
-          col("arr").as("arr_b"), col("m").as("mbig"))), Seq("big"))
+        .join(arrs.select(col("doc_id").as("small"),
+          col("arr").as("arr_s"), col("m").as("ms")), Seq("small"))
+        .join(arrs.select(col("doc_id").as("big"),
+          col("arr").as("arr_b"), col("m").as("mbig")), Seq("big"))
         .withColumn("inter", size(array_intersect(col("arr_s"), col("arr_b"))))
         .filter(col("inter").cast("double") / col("ms") >= CONTAIN_T)
         .select(least(col("small"), col("big")).as("doc_a"),

@@ -36,29 +36,23 @@ object DepthOps {
   val queries: Map[String, Q] = Map(
     // A26: WEIGHTED median — the estimator a26 pipelines reach for when
     // rows carry unequal mass (price weighted by quantity: "the median
-    // dollar", not the median line). Discrete selection: under the total
-    // order (price, orderkey, linenumber) within each group, the weighted
-    // median is the FIRST element whose running weight reaches half the
-    // group total — one partitioned window cumsum + one min-selection,
-    // both exchanges on the group key; no global sort, no interpolation
-    // (the picked value is an actual data element → bit-stable).
+    // dollar", not the median line). The weighted median is the first
+    // price whose running weight reaches half the group total; since equal
+    // prices accumulate contiguously under any price-ordered total order,
+    // that selection is purely a function of the (price → total weight)
+    // count table, so since r12 it runs through QuantileRefine at weighted
+    // rank ceil(tw/2) — no per-group row window over the fact (the
+    // previous form cum-summed every RAW row in one partitioned window; at
+    // sf1 the 3 flags put ~2M rows in each window task). The picked value
+    // is an actual data element → bit-stable, no interpolation.
     "a26_weighted_median" -> { (s, d) =>
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_quantity").cast("long").as("qty"))
-        .withColumn("cumw", sum(col("qty")).over(w))
-      val tot = li.groupBy("l_returnflag")
-        .agg(sum(col("qty")).as("total_weight"))
-      li.join(broadcast(tot), "l_returnflag")
-        .filter(col("cumw") * 2 >= col("total_weight"))
-        .groupBy("l_returnflag")
-        .agg(
-          max(col("total_weight")).as("total_weight"),
-          min(struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-            .getField("l_extendedprice").as("weighted_median_price"))
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("c"))
+      QuantileRefine.atRankExprs(rows, Seq("l_returnflag"),
+        Seq("wm" -> "(n + 1) DIV 2"))
+        .select(col("l_returnflag"), col("n").as("total_weight"),
+          col("v").as("weighted_median_price"))
         .orderBy("l_returnflag")
     },
 
@@ -100,28 +94,39 @@ object DepthOps {
     // which is rounded); mode is computed as an explicit deterministic
     // argmax — highest count, smallest value on ties — because native
     // mode() tie-breaking is engine-defined on both sides.
+    //
+    // Since r12 all three quantiles come from QuantileRefine over one
+    // shared (flag, value)-count table — the previous percentile_disc /
+    // percentile_cont sort-aggs funneled each group's raw rows into one
+    // sort buffer per group (the w12-class bound). Rank mapping:
+    //   percentile_disc(q)  = value at weighted rank ceil(q·n)
+    //   percentile_cont(.5) = lower + (upper − lower)·0.5 at real position
+    //                         (n+1)/2, i.e. ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1
+    // (QuantileRefineSpec pins both mappings against the built-ins). The
+    // mode window is replaced by a struct-argmax hash-agg on the same
+    // count table.
     "a18_ordered_set" -> { (s, d) =>
-      Tables.lineitem(s, d).createOrReplaceTempView("a18_lineitem")
-      s.sql(
-        """WITH counts AS (
-          |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
-          |  FROM a18_lineitem GROUP BY 1, 2),
-          |mode_pick AS (
-          |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
-          |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
-          |                            ORDER BY cnt DESC, l_quantity) AS rn
-          |  FROM counts),
-          |ordered AS (
-          |  SELECT l_returnflag,
-          |         percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_disc,
-          |         percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_disc,
-          |         ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_cont
-          |  FROM a18_lineitem GROUP BY 1)
-          |SELECT o.l_returnflag, o.q25_disc, o.median_disc, o.median_cont,
-          |       m.mode_qty, m.mode_n
-          |FROM ordered o JOIN mode_pick m ON o.l_returnflag = m.l_returnflag
-          |WHERE m.rn = 1
-          |ORDER BY o.l_returnflag""".stripMargin)
+      val cnt = graft.CacheScope.persistScoped(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+          .agg(count(lit(1)).as("c")))
+      val vals = QuantileRefine.atRankExprs(cnt, Seq("l_returnflag"),
+        Seq("q25" -> "(n + 3) DIV 4", "med" -> "(n + 1) DIV 2",
+          "clo" -> "(n + 1) DIV 2", "chi" -> "n DIV 2 + 1"))
+      def pick(rid: String) = max(when(col("rid") === rid, col("v")))
+      val quantiles = vals.groupBy("l_returnflag")
+        .agg(
+          pick("q25").as("q25_disc"),
+          pick("med").as("median_disc"),
+          round(pick("clo") + (pick("chi") - pick("clo")) * 0.5, 4).as("median_cont"))
+      val mode = cnt.groupBy("l_returnflag")
+        .agg(max(struct(col("c"), (-col("v")).as("nv"))).as("b"))
+        .select(col("l_returnflag"),
+          (-col("b.nv")).as("mode_qty"), col("b.c").as("mode_n"))
+      quantiles.join(mode, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("q25_disc"), col("median_disc"),
+          col("median_cont"), col("mode_qty"), col("mode_n"))
+        .orderBy("l_returnflag")
     },
 
     // W10: value windows — first/last/nth over an explicit full frame,
@@ -262,51 +267,35 @@ object DepthOps {
     // outlier census whose fence is the same double expression tree on
     // both sides.
     //
-    // Scale shape: the fact is touched ONCE — a mergeable
-    // (flag, value)-count hash-agg. Everything after runs on the distinct-
-    // value table: percentile_disc(0.5) = the smallest value whose
-    // cumulative count reaches half the rows (an integer comparison,
-    // 2·cum ≥ n), and since adev = |value − med| maps distinct values to
-    // distinct deviations, the second median AND the 3-MAD census reuse
-    // the same count table — no second fact pass. The previous SQL form
-    // (percentile_disc aggregates + two fact-to-median joins) funneled
-    // every group's raw rows into one sort-collect buffer per group AND
-    // re-scanned the fact for the deviation pass: measured 4.75 s at
-    // sf1 vs 0.62 s for this plan, with the sf0.1→sf1 slope dropping
-    // 6.2× → ~flat (the count table absorbs the growth). Residual scale
-    // bound: the cumulative window still sorts each group's distinct
-    // values in one task — fine for low-cardinality grouping (3 flags
-    // here); when a single group outgrows a task, the known extension
-    // is histogram-bucket two-phase refinement (bucket counts → locate
-    // the median bucket → recurse), every pass a mergeable agg.
+    // Scale shape (r12): both medians run through
+    // [[QuantileRefine.atRankExprs]] straight over the fact rows — each
+    // median is bucket-histogram agg (mergeable) → locate bucket on a
+    // constant-size table → exact pass over the residual interval. No task
+    // ever sorts a whole group (the r11-documented bound, retired), and
+    // nothing corpus-sized is persisted: the r11 interim form cached a
+    // (flag, price)-count table that is ~fact-sized (prices are nearly
+    // unique), so once ADVICE r11's cache-reuse skew was fixed, every
+    // timed run paid a 0.67 s (sf0.1) InMemoryRelation build before any
+    // real work; the histogram passes replace that with plain hash-aggs
+    // over the session-cached base table (w12 2.83 → ~0.9 s sf0.1 honest).
+    // The 3-row median/MAD frames ARE scope-persisted: they are the only
+    // subtrees with 2+ consumers, and caching them costs nothing while
+    // guaranteeing the refinement chain never re-executes even where
+    // exchange reuse fails to fire.
     "w12_robust_mad" -> { (s, d) =>
-      // persisted: cnt feeds the median window AND the deviation
-      // re-count, dev feeds the MAD window AND the census — without a
-      // shared materialization each consumer re-runs the fact scan+agg
-      // (4 scans in the static plan; exchange reuse does not fire across
-      // the float-normalization wrappers). persist (lazy InMemoryRelation,
-      // computed once inside the single action) beats localCheckpoint
-      // here: the eager checkpoint's serialize barrier measured +0.7 s.
-      val cnt = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .persist()
-      // discrete median over a (key, value, count) table
-      def discMedian(in: DataFrame, out: String): DataFrame = {
-        val cum = Window.partitionBy("l_returnflag").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy("l_returnflag")
-        in.withColumn("cum", sum(col("c")).over(cum))
-          .withColumn("n", sum(col("c")).over(tot))
-          .filter(col("cum") * 2 >= col("n"))
-          .groupBy("l_returnflag").agg(min(col("v")).as(out))
-      }
-      val med = discMedian(cnt, "med")
-      val dev = cnt.join(broadcast(med), Seq("l_returnflag"))
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          lit(1L).as("c"))
+      // discrete median: smallest v with cum·2 ≥ n ⟺ weighted rank ceil(n/2)
+      def discMedian(in: DataFrame, out: String): DataFrame =
+        graft.CacheScope.persistScoped(
+          QuantileRefine.atRankExprs(in, Seq("l_returnflag"),
+            Seq(out -> "(n + 1) DIV 2"))
+            .select(col("l_returnflag"), col("v").as(out)))
+      val med = discMedian(rows, "med")
+      val dev = rows.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           abs(col("v") - col("med")).as("v"), col("c"), col("med"))
-        .groupBy("l_returnflag", "v", "med").agg(sum(col("c")).as("c"))
-        .persist()
       val mad = discMedian(dev, "mad")
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy("l_returnflag")

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.SortableDoubleBits
+
+/** Exact value-at-rank over weighted rows, computed with MERGEABLE
+  * aggregations only — the histogram-bucket two-phase refinement that
+  * w12/a18/a26's scaladocs promised (r11 verdict item 2; reference
+  * semantics: percentile_disc / median / weighted median, cf. the
+  * reference's aggregations.sql percentile rollups).
+  *
+  * Why: the naive exact form of an ordered-set aggregate sorts each group
+  * inside one cumulative window — a single task sorts the whole group,
+  * which was the last documented scale bound in the repo (fine for 3 flags;
+  * a hazard when one group outgrows a task). And the r11 interim form
+  * (persist a per-group distinct-value count table, window over it) paid a
+  * corpus-sized cache materialization per run — at sf1 the distinct-price
+  * table is ~fact-sized, so the "fix" moved the cost, not removed it. This
+  * helper needs NEITHER the group sort nor any corpus-sized
+  * materialization or shuffle. A batch of k quantiles over one column
+  * costs exactly TWO passes over the rows:
+  *
+  *   - PASS 1 buckets every value by the high `64 − bitShift` bits of its
+  *     [[SortableDoubleBits]] image — monotone by construction, and with a
+  *     FIXED key space (2^16 for the default shift of 48: sign + exponent
+  *     + 4 mantissa bits), so no min/max pre-pass is needed and the bucket
+  *     table is bounded at groups × 65536 rows REGARDLESS of the data.
+  *     One mergeable hash-agg (per-partition partials merge at the
+  *     exchange, exactly like any SUM; no sort buffer anywhere).
+  *   - On the bucket table (constant-sized → coalesce(1), so the windows
+  *     need no exchange): per-group totals n, the rank fan-out (one row
+  *     per rank spec via stack()), the cumulative weights, and the bucket
+  *     containing each rank; the rank is re-based into its bucket
+  *     (r' = r − weight below) and [bucket-min, bucket-max] becomes the
+  *     residual interval — at most 1/16th of one binade of the group.
+  *   - PASS 2 filters to the residual interval (a broadcast join — the
+  *     state is groups × rids rows), exchanges on (group, rid), and sorts
+  *     only the residual rows for the exact cumulative selection.
+  *
+  * Optional extra `rounds` insert equal-width refinement passes between
+  * the two (interval shrinks ×`buckets` per round) for adversarial
+  * distributions that pile a corpus onto one binade-sixteenth; every such
+  * pass is the same mergeable-agg shape.
+  *
+  * Exactness: bucket assignment is monotone non-decreasing in v, so
+  * cumulative bucket weights respect value order and the rank-r element
+  * lies in the located bucket by construction; the final pass then selects
+  * the exact element (equal values accumulate contiguously under any
+  * value-ordered total order, so the selection is independent of row order
+  * within ties). Input rows need NOT be distinct by value — raw fact rows
+  * with weight 1 work directly.
+  */
+object QuantileRefine {
+
+  /** Values at weighted ranks, percentile_disc-style: for each group and
+    * each `(rid, rankExpr)` spec, the smallest v whose cumulative weight
+    * (over v ascending) reaches the 1-based rank `rankExpr(n)`.
+    *
+    * @param values    (groupCols..., v: double, c: long) weighted rows.
+    * @param rankSpecs rid → SQL rank expression over the per-group column
+    *                  `n` = Σc, e.g. `"med" -> "(n + 1) DIV 2"` for
+    *                  percentile_disc(0.5).
+    * @param rounds    extra equal-width refinement rounds between the two
+    *                  passes (0 = none; each adds one corpus pass and
+    *                  shrinks the residual ×`buckets`).
+    * @param bitShift  pass-1 bucket = sortable bits >> bitShift; key space
+    *                  2^(64−bitShift).
+    * @return          (groupCols..., rid, v, n) — n is the group's total
+    *                  weight, carried so callers don't re-aggregate for it.
+    */
+  def atRankExprs(
+      values: DataFrame,
+      groupCols: Seq[String],
+      rankSpecs: Seq[(String, String)],
+      rounds: Int = 0,
+      buckets: Int = 8192,
+      bitShift: Int = 48): DataFrame = {
+    require(values.schema("v").dataType == DoubleType,
+      s"QuantileRefine buckets by double bit-prefix; got " +
+        values.schema("v").dataType.simpleString)
+    SortableDoubleBits.register(values.sparkSession)
+    val g = groupCols.map(col)
+    val perRid = (groupCols :+ "rid").map(col)
+
+    // PASS 1: bit-prefix histogram — fixed key space, no range pre-pass
+    val hist = values
+      .withColumn("b", expr(s"shiftright(sortable_double_bits(v), $bitShift)"))
+      .groupBy(g :+ col("b"): _*)
+      .agg(sum(col("c")).as("bc"), min(col("v")).as("blo"), max(col("v")).as("bhi"))
+
+    // bucket table work (constant-sized; single partition, no exchanges):
+    // totals, rank fan-out, cumulative weights, bucket location
+    val wTot = Window.partitionBy(g: _*)
+    val wCum = Window.partitionBy(g: _*).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stackExpr = s"stack(${rankSpecs.size}, " +
+      rankSpecs.map { case (rid, rx) => s"'$rid', CAST(($rx) AS BIGINT)" }
+        .mkString(", ") + ") AS (rid, r)"
+    var state = hist.coalesce(1)
+      .withColumn("n", sum(col("bc")).over(wTot))
+      .withColumn("cum", sum(col("bc")).over(wCum))
+      .selectExpr(groupCols ++ Seq("bc", "blo", "bhi", "n", "cum", stackExpr): _*)
+      .filter(col("cum") >= col("r") && col("cum") - col("bc") < col("r"))
+      .select(g :+ col("rid") :+ (col("r") - (col("cum") - col("bc"))).as("r") :+
+        col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*)
+
+    // optional equal-width refinement rounds (per rid — intervals diverge)
+    for (_ <- 1 to rounds) {
+      val bucketed = values.join(broadcast(state), groupCols)
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .withColumn("b",
+          when(col("hi") <= col("lo"), lit(0))
+            .otherwise(least(lit(buckets - 1),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
+                .cast("int"))))
+        .groupBy(perRid :+ col("r") :+ col("n") :+ col("b"): _*)
+        .agg(sum(col("c")).as("bc"), min(col("v")).as("blo"), max(col("v")).as("bhi"))
+      val wRid = Window.partitionBy(perRid: _*).orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      state = bucketed.coalesce(1)
+        .withColumn("cum", sum(col("bc")).over(wRid))
+        .filter(col("cum") >= col("r") && col("cum") - col("bc") < col("r"))
+        .select(g :+ col("rid") :+ (col("r") - (col("cum") - col("bc"))).as("r") :+
+          col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*)
+    }
+
+    // PASS 2: exact selection over the residual interval only
+    val wFin = Window.partitionBy(perRid: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.join(broadcast(state), groupCols)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .withColumn("cum", sum(col("c")).over(wFin))
+      .filter(col("cum") >= col("r"))
+      .groupBy(perRid: _*)
+      .agg(min(col("v")).as("v"), max(col("n")).as("n"))
+  }
+}

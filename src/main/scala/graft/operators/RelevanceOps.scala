@@ -498,9 +498,10 @@ object RelevanceOps {
     "g8_conductance" -> { (s, d) =>
       val mutual = mutualKnn(s, d)
       val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      // per-vector-sized label table: no broadcast hint (see sim13's note)
       val edges = mutual
-        .join(broadcast(labels.select(col("vec_id").as("src"), col("label").as("l_src"))), "src")
-        .join(broadcast(labels.select(col("vec_id").as("dst"), col("label").as("l_dst"))), "dst")
+        .join(labels.select(col("vec_id").as("src"), col("label").as("l_src")), "src")
+        .join(labels.select(col("vec_id").as("dst"), col("label").as("l_dst")), "dst")
       val tot = edges.agg(count(lit(1)).as("total_vol"))
       edges.groupBy(col("l_src").as("label"))
         .agg(count(lit(1)).as("vol"),
@@ -635,9 +636,10 @@ object RelevanceOps {
       val mutual = mutualKnn(s, d)
       val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
       val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      // per-vector-sized label table: no broadcast hint (see sim13's note)
       mutual
-        .join(broadcast(labels.select(col("vec_id").as("src"), col("label").as("l_src"))), "src")
-        .join(broadcast(labels.select(col("vec_id").as("dst"), col("label").as("l_dst"))), "dst")
+        .join(labels.select(col("vec_id").as("src"), col("label").as("l_src")), "src")
+        .join(labels.select(col("vec_id").as("dst"), col("label").as("l_dst")), "dst")
         .groupBy(col("l_src").as("label"))
         .agg(
           count(lit(1)).as("mutual_edges"),
@@ -663,13 +665,19 @@ object RelevanceOps {
     // nothing quadratic, nothing iterative.
     "sim13_label_spread" -> { (s, d) =>
       val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      // NB: the label table is one row per VECTOR — corpus-sized, unlike
+      // every other broadcast() in this repo (1-row totals, dimension
+      // tables, codebooks). No broadcast hint (r11 verdict item 3): plain
+      // equi-joins let AQE broadcast while the table is small and fall
+      // back to a shuffle join when it is not — a forced hint here would
+      // pin the full label map in the driver and every executor at 100×.
       val votes = mutualKnn(s, d)
-        .join(broadcast(labels
+        .join(labels
           .filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id").as("src"), col("label").as("true_label"))), "src")
-        .join(broadcast(labels
+          .select(col("vec_id").as("src"), col("label").as("true_label")), "src")
+        .join(labels
           .filter(col("vec_id") % 5 =!= 0)
-          .select(col("vec_id").as("dst"), col("label").as("nbr_label"))), "dst")
+          .select(col("vec_id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy("src", "true_label", "nbr_label")
         .agg(count(lit(1)).as("n"))
       votes

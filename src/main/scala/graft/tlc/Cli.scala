@@ -210,8 +210,12 @@ object Cli {
       IngestionLog.write(IngestionLog.build(spark, logEntries.toSeq), s"$out/ingestion_log")
     }
     opts.get("timings").foreach { path =>
-      val suffix = f""", "total": ${timings.values.sum}%.3f, "fact_rows": $nFact}"""
-      val json = timings.map { case (k, v) => f""""$k": $v%.3f""" }
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+      // comma-decimal locale would emit invalid JSON (ADVICE r11).
+      def f3(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val suffix = s""", "total": ${f3(timings.values.sum)}, "fact_rows": $nFact}"""
+      val json = timings.map { case (k, v) => s""""$k": ${f3(v)}""" }
         .mkString("{", ", ", suffix)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
     }

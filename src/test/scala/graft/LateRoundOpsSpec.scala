@@ -125,18 +125,25 @@ class LateRoundOpsSpec extends AnyFunSuite {
 
   test("a13: sketch columns stay inside their declared error bounds; exact " +
     "columns equal the hash-gated twin") {
-    val sketches = SparkEntry.queries("a13_approx_sketches")(spark, sfDir).collect()
+    val sketches = graft.operators.SessionScaleOps.a13Full(spark, sfDir)
+      .orderBy("o_orderpriority")
+      .select("o_orderpriority", "exact_distinct", "exact_median",
+        "distinct_rel_err", "median_rel_err")
+      .collect()
     assert(sketches.nonEmpty)
     sketches.foreach { r =>
       val prio = r.getString(0)
       // approx_count_distinct was asked for rsd = 0.02; HLL++ at that rsd
       // stays within a few standard errors on any input — 10% is a hard
       // ceiling that still catches a broken sketch outright
-      assert(r.getDouble(5) <= 0.10, s"$prio: HLL distinct rel err ${r.getDouble(5)}")
+      assert(r.getDouble(3) <= 0.10, s"$prio: HLL distinct rel err ${r.getDouble(3)}")
       // percentile_approx at accuracy 10000 has rank error <= n/10000; at
       // fixture scale that is exact-or-near-exact — 5% value error ceiling
-      assert(r.getDouble(6) <= 0.05, s"$prio: approx median rel err ${r.getDouble(6)}")
+      assert(r.getDouble(4) <= 0.05, s"$prio: approx median rel err ${r.getDouble(4)}")
     }
+    // and the GATE's booleans must all be true (same bounds, hash-gated)
+    val gated = SparkEntry.queries("a13_approx_sketches")(spark, sfDir).collect()
+    assert(gated.forall(g => g.getBoolean(4) && g.getBoolean(5)))
     // the exact columns must be THE SAME numbers the hash-gated twin
     // (a13_exact_stats, full DuckDB oracle) verifies cross-engine
     val twin = SparkEntry.queries("a13_exact_stats")(spark, sfDir).collect()
@@ -144,7 +151,7 @@ class LateRoundOpsSpec extends AnyFunSuite {
     sketches.foreach { r =>
       val (d, m) = twin(r.getString(0))
       assert(r.getLong(1) == d, s"${r.getString(0)}: exact_distinct drifted from twin")
-      assert(math.abs(r.getDouble(3) - m) <= 5e-5,
+      assert(math.abs(r.getDouble(2) - m) <= 5e-5,
         s"${r.getString(0)}: exact_median drifted from twin")
     }
   }

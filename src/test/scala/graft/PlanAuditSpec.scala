@@ -637,13 +637,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"run sums must partial-aggregate:\n$p")
   }
 
-  test("a26: weighted median is one partitioned cumsum window + broadcast totals") {
+  test("a26: weighted median is the two-pass bit-prefix histogram — no " +
+    "group-wide sort, no corpus-sized cache") {
     val p = plan("a26_weighted_median")
-    assert(p.contains("Window"), s"the weight cumsum rides a window:\n$p")
-    assert(!"Window [^\\n]*, \\[\\]".r.findFirstIn(p).isDefined,
-      s"the cumsum window must partition by the group key:\n$p")
+    assert(p.contains("sortable_double_bits"),
+      s"pass 1 must bucket by sortable-bits prefix:\n$p")
+    assert(p.contains("Coalesce 1"),
+      s"bucket-table windows must run single-partition (constant-sized):\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"group totals attach broadcast:\n$p")
+      s"the residual state attaches broadcast:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"a26 needs no persisted table at all:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("mm5: hash clusters and flip probes are equi shapes — no cartesian anywhere") {
@@ -715,17 +720,69 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no re-derivation of the all-pairs stage:\n$p")
   }
 
-  test("w12: the fact is aggregated once — downstream medians/census read " +
-    "the checkpointed count tables, never a re-scan") {
+  test("w12: both medians run the two-pass bit-prefix histogram; only the " +
+    "3-row median frames are cached; no sort-collect percentile anywhere") {
     val p = plan("w12_robust_mad")
-    // the count tables are persisted: every downstream consumer is an
-    // InMemoryTableScan over the one materialized agg (the FileScan text
-    // below each cache node is the cached plan's description, not a
-    // second execution)
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
-      s"count tables must arrive as shared materializations:\n$p")
-    // the old form's per-group sort-collect aggregate must stay gone
+    assert("sortable_double_bits".r.findAllIn(p).size >= 2,
+      s"median AND MAD must bucket by sortable-bits prefix:\n$p")
+    assert(p.contains("Coalesce 1"),
+      s"bucket-table windows must run single-partition (constant-sized):\n$p")
+    // the ONLY caches are the per-group (3-row) median/MAD frames — the
+    // r11 interim form's corpus-sized distinct-value count table is gone
+    assert(p.contains("InMemoryTableScan"),
+      s"med/mad frames must be shared materializations:\n$p")
     assert(!p.contains("percentile_disc"), s"sort-collect percentile:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("a18: ordered-set aggregates ride one count table + the histogram " +
+    "refinement — no percentile sort-agg, mode is a hash argmax") {
+    val p = plan("a18_ordered_set")
+    assert(p.contains("sortable_double_bits"),
+      s"quantile batch must bucket by sortable-bits prefix:\n$p")
+    assert(!p.contains("percentile_disc") && !p.contains("percentile_cont"),
+      s"no sort-collect percentile aggregate:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (flag, qty) count table is the shared input:\n$p")
+    assert(!p.contains("row_number"),
+      s"mode must be a struct-argmax hash-agg, not a ranking window:\n$p")
+  }
+
+  test("no user-forced broadcast on a per-row-scaled input — AQE owns " +
+    "those joins (r11 verdict item 3)") {
+    // Size-classed sweep: every broadcast() hint in src/main must be on
+    // bounded state (1-row totals, dimension tables, codebooks, candidate-
+    // bounded semi-joined sets — dd24 documents its bound inline). The
+    // classes de-hinted in r12 — per-vector label tables, per-document
+    // shingle counts/arrays/sources/fingerprints, per-shingle df — must
+    // not regrow a hint. Checked two ways: a source tripwire on the exact
+    // frame names, and hint-free analyzed plans for the touched gates.
+    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    val it = java.nio.file.Files.walk(srcRoot).iterator()
+    val offenders = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val flat = new String(java.nio.file.Files.readAllBytes(p))
+          .replaceAll("\\s+", " ")
+        val hit = ("broadcast\\((labels|arrs|dfreq|firstFp)\\b".r
+          .findFirstIn(flat)).orElse(
+          "broadcast\\((counts|src)\\.select\\(col\\(\"doc_id\"".r
+            .findFirstIn(flat))
+        hit.map(h => s"$p: $h")
+      }.toList
+    assert(offenders.isEmpty,
+      s"forced broadcast on per-row-scaled frames:\n${offenders.mkString("\n")}")
+    for (q <- Seq("sim13_label_spread", "sim10_knn_graph",
+      "dd20_source_overlap", "dd21_dedup_funnel", "dd17_prefix_containment")) {
+      val lp = SparkEntry.queries(q)(spark, sfDir).queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint"), s"$q still carries a join hint:\n$lp")
+    }
+    // g8 keeps exactly ONE hint: the 1-row total-volume frame
+    val g8 = SparkEntry.queries("g8_conductance")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(g8).size == 1,
+      s"g8 must hint only the 1-row totals:\n$g8")
   }
 
   test("sa19: the corpus collapses to strata before any window — the rank/" +

@@ -36,12 +36,26 @@ def time_query(con, sql, hard_timeout=None):
         if hard_timeout is None:
             con.sql(sql).fetchall()
             return
-        t = threading.Timer(hard_timeout, con.interrupt)
-        t.start()
-        try:
-            con.sql(sql).fetchall()
-        finally:
-            t.cancel()
+        # Watchdog race (ADVICE r11): if the Timer fires just as the query
+        # completes, con.interrupt() lands with no query running and would
+        # interrupt the NEXT run on the shared connection. An
+        # InterruptException raised before the budget elapsed is therefore a
+        # stale interrupt from a prior timer, not a timeout: retry the run.
+        last = None
+        for _ in range(3):
+            t = threading.Timer(hard_timeout, con.interrupt)
+            t0 = time.perf_counter()
+            t.start()
+            try:
+                con.sql(sql).fetchall()
+                return
+            except duckdb.InterruptException as e:
+                last = e
+                if time.perf_counter() - t0 >= hard_timeout:
+                    raise
+            finally:
+                t.cancel()
+        raise last
 
     run_once()                                     # warm
     ts, attempts, elapsed = [], 0, 0.0

@@ -18,7 +18,7 @@ Stage mapping notes recorded in the artifact:
     counterpart stage; Spark reads zones inline during `load`.
   - Spark's `dims` + `finalize` (dim-table writes + ingestion-log write)
     fold into the reference's `standardize`/`load` stages respectively;
-    the honest headline is the TOTAL plus the four shared stages.
+    the honest headline is the TOTAL plus the five shared stages.
 
 Usage:
   python3 tools/merge_e2e.py <out.json> <spark.json> <ref.json> <copies> <trips>
@@ -49,7 +49,10 @@ def main():
         "totals": {
             "spark": spark["total"],
             "reference": ref["total"],
-            "ratio_spark_over_reference": round(spark["total"] / ref["total"], 3),
+            # ref totals of 0 only occur on malformed input, but the
+            # artifact is committed — guard the division.
+            "ratio_spark_over_reference": (
+                round(spark["total"] / ref["total"], 3) if ref["total"] else None),
         },
         "fact_rows": {
             "spark": spark["fact_rows"],
