@@ -56,6 +56,29 @@ object DepthOps {
         .orderBy("l_returnflag")
     },
 
+    // A27: GROUP QUANTILE PROFILE — the p10..p99 discrete-quantile battery
+    // per group (the feature-distribution snapshot a data card or drift
+    // monitor ships), all six ranks from ONE QuantileRefine batch: one
+    // bit-prefix histogram pass + one residual pass over the fact, total —
+    // not six percentile sort-aggs. Rank mapping ceil(q·n) as exact
+    // integer arithmetic; DuckDB's quantile_disc matches it (probed over
+    // 200 random multisets × 6 q values in r12), so every cell hash-gates.
+    "a27_group_quantiles" -> { (s, d) =>
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          lit(1L).as("c"))
+      val vals = QuantileRefine.atRankExprs(rows, Seq("l_returnflag"),
+        Seq("p10" -> "(n + 9) DIV 10", "p25" -> "(n + 3) DIV 4",
+          "p50" -> "(n + 1) DIV 2", "p75" -> "(3 * n + 3) DIV 4",
+          "p90" -> "(9 * n + 9) DIV 10", "p99" -> "(99 * n + 99) DIV 100"))
+      def pick(rid: String) = max(when(col("rid") === rid, col("v")))
+      vals.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"),
+          pick("p10").as("p10"), pick("p25").as("p25"), pick("p50").as("p50"),
+          pick("p75").as("p75"), pick("p90").as("p90"), pick("p99").as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // TS8: seasonal decomposition (the moving-average STL skeleton) — per
     // event type: trend = centered 7-day MA over the exact-decimal daily
     // totals (only full windows emit, so edges don't bias), seasonal =
@@ -447,6 +470,17 @@ object DepthOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "a27_group_quantiles" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                quantile_disc(l_extendedprice, 0.10) AS p10,
+                quantile_disc(l_extendedprice, 0.25) AS p25,
+                quantile_disc(l_extendedprice, 0.50) AS p50,
+                quantile_disc(l_extendedprice, 0.75) AS p75,
+                quantile_disc(l_extendedprice, 0.90) AS p90,
+                quantile_disc(l_extendedprice, 0.99) AS p99
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "a26_weighted_median" ->
       """WITH li AS (
            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -415,9 +415,58 @@ object SamplingOps {
             col("k_sources").cast("double") * col("k_sources") / col("sum_inv"), 3)
             .as("ess"))
         .orderBy("lang", "source")
+    },
+
+    // SA20: TEMPERATURE-SAMPLED language mixture (Conneau & Lample, XLM /
+    // XLM-R §3.1; mT5 — public): multilingual pretraining reweights the
+    // natural language shares q_i = n_i/N to p_i ∝ q_i^α (α = 0.3),
+    // flattening the head and boosting the tail WITHOUT sa19's hard
+    // availability caps — the two mixture rules a data-mixture ablation
+    // compares. Float discipline: pow() may differ in the last ulp across
+    // libm implementations, so each weight is stableRound'd to 6 dp BEFORE
+    // normalization, the normalizer is an exact decimal sum of those
+    // rounded terms, and every downstream division runs on bit-identical
+    // operands. One corpus hash-agg to the language dimension; everything
+    // after is dimension-sized with 1-row broadcasts.
+    "sa20_temperature_mixture" -> { (s, d) =>
+      import graft.functions.Exact.stableRound
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("n_total"))
+      val w = byLang.crossJoin(broadcast(tot))
+        .withColumn("q", col("n_docs").cast("double") / col("n_total"))
+        .withColumn("w", stableRound(pow(col("q"), lit(0.3)), 6))
+      val z = w.agg(
+        round(sum(col("w").cast("decimal(30,8)")), 6).cast("double").as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"),
+          stableRound(col("q"), 6).as("q_share"),
+          stableRound(col("w") / col("z"), 6).as("p_share"),
+          stableRound(col("w") / col("z") / col("q"), 4).as("boost"))
+        .orderBy("lang")
     })
 
   val oracles: Map[String, String] = Map(
+    // Mirrors sa20's float discipline: pow rounded (biased) to 6 dp before
+    // the decimal normalizer; all divisions on identical operands.
+    "sa20_temperature_mixture" ->
+      """WITH by_lang AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM by_lang),
+         w AS (
+           SELECT lang, n_docs,
+                  CAST(n_docs AS DOUBLE) / n_total AS q,
+                  ROUND(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3) + 1e-9, 6) AS w
+           FROM by_lang CROSS JOIN tot),
+         z AS (SELECT CAST(ROUND(SUM(CAST(w AS DECIMAL(30,8))), 6) AS DOUBLE) AS z
+               FROM w)
+         SELECT lang, n_docs,
+                ROUND(q + 1e-9, 6) AS q_share,
+                ROUND(w / z + 1e-9, 6) AS p_share,
+                ROUND(w / z / q + 1e-9, 4) AS boost
+         FROM w CROSS JOIN z ORDER BY lang""",
+
     // Same integer water-filling: monotone feasibility prefix, pivot by
     // MAX, floor-division cap. SUM()s cast back to BIGINT (HUGEINT→
     // float64 is a hash class).

@@ -478,6 +478,38 @@ object DedupOps {
           when(col("exact_match_id").isNotNull || col("near_match_id").isNotNull,
             "drop").otherwise("keep").as("verdict"))
         .orderBy("doc_id")
+    },
+
+    // DD27: MINHASH ERROR AUDIT — the sketch-vs-exact contract (a23/a24's
+    // shape) applied to the dedup tier: every LSH-surfaced pair carries its
+    // K=16-minhash Jaccard estimate NEXT TO the exact 3-gram Jaccard and
+    // the signed estimation error. Both sides are exact cross-engine
+    // (agreement count is a dyadic k/16; exact Jaccard divides identical
+    // integer operands), so the full audit row hash-gates — a corpus build
+    // validates its LSH threshold from the manifest instead of trusting
+    // b/r theory. Plan: dd2's banded candidate stage (never all-pairs),
+    // one shingle-stream equi-join for intersections (candidate-bounded),
+    // per-doc counts as plain joins (AQE-sized — see dd4's note).
+    "dd27_minhash_estimate" -> { (s, d) =>
+      val est = queries("dd2_minhash_lsh")(s, d)
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = est.select("doc_a", "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          Seq("doc_b"))
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .select(col("doc_a"), col("doc_b"), col("est_sim"), col("inter"),
+          col("jaccard"), (col("est_sim") - col("jaccard")).as("est_error"))
+        .orderBy("doc_a", "doc_b")
     })
 
   private[graft] val duckShingles =
@@ -741,6 +773,28 @@ object DedupOps {
     "dd2_minhash_lsh" ->
       s"""WITH $simPairsCtes
           SELECT doc_a, doc_b, est_sim FROM sim_pairs ORDER BY doc_a, doc_b""",
+
+    "dd27_minhash_estimate" ->
+      s"""WITH $simPairsCtes,
+          counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                     FROM sh GROUP BY 1),
+          inter AS (
+            SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM sim_pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            GROUP BY 1, 2)
+          SELECT p.doc_a, p.doc_b, p.est_sim,
+                 CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+                 CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+                   (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)) AS jaccard,
+                 p.est_sim - CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+                   (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)) AS est_error
+          FROM sim_pairs p
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          JOIN counts ca ON ca.doc_id = p.doc_a
+          JOIN counts cb ON cb.doc_id = p.doc_b
+          ORDER BY p.doc_a, p.doc_b""",
 
     // batch = doc_id % 10 = 0; exact via tx4's canonical fingerprint,
     // near via batch-vs-corpus shingle join at Jaccard >= 0.5.
