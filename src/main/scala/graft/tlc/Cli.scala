@@ -76,6 +76,23 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("run-analytics")) return runAnalytics(args.drop(1))
     if (args.headOption.contains("download")) return runDownload(args.drop(1))
+    if (args.headOption.contains("run-incremental")) {
+      val opts = parseArgs(args.drop(1))
+      val required = Seq("yellow", "green", "hvfhv", "zones", "out")
+      val missing = required.filterNot(opts.contains)
+      require(missing.isEmpty, s"missing arguments: ${missing.map("--" + _).mkString(" ")}")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+        .appName("graft-tlc-incremental")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      runIncremental(spark, opts)
+      spark.stop()
+      return
+    }
     val opts = parseArgs(args)
     val required = Seq("yellow", "green", "hvfhv", "zones", "out")
     val missing = required.filterNot(opts.contains)
@@ -209,16 +226,165 @@ object Cli {
     timed("finalize") {
       IngestionLog.write(IngestionLog.build(spark, logEntries.toSeq), s"$out/ingestion_log")
     }
-    opts.get("timings").foreach { path =>
-      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-      // comma-decimal locale would emit invalid JSON (ADVICE r11).
-      def f3(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      val suffix = s""", "total": ${f3(timings.values.sum)}, "fact_rows": $nFact}"""
-      val json = timings.map { case (k, v) => s""""$k": ${f3(v)}""" }
-        .mkString("{", ", ", suffix)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
-    }
+    opts.get("timings").foreach(writeTimings(_, timings, nFact))
     println(s"[graft] pipeline complete: $nFact fact rows -> $out")
+  }
+
+  /** Stage timings as one JSON object. Locale.ROOT: the f-interpolator uses
+    * the JVM default locale, and a comma-decimal locale would emit invalid
+    * JSON (ADVICE r11). */
+  private def writeTimings(path: String,
+      timings: scala.collection.mutable.LinkedHashMap[String, Double],
+      nFact: Long): Unit = {
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val suffix = s""", "total": ${f3(timings.values.sum)}, "fact_rows": $nFact}"""
+    val json = timings.map { case (k, v) => s""""$k": ${f3(v)}""" }
+      .mkString("{", ", ", suffix)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** `run-incremental` subcommand — the 100 TB operating mode (SURVEY
+    * §7.4.10): fold NEW raw files into an EXISTING `--out` warehouse
+    * previously written by the full pipeline, touching only the state the
+    * new rows affect.
+    *
+    *   runMain graft.tlc.Cli run-incremental --yellow p1 --green p2
+    *     --hvfhv p3 --zones p4 --out existingWarehouse [--timings t.json]
+    *
+    * Stages (each timed like runPipeline, so BENCH_E2E can put the
+    * incremental episode next to the truncate-rebuild of the same state):
+    *
+    *   - load/quality: the same drift-tolerant loaders + eager quality
+    *     checks, over the new files only.
+    *   - standardize: IDEMPOTENT by lineage — an anti-join on source_file
+    *     against the warehouse fact (reference loader.py's already-loaded
+    *     check, S6) drops rows from files already folded in, so replaying
+    *     a file is a no-op; then ONLY the affected pickup_date partitions
+    *     are rewritten (dynamic partition overwrite; pre-existing rows of
+    *     those dates ride along via a localCheckpoint, which also severs
+    *     the read-from-the-overwritten-path dependency).
+    *   - aggregates: Aggregations.rebuildDates recomputes just the
+    *     affected dates' partitions of every date-grained aggregate —
+    *     partition pruning keeps each rebuild's fact scan to those dates;
+    *     the one period-grained table (congestion_fee_impact, no date
+    *     column) and the bounded dims rebuild in full.
+    *
+    * Analytics are query-time, not state maintenance, and are not re-run.
+    * The affected-date list comes to the driver (calendar-bounded — same
+    * contract as dd7's convergence scalar, never row data). */
+  private[graft] def runIncremental(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings(stage) = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[timing] stage=$stage seconds=${timings(stage)}%.3f")
+      r
+    }
+    val out = opts("out")
+    val logEntries = scala.collection.mutable.ArrayBuffer.empty[IngestionLog.Entry]
+    def loadRaw(key: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val path = opts(key)
+      val t0 = System.nanoTime()
+      val (df, drift) = RawLoader.load(spark, path, schema,
+        new java.io.File(path).getName)
+      if (drift.hasDrift) System.err.println(s"[drift] $key: $drift")
+      val (rows, _, sha) = RawLoader.validate(spark, path)
+      logEntries += IngestionLog.Entry(
+        sequenceId = logEntries.size + 1L,
+        sourceFile = new java.io.File(path).getName,
+        serviceType = key,
+        rowCount = rows,
+        durationSeconds = (System.nanoTime() - t0) / 1e9,
+        status = "completed",
+        errorMessage = None,
+        fileSha256 = sha,
+        loadedAt = new java.sql.Timestamp(System.currentTimeMillis()))
+      df
+    }
+    val zonesPath = opts("zones")
+    val zones =
+      if (zonesPath.endsWith(".csv"))
+        spark.read.option("header", true).option("inferSchema", true).csv(zonesPath)
+      else spark.read.parquet(zonesPath)
+
+    val (rawY, rawG, rawH) = timed("load") {(
+      Retry.withRetries(2, "load-yellow")(loadRaw("yellow", Schemas.rawYellow)),
+      Retry.withRetries(2, "load-green")(loadRaw("green", Schemas.rawGreen)),
+      Retry.withRetries(2, "load-hvfhv")(loadRaw("hvfhv", Schemas.rawHvfhv)))}
+    val result = timed("quality") { Pipeline.run(spark, rawY, rawG, rawH, zones) }
+
+    val existing = spark.read.parquet(s"$out/fact_trips")
+    val (nNew, dates) = timed("standardize") {
+      val loadedFiles = existing.select("source_file").distinct()
+      val newFact = result.fact
+        .join(loadedFiles, Seq("source_file"), "left_anti")
+        .localCheckpoint() // consumed by the date probe AND the write
+      val dates = newFact.select("pickup_date").distinct()
+        .collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
+      if (dates.nonEmpty) {
+        // pre-existing rows of the affected dates ride along; checkpointed
+        // so the dynamic overwrite never reads the path it rewrites
+        val oldRows = existing
+          .filter(col("pickup_date").isin(dates: _*)).localCheckpoint()
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try Retry.withRetries(2, "transform-to-fact-incremental") {
+          oldRows.unionByName(newFact)
+            .write.mode("overwrite").partitionBy("pickup_date")
+            .parquet(s"$out/fact_trips")
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      (newFact.count(), dates)
+    }
+    timed("aggregates") {
+      if (dates.nonEmpty) {
+        val factAll = spark.read.parquet(s"$out/fact_trips")
+        Retry.withRetries(2, "build-aggregates-incremental") {
+          Seq[(String, DataFrame => DataFrame)](
+            "agg_pricing_by_zone_hour" -> Aggregations.pricingByZoneHour,
+            "agg_hvfhv_take_rates" -> Aggregations.hvfhvTakeRates,
+            "agg_market_share" -> Aggregations.marketShare,
+            "agg_daily_summary" -> Aggregations.dailySummary)
+            .foreach { case (name, build) =>
+              Aggregations.rebuildDates(factAll, build, dates, s"$out/$name")
+            }
+          // period-grained (no date column): full rebuild is the contract
+          Aggregations.write(
+            Aggregations.congestionFeeImpact(factAll), s"$out/agg_congestion_fee_impact")
+        }
+      }
+    }
+    timed("dims") {
+      if (dates.nonEmpty) {
+        val (tables, _, _) =
+          Pipeline.derive(spark, spark.read.parquet(s"$out/fact_trips"), zones)
+        Seq(
+          "dim_zones" -> tables.dimZones,
+          "dim_date" -> tables.dimDate,
+          "dim_time" -> tables.dimTime,
+          "dim_service" -> tables.dimService,
+          "dim_hvfhs_company" -> tables.dimHvfhsCompany)
+          .foreach { case (name, df) =>
+            df.write.mode("overwrite").parquet(s"$out/$name")
+          }
+      }
+    }
+    timed("finalize") {
+      // append-only audit log; sequence continues from the existing tail
+      val base = try spark.read.parquet(s"$out/ingestion_log").count()
+        catch { case _: Throwable => 0L }
+      val entries = logEntries.toSeq.map(e => e.copy(sequenceId = e.sequenceId + base))
+      IngestionLog.build(spark, entries)
+        .coalesce(1).write.mode("append").parquet(s"$out/ingestion_log")
+    }
+    opts.get("timings").foreach(writeTimings(_, timings, nNew))
+    println(s"[graft] incremental fold: $nNew new fact rows across " +
+      s"${dates.size} dates -> $out")
   }
 }

@@ -180,4 +180,89 @@ class CliE2eSpec extends AnyFunSuite {
     val log = spark.read.parquet(s"$out/ingestion_log")
     assert(log.filter("status = 'completed'").count() == 3)
   }
+
+  /** The 100 TB operating mode (SURVEY §7.4.10), end-to-end: build a
+    * warehouse, then fold a NEW month of raw files in with
+    * `run-incremental` — idempotent by source_file lineage, dynamic
+    * partition overwrite for the fact, Aggregations.rebuildDates for the
+    * date-grained aggregates — and check the folded state matches a full
+    * truncate-rebuild over the combined input. A replay of the same files
+    * must be a no-op. */
+  test("cli run-incremental folds a new month, idempotently, matching a full rebuild") {
+    val dir = Files.createTempDirectory("graft_cli_incr").toString
+    val (y, g, h, z) = TlcScaledDemo.rawFixture(spark)
+    def shift(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.filter(_.dataType.typeName.startsWith("timestamp"))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, expr(s"`${f.name}` + INTERVAL 62 DAYS")))
+    y.write.mode("overwrite").parquet(s"$dir/yellow.parquet")
+    g.write.mode("overwrite").parquet(s"$dir/green.parquet")
+    h.write.mode("overwrite").parquet(s"$dir/hvfhv.parquet")
+    shift(y).write.mode("overwrite").parquet(s"$dir/yellow_d62.parquet")
+    shift(g).write.mode("overwrite").parquet(s"$dir/green_d62.parquet")
+    shift(h).write.mode("overwrite").parquet(s"$dir/hvfhv_d62.parquet")
+    z.coalesce(1).write.mode("overwrite").parquet(s"$dir/zones.parquet")
+
+    val out = s"$dir/warehouse"
+    Cli.runPipeline(spark, Map(
+      "yellow" -> s"$dir/yellow.parquet", "green" -> s"$dir/green.parquet",
+      "hvfhv" -> s"$dir/hvfhv.parquet", "zones" -> s"$dir/zones.parquet",
+      "out" -> out))
+    val incOpts = Map(
+      "yellow" -> s"$dir/yellow_d62.parquet", "green" -> s"$dir/green_d62.parquet",
+      "hvfhv" -> s"$dir/hvfhv_d62.parquet", "zones" -> s"$dir/zones.parquet",
+      "out" -> out)
+    Cli.runIncremental(spark, incOpts)
+
+    val fact = spark.read.parquet(s"$out/fact_trips")
+    assert(fact.count() == 2 * 22320, "new month appended to the fact")
+    assert(fact.select("pickup_date").distinct().count() == 124)
+    // audit log: 3 base + 3 incremental entries, sequence continues
+    val log = spark.read.parquet(s"$out/ingestion_log")
+    assert(log.count() == 6 && log.agg(max("load_sequence_id")).head.getLong(0) == 6L)
+
+    // replay of the SAME files: idempotent no-op (anti-join by lineage)
+    Cli.runIncremental(spark, incOpts)
+    assert(spark.read.parquet(s"$out/fact_trips").count() == 2 * 22320)
+
+    // folded state == full truncate-rebuild over the combined input
+    val comb = s"$dir/combined"
+    Files.createDirectories(Paths.get(comb))
+    def cat(a: String, b: String, o: String): Unit =
+      spark.read.parquet(a).unionByName(spark.read.parquet(b))
+        .write.mode("overwrite").parquet(o)
+    cat(s"$dir/yellow.parquet", s"$dir/yellow_d62.parquet", s"$comb/yellow.parquet")
+    cat(s"$dir/green.parquet", s"$dir/green_d62.parquet", s"$comb/green.parquet")
+    cat(s"$dir/hvfhv.parquet", s"$dir/hvfhv_d62.parquet", s"$comb/hvfhv.parquet")
+    val out2 = s"$dir/warehouse_rebuild"
+    Cli.runPipeline(spark, Map(
+      "yellow" -> s"$comb/yellow.parquet", "green" -> s"$comb/green.parquet",
+      "hvfhv" -> s"$comb/hvfhv.parquet", "zones" -> s"$dir/zones.parquet",
+      "out" -> out2))
+    // Double aggregates (avg/sum) are order-sensitive in the last ulps and
+    // the two paths scan with different partitionings, so compare at 6 dp —
+    // the same tolerance class the reference's float columns carry.
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.schema.fields.map { f =>
+        if (f.dataType.typeName == "double") round(col(f.name), 6).as(f.name)
+        else col(f.name)
+      }
+      df.select(cols.toSeq: _*)
+    }
+    // (hvfhv_take_rates is empty on this fixture — take_rate never clears
+    // the >=5-trip cell filter — so an unreadable schema-less dir on BOTH
+    // sides is the matching outcome there)
+    def readOpt(path: String) =
+      try Some(norm(spark.read.parquet(path))) catch { case _: Throwable => None }
+    for (t <- Seq("agg_daily_summary", "agg_market_share", "agg_pricing_by_zone_hour",
+        "agg_hvfhv_take_rates", "agg_congestion_fee_impact")) {
+      (readOpt(s"$out/$t"), readOpt(s"$out2/$t")) match {
+        case (Some(a), Some(b)) =>
+          assert(a.count() == b.count(), s"$t row count diverged")
+          assert(a.unionByName(b).distinct().count() == a.count(),
+            s"$t contents diverged between incremental fold and full rebuild")
+        case (a, b) =>
+          assert(a.isEmpty && b.isEmpty, s"$t readable on one side only")
+      }
+    }
+  }
 }
