@@ -417,17 +417,21 @@ object SamplingOps {
         .orderBy("lang", "source")
     },
 
-    // SA20: TEMPERATURE-SAMPLED language mixture (Conneau & Lample, XLM /
-    // XLM-R §3.1; mT5 — public): multilingual pretraining reweights the
-    // natural language shares q_i = n_i/N to p_i ∝ q_i^α (α = 0.3),
-    // flattening the head and boosting the tail WITHOUT sa19's hard
-    // availability caps — the two mixture rules a data-mixture ablation
-    // compares. Float discipline: pow() may differ in the last ulp across
-    // libm implementations, so each weight is stableRound'd to 6 dp BEFORE
-    // normalization, the normalizer is an exact decimal sum of those
-    // rounded terms, and every downstream division runs on bit-identical
-    // operands. One corpus hash-agg to the language dimension; everything
-    // after is dimension-sized with 1-row broadcasts.
+    // SA20: TEMPERATURE-SAMPLED language mixture at ARBITRARY α (Conneau &
+    // Lample, XLM / XLM-R §3.1: α = 0.3 — public): reweight natural
+    // language shares q_i = n_i/N to p_i ∝ q_i^α, flattening the head and
+    // boosting the tail without sa19's hard availability caps. sa15
+    // already gates the α = 0.5 special case BECAUSE sqrt is IEEE-exact;
+    // this operator retires that restriction: general pow() may differ in
+    // the last ulp across libm implementations, so each weight is
+    // stableRound'd to 6 dp BEFORE normalization, the normalizer is an
+    // exact decimal sum of those rounded terms, and every downstream
+    // division runs on bit-identical operands — the discipline that makes
+    // ANY libm-transcendental mixture rule hash-gateable, not just the
+    // algebraic ones. Also emits the per-language boost factor p/q (the
+    // up/down-sampling rate a data card reports). One corpus hash-agg to
+    // the language dimension; everything after is dimension-sized with
+    // 1-row broadcasts.
     "sa20_temperature_mixture" -> { (s, d) =>
       import graft.functions.Exact.stableRound
       val byLang = Tables.documents(s, d)
