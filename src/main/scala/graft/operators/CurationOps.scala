@@ -366,26 +366,46 @@ object CurationOps {
     },
 
     // W16: w14's scale path — decile banding from DISTRIBUTED quantile
-    // fences instead of a global NTILE. The fence pass is ONE partial-merge
-    // percentile aggregate (nine separate percentile_disc buffers each
-    // re-sorted their own value-count map: 1.2 s vs 0.4 s at sf0.1), the
-    // 1-row fence frame broadcasts, and band assignment is a per-row
-    // projection — nothing in the plan is single-partition over the fact.
+    // fences instead of a global NTILE. Since r12 the nine type-7 fences
+    // come from ONE QuantileRefine 18-rank batch (rl/rh element pairs at
+    // 0-indexed position (n−1)k/10, exact integer DIV/MOD arithmetic, then
+    // fence = v_l + (v_h − v_l)·(rem/10)) — the previous single
+    // percentile(array(...)) aggregate merged a full value-count map in
+    // its one final task, the same bound class QuantileRefine retired for
+    // w12/a18/a26/a27. The fence frame broadcasts, band assignment is a
+    // per-row projection — nothing anywhere is single-partition over
+    // corpus-sized data.
     // Interpolated fences stay hash-gateable HERE (unlike a2's outputs)
-    // because they are never emitted, only compared: a decile fence at
-    // position (n-1)*q is either exactly a data element (both engines use
-    // the type-7 rule, and frac = ((n-1)*q) mod 1 is never within 1e-9 of
-    // 0 or 1 without being 0) or strictly between two adjacent elements,
-    // where last-ulp drift cannot flip any `value < fence` comparison.
+    // because they are never emitted, only compared: a fence at position
+    // (n-1)*q is either exactly a data element (rem = 0 → rl = rh, no
+    // interpolation at all) or strictly between two adjacent elements,
+    // where last-ulp drift — including the ulp-level difference between
+    // this reconstruction and the built-in's running interpolation —
+    // cannot flip any `value < fence` comparison.
     // The tradeoff vs w14 is equal-count exactness: rows tied AT a fence
     // all land in the lower band, so bands near mass points deviate from
     // n/10 — deterministically on both engines.
     "w16_decile_fences" -> { (s, d) =>
       val orders = Tables.orders(s, d)
-      val fences = orders.agg(
-        expr("percentile(o_totalprice, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
-          .as("fs"))
-      orders.crossJoin(broadcast(fences))
+      val rows = orders.select(lit(1).as("g"),
+        col("o_totalprice").as("v"), lit(1L).as("c"))
+      val specs = (1 to 9).flatMap { k =>
+        Seq(
+          s"l$k" -> s"((n - 1) * $k) DIV 10 + 1",
+          s"h$k" -> (s"((n - 1) * $k) DIV 10 + 1 + " +
+            s"(CASE WHEN ((n - 1) * $k) % 10 > 0 THEN 1 ELSE 0 END)"))
+      }
+      val at = QuantileRefine.atRankExprs(rows, Seq("g"), specs)
+      def pick(r: String) = max(when(col("rid") === r, col("v")))
+      val wide = at.groupBy("g").agg(max(col("n")).as("n"),
+        (1 to 9).flatMap(k =>
+          Seq(pick(s"l$k").as(s"l$k"), pick(s"h$k").as(s"h$k"))): _*)
+      val fences = wide.select(col("g"), array((1 to 9).map { k =>
+        col(s"l$k") + (col(s"h$k") - col(s"l$k")) *
+          (((col("n") - 1) * k % 10).cast("double") / 10.0)
+      }: _*).as("fs"))
+      orders.withColumn("g", lit(1))
+        .join(broadcast(fences), "g")
         .withColumn("decile",
           (lit(1) + size(expr("filter(fs, x -> x < o_totalprice)"))).cast("long"))
         .groupBy("decile")

@@ -262,19 +262,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "doc-side cumsum must window within pid partitions")
   }
 
-  test("w16: fence deciles plan with no window and no global sort of the fact") {
-    // w14's exact NTILE is the single-partition shape; its scale twin must
-    // be window-free: a partial-merge percentile agg, a 1-row broadcast,
-    // per-row band projection, then a 10-row final sort.
+  test("w16: fence deciles plan with no group-wide sort of the fact") {
+    // w14's exact NTILE is the single-partition shape; its scale twin
+    // computes the nine fences through QuantileRefine (bit-prefix
+    // histogram — since r12 the percentile(array) aggregate whose final
+    // merge held a full value-count map in one task is gone too), then a
+    // 1-row broadcast, per-row band projection, and a 10-row final sort.
     val qe = SparkEntry.queries("w16_decile_fences")(spark, sfDir).queryExecution
     val phys = qe.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
+    assert(phys.toString.contains("sortable_double_bits"),
+      s"fences must come from the bit-prefix histogram:\n$phys")
+    assert(!phys.toString.contains("percentile("),
+      s"no value-count-map percentile aggregate:\n$phys")
+    // the only windows are QuantileRefine's (rid-partitioned: the
+    // constant-size bucket table and the residual interval)
     val windows = phys.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.isEmpty, s"fence banding must not window:\n$phys")
+    // (the single-group literal key folds out of the bucket-table windows'
+    // partition specs — those windows are legitimate only because they sit
+    // on the coalesce(1)'d constant-size bucket table)
+    assert(windows.forall(w => w.partitionSpec.toString.contains("rid") ||
+        w.child.toString.contains("Coalesce 1")),
+      s"every window must be a refinement window (bucket-table or residual, " +
+        s"never over raw fact order):\n$phys")
     // Every global sort must sit above the banded aggregate (a 10-row
     // frame), never between the scan and the band projection.
     phys.collect {
