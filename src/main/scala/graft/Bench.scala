@@ -54,8 +54,9 @@ object Bench {
       // Evict query-local persists (ADVICE r11): CacheManager plan-dedup
       // would otherwise serve every timed repeat from the warm run's
       // InMemoryRelation, so the sample would exclude the scan+agg work the
-      // DuckDB comparable re-executes every run.
-      CacheScope.drain()
+      // DuckDB comparable re-executes every run. Blocking (ADVICE r12): the
+      // eviction must FINISH before the next timed window opens.
+      CacheScope.drain(blocking = true)
       // Pay the collector debt of the warm run (and of heavier neighbors)
       // OUTSIDE the timed window: round-3 timings showed multi-second GC
       // bleed-through in alphabetical runs following allocation-heavy
@@ -83,7 +84,7 @@ object Bench {
         val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        CacheScope.drain() // outside the timed window; next run re-pays
+        CacheScope.drain(blocking = true) // outside the timed window; next run re-pays
         attempts += 1
         elapsed += dt
         if (ok) ts += dt

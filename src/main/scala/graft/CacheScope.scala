@@ -29,11 +29,17 @@ object CacheScope {
 
   /** Unpersist every scoped frame. Removing the CacheManager entry makes the
     * next structurally-identical plan recompute instead of plan-dedup-reusing
-    * the warm buffers. No-op when nothing is registered. */
-  def drain(): Unit = {
+    * the warm buffers. No-op when nothing is registered.
+    *
+    * `blocking = true` in the Bench path (ADVICE r12): a non-blocking
+    * eviction from the previous repeat can still be running when the next
+    * timed window opens, adding executor contention to the very samples the
+    * drain exists to make honest. Verify keeps the non-blocking default —
+    * there only memory bounding matters, not timing. */
+  def drain(blocking: Boolean = false): Unit = {
     var d = live.poll()
     while (d != null) {
-      d.unpersist(blocking = false)
+      d.unpersist(blocking)
       d = live.poll()
     }
   }

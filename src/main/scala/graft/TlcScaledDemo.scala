@@ -255,6 +255,17 @@ object TlcScaledDemo {
       round4(analytics(s)("agg_congestion_fee_impact"))
         .orderBy("service_type", "pickup_zone_id", "time_period")
     },
+    // agg_pricing_by_zone_hour (aggregations.py:21–62) — the headline
+    // pre-computed aggregate, hash-gated end-to-end since r13's rewire of
+    // its five percentile columns through PercentileCont (the DuckDB
+    // oracle replays the same generation + standardize + quantile_cont
+    // rollup, so the gate checks the mergeable two-pass reconstruction
+    // against an independent engine's PERCENTILE_CONT on every
+    // zone-hour-date cell).
+    "tlc_agg_pricing" -> { (s, _) =>
+      round4(tlc.Aggregations.pricingByZoneHour(tables(s).fact))
+        .orderBy("service_type", "pickup_zone_id", "pickup_hour", "trip_date")
+    },
     // File-driven SQL path (reference cli.py:279–297 `run-analytics
     // <file.sql>`): the .sql files under sql/analytics/ execute via
     // SqlRunner over temp views of the same warehouse tables the DataFrame
@@ -705,6 +716,59 @@ object TlcScaledDemo {
                       ELSE 'Stable Market' END AS competitive_insight
           FROM lab
           ORDER BY zone, service_type""",
+
+    // agg_pricing_by_zone_hour replay (aggregations.py:21–62): counts,
+    // averages, sums and the five PERCENTILE_CONT columns per
+    // (service, zone, hour, date) cell — quantile_cont on the DuckDB side
+    // vs the PercentileCont reconstruction on the Spark side.
+    "tlc_agg_pricing" ->
+      s"""WITH $scaledCtes,
+          pre AS (
+            SELECT service_type, pickup_zone_id, pickup_hour,
+                   pickup_date AS trip_date,
+                   is_valid, trip_distance_miles, trip_duration_minutes,
+                   price_per_mile, price_per_minute, total_fare
+            FROM fact
+            WHERE is_valid
+              AND price_per_mile IS NOT NULL
+              AND price_per_mile BETWEEN 0.5 AND 50)
+          SELECT service_type,
+                 CAST(pickup_zone_id AS INTEGER) AS pickup_zone_id,
+                 pickup_hour, trip_date,
+                 COUNT(*) AS trip_count,
+                 CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS valid_trip_count,
+                 ROUND(1e-9 + AVG(trip_distance_miles), 4) + 0.0 AS avg_trip_distance,
+                 ROUND(1e-9 + quantile_cont(trip_distance_miles, 0.5), 4) + 0.0
+                   AS median_trip_distance,
+                 ROUND(1e-9 + SUM(trip_distance_miles), 4) + 0.0 AS total_trip_miles,
+                 ROUND(1e-9 + AVG(trip_duration_minutes), 4) + 0.0 AS avg_trip_duration,
+                 ROUND(1e-9 + quantile_cont(trip_duration_minutes, 0.5), 4) + 0.0
+                   AS median_trip_duration,
+                 ROUND(1e-9 + AVG(price_per_mile), 4) + 0.0 AS avg_price_per_mile,
+                 ROUND(1e-9 + AVG(price_per_minute), 4) + 0.0 AS avg_price_per_minute,
+                 ROUND(1e-9 + AVG(total_fare), 4) + 0.0 AS avg_total_fare,
+                 ROUND(1e-9 + quantile_cont(total_fare, 0.5), 4) + 0.0
+                   AS median_total_fare,
+                 ROUND(1e-9 + SUM(total_fare), 4) + 0.0 AS total_revenue,
+                 CAST(0 AS INTEGER) AS trips_with_cbd_fee,
+                 CAST(0 AS INTEGER) AS avg_cbd_fee,
+                 CAST(0 AS INTEGER) AS total_cbd_fee,
+                 ROUND(1e-9 + quantile_cont(price_per_mile, 0.5), 4) + 0.0
+                   AS median_price_per_mile,
+                 ROUND(1e-9 + quantile_cont(price_per_mile, 0.25), 4) + 0.0
+                   AS p25_price_per_mile,
+                 ROUND(1e-9 + quantile_cont(price_per_mile, 0.75), 4) + 0.0
+                   AS p75_price_per_mile,
+                 ROUND(1e-9 + quantile_cont(price_per_minute, 0.5), 4) + 0.0
+                   AS median_price_per_minute,
+                 ROUND(1e-9 + quantile_cont(price_per_minute, 0.25), 4) + 0.0
+                   AS p25_price_per_minute,
+                 ROUND(1e-9 + quantile_cont(price_per_minute, 0.75), 4) + 0.0
+                   AS p75_price_per_minute
+          FROM pre
+          GROUP BY 1, 2, 3, 4
+          ORDER BY service_type, pickup_zone_id, pickup_hour, trip_date""",
 
     // agg_congestion_fee_impact replay (04_aggregate_tables.sql:152–182;
     // cbd-fee columns stubbed 0 per aggregations.py:53–55's drift-pending

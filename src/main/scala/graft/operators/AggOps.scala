@@ -9,10 +9,12 @@ import graft.functions.Exact._
   *
   * All grouped aggregation maps to Spark's partial+final hash aggregate
   * (map-side combine is automatic for these algebraic aggregates — no extra
-  * shuffle beyond the single group-key exchange). Percentiles use Spark's
-  * exact `percentile` (reference uses DuckDB PERCENTILE_CONT, an exact
-  * interpolated ordered-set aggregate — aggregations.py:33–50); approximate
-  * percentile would not hash-match the oracle.
+  * shuffle beyond the single group-key exchange). Percentiles are exact
+  * interpolated PERCENTILE_CONT like the reference's
+  * (aggregations.py:33–50) — since r13 computed through
+  * [[PercentileCont]] (bit-identical to Spark's builtin `percentile`,
+  * whose final merge holds a per-group value-count map in one task);
+  * approximate percentile would not hash-match the oracle.
   */
 object AggOps {
   type Q = (SparkSession, String) => DataFrame
@@ -60,19 +62,24 @@ object AggOps {
     },
 
     // A2: exact interpolated percentiles (aggregations.py:33–50; 04:8–10).
+    // All three quantiles from ONE stacked PercentileCont batch — two
+    // mergeable passes total, no per-group value-count map in any task
+    // (the builtin percentile(array(...)) buffered every distinct price of
+    // a priority class in its final merge; 5 groups over near-unique
+    // prices = corpus/5 in one task at 100 TB).
     "a2_percentiles" -> { (s, d) =>
-      // one ordered-set buffer for all three quantiles (array form), split
-      // into scalar columns afterwards
-      Tables.orders(s, d)
-        .groupBy("o_orderpriority")
-        .agg(
-          expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("pcts"),
-          count(lit(1)).as("n"))
+      val o = Tables.orders(s, d)
+      val main = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val pcts = PercentileCont.group(o, Seq("o_orderpriority"), Seq(
+        PercentileCont.Spec("p25r", "o_totalprice", 1, 4),
+        PercentileCont.Spec("p50r", "o_totalprice", 2, 4),
+        PercentileCont.Spec("p75r", "o_totalprice", 3, 4)))
+      main.join(pcts, Seq("o_orderpriority"), "left")
         .select(
           col("o_orderpriority"),
-          round(element_at(col("pcts"), 1), 4).as("p25"),
-          round(element_at(col("pcts"), 2), 4).as("p50"),
-          round(element_at(col("pcts"), 3), 4).as("p75"),
+          round(col("p25r"), 4).as("p25"),
+          round(col("p50r"), 4).as("p50"),
+          round(col("p75r"), 4).as("p75"),
           col("n"))
         .orderBy("o_orderpriority")
     },

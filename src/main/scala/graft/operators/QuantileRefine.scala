@@ -31,20 +31,42 @@ import graft.functions.SortableDoubleBits
   *     table is bounded at groups × 65536 rows REGARDLESS of the data.
   *     One mergeable hash-agg (per-partition partials merge at the
   *     exchange, exactly like any SUM; no sort buffer anywhere).
-  *   - On the bucket table (constant-sized → coalesce(1), so the windows
-  *     need no exchange): per-group totals n, the rank fan-out (one row
+  *   - On the bucket table: per-group totals n, the rank fan-out (one row
   *     per rank spec via stack()), the cumulative weights, and the bucket
   *     containing each rank; the rank is re-based into its bucket
   *     (r' = r − weight below) and [bucket-min, bucket-max] becomes the
   *     residual interval — at most 1/16th of one binade of the group.
-  *   - PASS 2 filters to the residual interval (a broadcast join — the
-  *     state is groups × rids rows), exchanges on (group, rid), and sorts
-  *     only the residual rows for the exact cumulative selection.
+  *     With few groups (default) the bucket table collapses to one
+  *     partition so these windows need no exchange; with `manyGroups` the
+  *     windows exchange on the group key instead, because a single task
+  *     holding groups × buckets rows is itself a bound when the group
+  *     count grows with the data (zone × hour × date aggregates).
+  *   - Ranks whose located bucket is a POINT (`lo == hi` — heavy ties:
+  *     zero tips, zero tolls, any mass point) are already answered: the
+  *     value IS `lo`, and they short-circuit past pass 2 (r13 verdict
+  *     item 3). Without this, the residual filter admits the whole tie
+  *     mass and the final per-(group, rid) window sorts it in one task —
+  *     silently reinstating the bound this class exists to retire, on the
+  *     most common real-data distribution.
+  *   - PASS 2 filters the remaining ranks to their residual intervals (a
+  *     state join — broadcast-hinted only in the few-groups mode; the
+  *     many-groups state grows with GROUPS, and forcing a broadcast of a
+  *     frame that grows with anything is the hint class the r12 sweep
+  *     removed — AQE still broadcasts it while it is actually small),
+  *     exchanges on (group, rid), and sorts only the residual rows for
+  *     the exact cumulative selection.
   *
   * Optional extra `rounds` insert equal-width refinement passes between
   * the two (interval shrinks ×`buckets` per round) for adversarial
   * distributions that pile a corpus onto one binade-sixteenth; every such
-  * pass is the same mergeable-agg shape.
+  * pass is the same mergeable-agg shape, and already-settled ranks skip
+  * the extra passes too.
+  *
+  * NULL semantics (ADVICE r12): NULL values and non-positive weights are
+  * dropped up front, matching the ordered-set builtins (percentile_disc /
+  * percentile_cont ignore NULLs) — an unfiltered NULL would land in a NULL
+  * bucket that sorts first in the cumulative window and silently shift
+  * every rank selection.
   *
   * Exactness: bucket assignment is monotone non-decreasing in v, so
   * cumulative bucket weights respect value order and the rank-r element
@@ -60,17 +82,25 @@ object QuantileRefine {
     * each `(rid, rankExpr)` spec, the smallest v whose cumulative weight
     * (over v ascending) reaches the 1-based rank `rankExpr(n)`.
     *
-    * @param values    (groupCols..., v: double, c: long) weighted rows.
-    * @param rankSpecs rid → SQL rank expression over the per-group column
-    *                  `n` = Σc, e.g. `"med" -> "(n + 1) DIV 2"` for
-    *                  percentile_disc(0.5).
-    * @param rounds    extra equal-width refinement rounds between the two
-    *                  passes (0 = none; each adds one corpus pass and
-    *                  shrinks the residual ×`buckets`).
-    * @param bitShift  pass-1 bucket = sortable bits >> bitShift; key space
-    *                  2^(64−bitShift).
-    * @return          (groupCols..., rid, v, n) — n is the group's total
-    *                  weight, carried so callers don't re-aggregate for it.
+    * @param values     (groupCols..., v: double, c: long) weighted rows;
+    *                   NULL v / non-positive c rows are ignored.
+    * @param rankSpecs  rid → SQL rank expression over the per-group column
+    *                   `n` = Σc, e.g. `"med" -> "(n + 1) DIV 2"` for
+    *                   percentile_disc(0.5).
+    * @param rounds     extra equal-width refinement rounds between the two
+    *                   passes (0 = none; each adds one corpus pass and
+    *                   shrinks the residual ×`buckets`).
+    * @param bitShift   pass-1 bucket = sortable bits >> bitShift; key space
+    *                   2^(64−bitShift).
+    * @param manyGroups scale mode for group counts that GROW with the data
+    *                   (zone × hour × date): bucket-table windows exchange
+    *                   on the group key instead of collapsing to one
+    *                   partition, and the pass-2 state join carries no
+    *                   broadcast hint (AQE decides). The default keeps the
+    *                   single-partition state plan the few-group callers
+    *                   (w12/a18/a26/a27/w16) were measured on.
+    * @return           (groupCols..., rid, v, n) — n is the group's total
+    *                   weight, carried so callers don't re-aggregate for it.
     */
   def atRankExprs(
       values: DataFrame,
@@ -78,29 +108,31 @@ object QuantileRefine {
       rankSpecs: Seq[(String, String)],
       rounds: Int = 0,
       buckets: Int = 8192,
-      bitShift: Int = 48): DataFrame = {
+      bitShift: Int = 48,
+      manyGroups: Boolean = false): DataFrame = {
     require(values.schema("v").dataType == DoubleType,
       s"QuantileRefine buckets by double bit-prefix; got " +
         values.schema("v").dataType.simpleString)
     SortableDoubleBits.register(values.sparkSession)
     val g = groupCols.map(col)
     val perRid = (groupCols :+ "rid").map(col)
+    val rows = values.filter(col("v").isNotNull && col("c") > 0)
 
     // PASS 1: bit-prefix histogram — fixed key space, no range pre-pass
-    val hist = values
+    val hist = rows
       .withColumn("b", expr(s"shiftright(sortable_double_bits(v), $bitShift)"))
       .groupBy(g :+ col("b"): _*)
       .agg(sum(col("c")).as("bc"), min(col("v")).as("blo"), max(col("v")).as("bhi"))
 
-    // bucket table work (constant-sized; single partition, no exchanges):
-    // totals, rank fan-out, cumulative weights, bucket location
+    // bucket table work (group-proportional, never corpus-sized): totals,
+    // rank fan-out, cumulative weights, bucket location
     val wTot = Window.partitionBy(g: _*)
     val wCum = Window.partitionBy(g: _*).orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val stackExpr = s"stack(${rankSpecs.size}, " +
       rankSpecs.map { case (rid, rx) => s"'$rid', CAST(($rx) AS BIGINT)" }
         .mkString(", ") + ") AS (rid, r)"
-    var state = hist.coalesce(1)
+    val state = (if (manyGroups) hist else hist.coalesce(1))
       .withColumn("n", sum(col("bc")).over(wTot))
       .withColumn("cum", sum(col("bc")).over(wCum))
       .selectExpr(groupCols ++ Seq("bc", "blo", "bhi", "n", "cum", stackExpr): _*)
@@ -108,34 +140,44 @@ object QuantileRefine {
       .select(g :+ col("rid") :+ (col("r") - (col("cum") - col("bc"))).as("r") :+
         col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*)
 
+    // residual join: hint the broadcast only in few-groups mode
+    def attach(st: DataFrame): DataFrame =
+      rows.join(if (manyGroups) st else broadcast(st), groupCols)
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+
+    // point-interval short-circuit: a settled rank's answer is `lo`
+    var live = state.filter(col("lo") < col("hi"))
+    var settled = state.filter(col("lo") >= col("hi"))
+
     // optional equal-width refinement rounds (per rid — intervals diverge)
     for (_ <- 1 to rounds) {
-      val bucketed = values.join(broadcast(state), groupCols)
-        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      val bucketed = attach(live)
         .withColumn("b",
-          when(col("hi") <= col("lo"), lit(0))
-            .otherwise(least(lit(buckets - 1),
-              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
-                .cast("int"))))
+          least(lit(buckets - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
+              .cast("int")))
         .groupBy(perRid :+ col("r") :+ col("n") :+ col("b"): _*)
         .agg(sum(col("c")).as("bc"), min(col("v")).as("blo"), max(col("v")).as("bhi"))
       val wRid = Window.partitionBy(perRid: _*).orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      state = bucketed.coalesce(1)
+      val refined = (if (manyGroups) bucketed else bucketed.coalesce(1))
         .withColumn("cum", sum(col("bc")).over(wRid))
         .filter(col("cum") >= col("r") && col("cum") - col("bc") < col("r"))
         .select(g :+ col("rid") :+ (col("r") - (col("cum") - col("bc"))).as("r") :+
           col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*)
+      live = refined.filter(col("lo") < col("hi"))
+      settled = settled.unionByName(refined.filter(col("lo") >= col("hi")))
     }
 
-    // PASS 2: exact selection over the residual interval only
+    // PASS 2: exact selection over the LIVE residual intervals only
     val wFin = Window.partitionBy(perRid: _*).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    values.join(broadcast(state), groupCols)
-      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+    val selected = attach(live)
       .withColumn("cum", sum(col("c")).over(wFin))
       .filter(col("cum") >= col("r"))
       .groupBy(perRid: _*)
       .agg(min(col("v")).as("v"), max(col("n")).as("n"))
+    selected.unionByName(
+      settled.select(perRid :+ col("lo").as("v") :+ col("n"): _*))
   }
 }

@@ -762,6 +762,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"mode must be a struct-argmax hash-agg, not a ranking window:\n$p")
   }
 
+  test("TLC percentile surface: no builtin Percentile aggregate in any " +
+    "DataFrame fact-path plan (r13 verdict item 1)") {
+    // Spark's exact `percentile` is a TypedImperativeAggregate whose final
+    // merge holds a per-group value-count map in ONE task — with q05's 3
+    // service groups or q04's 2 companies over near-unique double fares,
+    // that buffer grows linearly with the corpus. Every TLC DataFrame
+    // pipeline and agg-table builder must route through PercentileCont
+    // (QuantileRefine) instead. The tlc_sql_* twins are EXEMPT by design:
+    // they exist to prove a reference user's PERCENTILE_CONT SQL runs
+    // unchanged through Catalyst.
+    val gates = Seq(
+      "tlc_pipeline_q04", "tlc_pipeline_q05", "tlc_pipeline_q11",
+      "tlc_pipeline_q12", "tlc_pipeline_q13", "tlc_pipeline_q14",
+      "tlc_agg_congestion", "tlc_agg_pricing", "a2_percentiles")
+    for (q <- gates) {
+      val p = plan(q)
+      assert(!p.contains("percentile("),
+        s"$q still plans the single-task value-map percentile:\n$p")
+      assert(p.contains("sortable_double_bits"),
+        s"$q must route percentiles through QuantileRefine's histogram:\n$p")
+    }
+    // the two agg-table builders not (yet) wired as their own gates
+    val fixture = TlcScaledDemo.tables(spark)
+    for ((name, df) <- Seq(
+        "agg_hvfhv_take_rates" -> graft.tlc.Aggregations.hvfhvTakeRates(fixture.fact),
+        "agg_daily_summary" -> graft.tlc.Aggregations.dailySummary(fixture.fact))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("percentile("),
+        s"$name still plans the single-task value-map percentile:\n$p")
+    }
+  }
+
   test("no user-forced broadcast on a per-row-scaled input — AQE owns " +
     "those joins (r11 verdict item 3)") {
     // Size-classed sweep: every broadcast() hint in src/main must be on

@@ -14,15 +14,19 @@ class QuantileRefineSpec extends AnyFunSuite {
   lazy val spark = Fixtures.sparkSession()
   import spark.implicits._
 
-  /** Deterministic messy data: 5 groups of very different sizes (1, 2, 40,
-    * 41, 500 rows), heavy ties, negative values, and one point-mass group. */
+  /** Deterministic messy data: 6 groups of very different sizes (1, 2, 40,
+    * 41, 500, 1000 rows), heavy ties, negative values, one point-mass group
+    * and one 90%-zero-inflated group (g6 — the tips=0.0 shape from the r13
+    * verdict: the located bucket degenerates to lo==hi and must
+    * short-circuit instead of funneling the tie mass into a pass-2 sort). */
   private lazy val data = {
     val rows =
       Seq(("g1", 7.25)) ++
         Seq(("g2", -3.0), ("g2", 12.5)) ++
         (1 to 40).map(i => ("g3", ((i * 7919) % 13).toDouble - 6.0)) ++
         (1 to 41).map(i => ("g4", math.pow(1.5, i % 17) * (if (i % 3 == 0) -1 else 1))) ++
-        (1 to 500).map(_ => ("g5", 42.0)) // point mass
+        (1 to 500).map(_ => ("g5", 42.0)) ++ // point mass
+        (1 to 1000).map(i => ("g6", if (i % 10 == 0) i.toDouble / 16 else 0.0))
     rows.toDF("grp", "v").withColumn("c", lit(1L))
   }
 
@@ -78,10 +82,35 @@ class QuantileRefineSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL values and non-positive weights are ignored, like the ordered-set builtins") {
+    // percentile_disc skips NULLs; atRankExprs must too (ADVICE r12) — and a
+    // c <= 0 weight row contributes nothing rather than corrupting cum/n.
+    val withNulls = data.unionByName(
+      Seq(("g3", null.asInstanceOf[java.lang.Double], 1L),
+        ("g3", java.lang.Double.valueOf(1e9), 0L))
+        .toDF("grp", "v", "c"))
+    val clean = QuantileRefine.atRankExprs(data, Seq("grp"),
+      Seq("med" -> "(n + 1) DIV 2")).collect().toSet
+    val noisy = QuantileRefine.atRankExprs(withNulls, Seq("grp"),
+      Seq("med" -> "(n + 1) DIV 2")).collect().toSet
+    assert(noisy == clean)
+  }
+
+  test("90%-tied group: every rank inside AND outside the tie mass is exact") {
+    // ranks 1 and 900 land on the zero mass (degenerate lo==hi bucket →
+    // short-circuit), 901 and 1000 land in the distinct tail
+    val got = QuantileRefine.atRankExprs(
+      data.filter(col("grp") === "g6"), Seq("grp"),
+      Seq("r1" -> "1", "rTieHi" -> "900", "rFirstTail" -> "901", "rMax" -> "n"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got == Map("r1" -> 0.0, "rTieHi" -> 0.0,
+      "rFirstTail" -> 0.625, "rMax" -> 62.5))
+  }
+
   test("multi-rank batch returns one row per (group, rid) with shared n") {
     val out = QuantileRefine.atRankExprs(data, Seq("grp"),
       Seq("lo" -> "1", "med" -> "(n + 1) DIV 2", "hi" -> "n"))
-    assert(out.count() == 15) // 5 groups x 3 rids
+    assert(out.count() == 18) // 6 groups x 3 rids
     val g3 = out.filter(col("grp") === "g3").collect()
       .map(r => r.getString(1) -> (r.getDouble(2), r.getLong(3))).toMap
     assert(g3("lo")._1 == -6.0 && g3("hi")._1 == 6.0)
