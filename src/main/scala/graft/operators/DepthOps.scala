@@ -79,6 +79,38 @@ object DepthOps {
         .orderBy("l_returnflag")
     },
 
+    // A28: TRIMMED MEAN — the robust location estimate feature pipelines
+    // use when plain means are poisoned by tail outliers but a median
+    // throws away too much signal: drop everything outside the [p10, p90]
+    // discrete-quantile fences, then exact-decimal-average what remains.
+    // Fences ride ONE QuantileRefine batch (2 mergeable corpus passes, no
+    // single-task value map); the fence frame grows with GROUPS (3 flags —
+    // fixed), so the broadcast hint is inside the hint policy; the kept-set
+    // aggregate is one more corpus pass. Inclusive fences on both sides:
+    // ties AT a fence are kept deterministically on both engines.
+    "a28_trimmed_mean" -> { (s, d) =>
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          lit(1L).as("c"))
+      val at = QuantileRefine.atRankExprs(rows, Seq("l_returnflag"),
+        Seq("lo" -> "(n + 9) DIV 10", "hi" -> "(9 * n + 9) DIV 10"))
+      def pick(rid: String) = max(when(col("rid") === rid, col("v")))
+      val fences = at.groupBy("l_returnflag")
+        .agg(pick("lo").as("fence_lo"), pick("hi").as("fence_hi"))
+      Tables.lineitem(s, d).join(broadcast(fences), Seq("l_returnflag"))
+        .filter(col("l_extendedprice") >= col("fence_lo") &&
+          col("l_extendedprice") <= col("fence_hi"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          davg(col("l_extendedprice")).as("trimmed_mean"),
+          max(col("fence_lo")).as("fence_lo"),
+          max(col("fence_hi")).as("fence_hi"))
+        .select(col("l_returnflag"), col("n_kept"), col("trimmed_mean"),
+          col("fence_lo"), col("fence_hi"))
+        .orderBy("l_returnflag")
+    },
+
     // TS8: seasonal decomposition (the moving-average STL skeleton) — per
     // event type: trend = centered 7-day MA over the exact-decimal daily
     // totals (only full windows emit, so edges don't bias), seasonal =
@@ -470,6 +502,22 @@ object DepthOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "a28_trimmed_mean" ->
+      """WITH f AS (
+           SELECT l_returnflag,
+                  quantile_disc(l_extendedprice, 0.10) AS lo,
+                  quantile_disc(l_extendedprice, 0.90) AS hi
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n_kept,
+                CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                  / COUNT(*) AS trimmed_mean,
+                MAX(f.lo) AS fence_lo,
+                MAX(f.hi) AS fence_hi
+         FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+         WHERE l.l_extendedprice >= f.lo AND l.l_extendedprice <= f.hi
+         GROUP BY 1 ORDER BY 1""",
+
     "a27_group_quantiles" ->
       """SELECT l_returnflag,
                 CAST(COUNT(*) AS BIGINT) AS n,

@@ -22,6 +22,26 @@ object SamplingOps {
     s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
 
   val queries: Map[String, Q] = Map(
+    // SA21: FIXED-SIZE per-stratum reservoir — "give me exactly k docs per
+    // language", the eval-set / probe-set cut that rate-based sampling
+    // (sa1) can't provide. Deterministic reservoir: rank every doc by a
+    // salted hash and keep the k smallest per stratum — statistically a
+    // uniform without-replacement draw, but reproducible across engines,
+    // reruns, and partitionings, and append-stable for the docs that stay
+    // (a new doc can only displace the current max). Scale shape: the
+    // native heap TopKPerGroup operator (bounded k-row state per group in
+    // every partial, merged like any agg) — no window sort of the corpus,
+    // no per-stratum single task.
+    "sa21_hash_reservoir" -> { (s, d) =>
+      val ranked = Tables.documents(s, d)
+        .withColumn("h", keyHash("graft-reservoir"))
+        .select(col("lang"), col("doc_id"), col("h"))
+      graft.plans.TopK.perGroup(ranked, k = 50,
+        groupCols = Seq("lang"),
+        orderBy = Seq("h" -> true, "doc_id" -> true))
+        .orderBy(col("lang"), col("h"), col("doc_id"))
+    },
+
     // SA19: UNIMAX budget allocation (Chung et al. 2023, public) — the
     // mixture rule that replaced temperature sampling for multilingual
     // pretraining: give every stratum as equal a token budget as
@@ -451,6 +471,17 @@ object SamplingOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "sa21_hash_reservoir" ->
+      """SELECT lang, doc_id, h FROM (
+           SELECT lang, doc_id,
+                  ('0x' || substr(md5('graft-reservoir' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                    ('0x' || substr(md5('graft-reservoir' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                    doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 50
+         ORDER BY lang, h, doc_id""",
+
     // Mirrors sa20's float discipline: pow rounded (biased) to 6 dp before
     // the decimal normalizer; all divisions on identical operands.
     "sa20_temperature_mixture" ->

@@ -94,7 +94,7 @@ object StreamingOps {
     * append-only sinks) or emits on match during data batches (st7 inner
     * join), so the extra batch is a full state-commit cycle that changes
     * nothing — skipped by default. */
-  private[streaming] def withStatePartitions[T](s: SparkSession,
+  private[graft] def withStatePartitions[T](s: SparkSession,
       noDataBatches: Boolean = false)(body: => T): T = {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNd = s.conf.getOption(ndKey)

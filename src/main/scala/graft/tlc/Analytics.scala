@@ -483,7 +483,14 @@ object Analytics {
     * quartile dates, zone-partition window, top-100 by |Δshare|
     * (14_market_share_shift_vs_pricing.sql). */
   def q14MarketShareShift(t: TlcTables): DataFrame = {
-    val dailyZone = valid(t)
+    // dailyZone / withShare are CALENDAR × zone × service bounded (never
+    // corpus-sized), but dailyZone has two consumers (totals + the share
+    // join) and withShare has three (the quartile batch's two passes + the
+    // changes rollup) — without the scope-persists every consumer re-runs
+    // the corpus-scale scan+aggregate underneath (q14 measured ~10
+    // one-pass equivalents at sf0.1; the persists cut the corpus work to
+    // the single pass the query actually needs).
+    val dailyZone = graft.CacheScope.persistScoped(valid(t)
       .filter(col("price_per_mile").between(0.5, 50))
       .join(broadcast(t.dimZones), col("pickup_zone_id") === col("location_id"))
       .filter(col("borough") =!= "Unknown")
@@ -492,17 +499,18 @@ object Analytics {
         count(lit(1)).as("trip_count"),
         avg(col("price_per_mile")).as("avg_price_per_mile"),
         avg(col("total_fare")).as("avg_total_fare"),
-        sum(col("total_fare")).as("total_revenue"))
+        sum(col("total_fare")).as("total_revenue")))
     val totals = dailyZone
       .groupBy("pickup_date", "zone")
       .agg(sum(col("trip_count")).as("total_trips"),
         sum(col("total_revenue")).as("zone_total_revenue"))
-    val withShare = dailyZone.join(totals, Seq("pickup_date", "zone"))
+    val withShare = graft.CacheScope.persistScoped(
+      dailyZone.join(totals, Seq("pickup_date", "zone"))
       .filter(col("total_trips") >= 50)
       .withColumn("market_share_pct",
         stableRound(col("trip_count") * 100.0 / col("total_trips"), 2))
       .withColumn("price_per_mile_r", stableRound(col("avg_price_per_mile"), 2))
-      .withColumn("d", datediff(col("pickup_date"), lit("1970-01-01").cast("date")))
+      .withColumn("d", datediff(col("pickup_date"), lit("1970-01-01").cast("date"))))
     // quartile dates of the filtered set (14:70–79's scalar subquery) — a
     // one-row broadcast, not a collect. The input is already the bounded
     // date×zone×service aggregate, but PercentileCont keeps the whole TLC
