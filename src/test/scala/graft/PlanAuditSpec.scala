@@ -840,4 +840,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"strata must arrive as a checkpoint scan:\n$p")
     assert(p.contains("Window"), s"rank/cumsum window expected:\n$p")
   }
+
+  test("a28: fences attach as a broadcast join and the kept-set rollup is a " +
+    "partial+final hash-agg — no window, no sort over the fact") {
+    val p = plan("a28_trimmed_mean")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row fence frame must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"trimmed rollup must map-side combine:\n$p")
+    // the only sort in this plan is the final ≤3-row output ORDER BY; the
+    // kept-set path itself must stay window-free (QuantileRefine's bucket
+    // windows live in the fence subtree, behind the broadcast)
+    assert(!p.contains("RunningWindowFunction"),
+      s"no fact-wide window in the kept-set rollup:\n$p")
+  }
+
+  test("sa21: the reservoir runs the native heap TopKPerGroup — no window " +
+    "rank, no global sort of the corpus") {
+    val p = plan("sa21_hash_reservoir")
+    assert(p.contains("TopKPerGroup"),
+      s"expected the native top-k operator:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      s"reservoir must not fall back to a window rank:\n$p")
+  }
+
+  test("q14: the calendar-bounded dailyZone/withShare frames are scope-" +
+    "persisted (InMemoryTableScan) so the corpus-scale scan runs once, " +
+    "not once per consumer") {
+    val p = plan("tlc_pipeline_q14")
+    assert(p.contains("InMemoryTableScan"),
+      s"q14's bounded aggregates must be scope-persisted:\n$p")
+    graft.CacheScope.drain(blocking = true)
+  }
 }
