@@ -111,6 +111,33 @@ object DepthOps {
         .orderBy("l_returnflag")
     },
 
+    // A29: EQUI-WIDTH HISTOGRAM PROFILE — the 10-bin per-group value
+    // histogram every data-profiling / drift-monitoring pass ships next to
+    // a27's quantile profile. Two mergeable passes: per-group min/max, then
+    // a bucket count with the 3-row stats frame broadcast (grows with
+    // GROUPS, fixed here). Bin index and bin_lo are the identical double
+    // expression tree on both engines (width = (mx−mn)/10 computed first,
+    // then one division / one multiply-add), so every cell hash-gates; the
+    // max value clamps into bin 9 via LEAST, and a degenerate group
+    // (mx = mn) collapses to bin 0 on both sides.
+    "a29_equiwidth_histogram" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val stats = li.groupBy("l_returnflag")
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      def width = (col("mx") - col("mn")) / 10.0
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .withColumn("bin",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(lit(9L),
+              floor((col("v") - col("mn")) / width).cast("long"))))
+        .groupBy(col("l_returnflag"), col("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("bin"), col("n"),
+          (col("mn") + col("bin").cast("double") * width).as("bin_lo"))
+        .orderBy("l_returnflag", "bin")
+    },
+
     // TS8: seasonal decomposition (the moving-average STL skeleton) — per
     // event type: trend = centered 7-day MA over the exact-decimal daily
     // totals (only full windows emit, so edges don't bias), seasonal =
@@ -502,6 +529,22 @@ object DepthOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "a29_equiwidth_histogram" ->
+      """WITH s AS (
+           SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+                  MAX(l_extendedprice) AS mx
+           FROM lineitem GROUP BY 1),
+         b AS (
+           SELECT l.l_returnflag, s.mn, s.mx,
+                  CASE WHEN s.mx = s.mn THEN 0
+                       ELSE LEAST(9, CAST(FLOOR((l.l_extendedprice - s.mn)
+                              / ((s.mx - s.mn) / 10)) AS BIGINT)) END AS bin
+           FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag)
+         SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                mn + CAST(bin AS DOUBLE) * ((mx - mn) / 10) AS bin_lo
+         FROM b GROUP BY 1, 2, mn, mx ORDER BY 1, 2""",
+
     "a28_trimmed_mean" ->
       """WITH f AS (
            SELECT l_returnflag,

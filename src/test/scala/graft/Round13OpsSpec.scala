@@ -35,6 +35,27 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a29: bins partition each group exactly, indices stay in [0,9], " +
+    "and bin_lo advances by one constant width") {
+    val rows = SparkEntry.queries("a29_equiwidth_histogram")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val groupN = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      assert(rs.map(_._3).sum == groupN(flag),
+        s"$flag: bin counts must partition the group")
+      assert(rs.forall(r => r._2 >= 0 && r._2 <= 9))
+      val sorted = rs.sortBy(_._2)
+      val steps = sorted.sliding(2).collect { case Array(a, b) =>
+        (b._4 - a._4) / (b._2 - a._2) }.toSeq
+      if (steps.size > 1)
+        assert(steps.forall(s => math.abs(s - steps.head) < 1e-6 * math.abs(steps.head)),
+          s"$flag: bin_lo must advance by one constant width: $steps")
+    }
+  }
+
   test("sa21: exactly k docs per stratum, each stratum's cut is the k " +
     "hash-smallest (matches a window-rank replay), and membership is " +
     "stable under re-partitioning") {
