@@ -543,7 +543,7 @@ object DepthOps {
          SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
                 CAST(COUNT(*) AS BIGINT) AS n,
                 mn + CAST(bin AS DOUBLE) * ((mx - mn) / 10) AS bin_lo
-         FROM b GROUP BY 1, 2, mn, mx ORDER BY 1, 2""",
+         FROM b GROUP BY l_returnflag, bin, mn, mx ORDER BY 1, 2""",
 
     "a28_trimmed_mean" ->
       """WITH f AS (
