@@ -122,10 +122,17 @@ object ScalarOps {
 
     // Q2: uncorrelated scalar subquery as a conditional-agg threshold
     // (14:70–79): p25 of the order-date distribution splits early/late.
+    // The threshold rides PercentileCont (bit-identical to the builtin;
+    // the epoch domain is calendar-bounded so the builtin's value map was
+    // safe HERE, but the r13 source tripwire pins zero ordered-set
+    // builtins anywhere rather than carrying per-site boundedness proofs).
     "q2_scalar_subquery" -> { (s, d) =>
       val o = Tables.orders(s, d)
         .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
-      val thr = o.agg(expr("percentile(epoch_s, 0.25)").as("thr"))
+      val thr = graft.operators.PercentileCont.group(
+        o.withColumn("gq", lit(1)), Seq("gq"),
+        Seq(graft.operators.PercentileCont.Spec("thr", "epoch_s", 1, 4)))
+        .drop("gq")
       o.crossJoin(broadcast(thr))
         .agg(
           count(when(col("epoch_s") <= col("thr"), lit(1))).as("n_early"),

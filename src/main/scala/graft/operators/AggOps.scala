@@ -275,14 +275,21 @@ object AggOps {
     // flip boundary comparisons); the fence arithmetic is then the same
     // double expression tree on both sides. Group quartiles are a
     // broadcast-sized frame; the flagging pass is one scan.
+    //
+    // Since r13 the quartiles ride QuantileRefine (rank ceil(q·n), the
+    // a27-proven quantile_disc mapping) — the previous percentile_disc
+    // builtin merged a per-group value-count map of near-unique prices in
+    // ONE task, the bound class retired everywhere else this round.
     "qc_outlier_iqr" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
-      li.createOrReplaceTempView("qc_iqr_lineitem")
-      val q = s.sql(
-        """SELECT l_returnflag,
-          |       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
-          |       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
-          |FROM qc_iqr_lineitem GROUP BY 1""".stripMargin)
+      val at = QuantileRefine.atRankExprs(
+        li.select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          lit(1L).as("c")),
+        Seq("l_returnflag"),
+        Seq("q1" -> "(n + 3) DIV 4", "q3" -> "(3 * n + 3) DIV 4"))
+      def pick(rid: String) = max(when(col("rid") === rid, col("v")))
+      val q = at.groupBy("l_returnflag")
+        .agg(pick("q1").as("q1"), pick("q3").as("q3"))
       li.join(broadcast(q), Seq("l_returnflag"))
         .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
         .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)

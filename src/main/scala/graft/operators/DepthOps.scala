@@ -320,13 +320,19 @@ object DepthOps {
     // elements, exact cross-engine) broadcast to a single clamp scan; the
     // gate aggregates the winsorized column with the exact decimal sum so
     // the whole transform is hash-checked.
+    // Since r13 the fences ride QuantileRefine (rank ceil(q·n), the
+    // a27-proven quantile_disc mapping) instead of the percentile_disc
+    // builtin's one-task value-count map over near-unique prices.
     "w13_winsorize" -> { (s, d) =>
-      Tables.lineitem(s, d).createOrReplaceTempView("w13_lineitem")
-      val fences = s.sql(
-        """SELECT l_returnflag,
-          |       percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice) AS p01,
-          |       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
-          |FROM w13_lineitem GROUP BY 1""".stripMargin)
+      val at = QuantileRefine.atRankExprs(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+            lit(1L).as("c")),
+        Seq("l_returnflag"),
+        Seq("p01" -> "(n + 99) DIV 100", "p99" -> "(99 * n + 99) DIV 100"))
+      def pick(rid: String) = max(when(col("rid") === rid, col("v")))
+      val fences = at.groupBy("l_returnflag")
+        .agg(pick("p01").as("p01"), pick("p99").as("p99"))
       Tables.lineitem(s, d)
         .join(broadcast(fences), Seq("l_returnflag"))
         .withColumn("wz",

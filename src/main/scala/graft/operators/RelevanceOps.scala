@@ -323,25 +323,37 @@ object RelevanceOps {
     // enumeration is per-group over the DAILY rollup (≤ C(days,2) rows per
     // group — days, not events), so the quadratic term is in the calendar,
     // not the corpus.
+    // The slope median rides QuantileRefine since r13: the slope set is
+    // C(days,2) per type — calendar-QUADRATIC — so the percentile_disc
+    // builtin's one-task value map grows with the square of the span.
     "ts7_theil_sen" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("ts7_events")
-      s.sql(
+      val slopes = s.sql(
         """WITH daily AS (
           |  SELECT event_type, CAST(ts AS DATE) AS day,
           |         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS dv
-          |  FROM ts7_events GROUP BY 1, 2),
-          |slopes AS (
-          |  SELECT a.event_type,
-          |         (b.dv - a.dv) / datediff(b.day, a.day) AS slope
-          |  FROM daily a JOIN daily b
-          |    ON a.event_type = b.event_type AND a.day < b.day)
-          |SELECT event_type,
-          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-          |       ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) + 1e-9, 6)
-          |         AS theil_sen_slope,
-          |       CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
-          |       CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
-          |FROM slopes GROUP BY 1 ORDER BY 1""".stripMargin)
+          |  FROM ts7_events GROUP BY 1, 2)
+          |SELECT a.event_type,
+          |       (b.dv - a.dv) / nullif(datediff(b.day, a.day), 0) AS slope
+          |FROM daily a JOIN daily b
+          |  ON a.event_type = b.event_type AND a.day < b.day""".stripMargin)
+      // nullif guards ANSI division: this plan shape evaluates the slope
+      // projection before the join's a.day < b.day residual, so same-day
+      // pairs transiently exist; they never survive the join, and the
+      // denominator is never 0 on surviving rows, so values are unchanged.
+      val med = QuantileRefine.atRankExprs(
+        slopes.select(col("event_type"), col("slope").as("v"), lit(1L).as("c")),
+        Seq("event_type"), Seq("med" -> "(n + 1) DIV 2"))
+        .select(col("event_type"), col("n").as("n_pairs"),
+          round(col("v") + 1e-9, 6).as("theil_sen_slope"))
+      val census = slopes.groupBy("event_type")
+        .agg(
+          sum(when(col("slope") > 0, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("slope") < 0, 1L).otherwise(0L)).as("n_down"))
+      med.join(census, Seq("event_type"))
+        .select(col("event_type"), col("n_pairs"), col("theil_sen_slope"),
+          col("n_up"), col("n_down"))
+        .orderBy("event_type")
     },
 
     // SA14: randomized response over the lang column — the local-DP

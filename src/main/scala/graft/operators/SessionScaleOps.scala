@@ -138,7 +138,7 @@ object SessionScaleOps {
     // per-frame sort in a window would re-sort every frame; the scalable
     // rewrite is a21's inversion: each daily total contributes itself to
     // the 7 report-days whose trailing window contains it (constant-width
-    // Generate), then ONE percentile_disc group-aggregate per report day.
+    // Generate), then one QuantileRefine rank batch per report day.
     // Shuffle volume is 7×|days| rows — linear, mergeable, no window
     // state. Daily totals are decimal-exact (dsum), and the DISCRETE
     // median picks an actual element of that set, so the gate is
@@ -149,24 +149,30 @@ object SessionScaleOps {
         .agg(dsum(col("value")).as("day_value"))
       val bounds = Tables.events(s, d)
         .agg(max(to_date(col("ts"))).as("d1"))
-      daily
+      // report days are OBSERVED days (a gap day inside someone's
+      // trailing window is not a report row — keeps the day set
+      // identical to the oracle's self-join over the daily frame)
+      val contrib = daily
         .withColumn("report_day",
           explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
         .crossJoin(broadcast(bounds))
         .filter(col("report_day") <= col("d1"))
-        // report days are OBSERVED days (a gap day inside someone's
-        // trailing window is not a report row — keeps the day set
-        // identical to the oracle's self-join over the daily frame)
         .join(broadcast(daily.select(col("day").as("report_day"))),
           Seq("report_day"), "left_semi")
-        .createOrReplaceTempView("w18_contrib")
-      s.sql(
-        """SELECT report_day,
-          |       COUNT(*) AS n_days,
-          |       percentile_disc(0.5) WITHIN GROUP (ORDER BY day_value)
-          |         AS median_7d
-          |FROM w18_contrib
-          |GROUP BY report_day ORDER BY report_day""".stripMargin)
+      // discrete median via QuantileRefine (rank ⌈n/2⌉, the proven
+      // quantile_disc mapping), manyGroups: report days grow with the
+      // span. Each group holds ≤7 contributions, so the old
+      // percentile_disc builtin was bounded HERE — this rewire is for the
+      // zero-ordered-set-builtins invariant the r13 source tripwire pins,
+      // not a scale fix.
+      QuantileRefine.atRankExprs(
+        contrib.select(col("report_day"), col("day_value").as("v"),
+          lit(1L).as("c")),
+        Seq("report_day"),
+        Seq("med" -> "(n + 1) DIV 2"), manyGroups = true)
+        .select(col("report_day"), col("n").as("n_days"),
+          col("v").as("median_7d"))
+        .orderBy("report_day")
     },
 
     // A21: ROLLING DISTINCT — 7-day active users per day, exact. Distinct
@@ -325,13 +331,20 @@ object SessionScaleOps {
     // LateRoundOpsSpec (approx_count_distinct rsd, percentile_approx
     // accuracy), making every a13 column either hash-gated here or
     // spec-bounded there.
+    // Since r13 the exact median rides PercentileCont (bit-identical to
+    // the builtin) — `percentile`'s final merge held a per-priority
+    // value-count map of near-unique totalprices in one task.
     "a13_exact_stats" -> { (s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderpriority")
+      val o = Tables.orders(s, d)
+      o.groupBy("o_orderpriority")
         .agg(
           countDistinct(col("o_custkey")).as("exact_distinct"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_median"),
           count(lit(1)).as("n"))
+        .join(PercentileCont.group(o, Seq("o_orderpriority"),
+          Seq(PercentileCont.Spec("em", "o_totalprice", 2, 4))),
+          Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("exact_distinct"),
+          round(col("em"), 4).as("exact_median"), col("n"))
         .orderBy("o_orderpriority")
     },
 
@@ -358,21 +371,27 @@ object SessionScaleOps {
   /** a13's full sketch-vs-exact frame, with raw relative errors —
     * LateRoundOpsSpec asserts the error bounds on these columns; the gate
     * ships the hashable projection. */
-  private[graft] def a13Full(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .groupBy("o_orderpriority")
+  private[graft] def a13Full(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy("o_orderpriority")
       .agg(
         countDistinct(col("o_custkey")).as("exact_distinct"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
           .as("approx_median"),
         count(lit(1)).as("n"))
+      // exact median via PercentileCont (bit-identical to the builtin the
+      // r11-era form used); the approx twins above are the SKETCHES under
+      // audit and stay builtin by design
+      .join(PercentileCont.group(o, Seq("o_orderpriority"),
+        Seq(PercentileCont.Spec("exact_median", "o_totalprice", 2, 4))),
+        Seq("o_orderpriority"), "left")
       .withColumn("distinct_rel_err",
         abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
           col("exact_distinct"))
       .withColumn("median_rel_err",
         abs(col("approx_median") - col("exact_median")) / col("exact_median"))
+  }
 
   /** f29's unrolled power-iteration rounds (g1's iterCtes convention). */
   private val f29Rounds: String = (1 to 8).map { k =>

@@ -864,6 +864,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"reservoir must not fall back to a window rank:\n$p")
   }
 
+  test("ordered-set builtins are fully retired: the seven r13-rewired gates " +
+    "carry no Percentile/PercentileDisc aggregate in their analyzed plans " +
+    "(percentile_approx is allowed only as a13's audited sketch)") {
+    val rewired = Seq("qc_outlier_iqr", "w13_winsorize", "a13_exact_stats",
+      "a13_approx_sketches", "q2_scalar_subquery", "ts7_theil_sen",
+      "w18_rolling_median")
+    rewired.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed.toString
+      // builtin exact forms print as percentile(...) / percentile_disc(...)
+      // / percentile_cont(...); the approx sketch prints percentile_approx
+      val banned = "percentile(" :: "percentile_disc(" :: "percentile_cont(" :: Nil
+      banned.foreach(tok => assert(!plan.contains(tok),
+        s"$name still uses the builtin ordered-set aggregate $tok:\n$plan"))
+      if (name.startsWith("a13_approx"))
+        assert(plan.contains("percentile_approx"),
+          s"$name must keep the audited percentile_approx sketch:\n$plan")
+    }
+    graft.CacheScope.drain(blocking = true)
+  }
+
   test("q14: the calendar-bounded dailyZone/withShare frames are scope-" +
     "persisted (InMemoryTableScan) so the corpus-scale scan runs once, " +
     "not once per consumer") {
