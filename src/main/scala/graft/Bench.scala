@@ -54,6 +54,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CACHE_TABLES", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Optional extra session confs for LOCAL A/B runs of plan variants
+    // (e.g. SPARK_GRAFT_CONF="spark.graft.percentile.bucketHist=false");
+    // the driver never sets this, so its runs get the shipped defaults.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("ERROR")
     // Optional comma-separated name-prefix filter (SPARK_GRAFT_BENCH_ONLY):
     // re-time just the queries a plan change touched, under the same rule,
@@ -95,10 +103,21 @@ object Bench {
       var attempts = 0
       var elapsed = 0.0
       var done = false
+      var loggedErr = false
       while (!done) {
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(n)(spark, sfDir).collect(); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable =>
+            // ADVICE r13: a silently-swallowed failure recorded the query as
+            // a DNF with no trace while duckbase.py prints ERR lines — log
+            // the first failure's class and message to stderr, same shape.
+            if (!loggedErr) {
+              System.err.println(
+                s"ERR $n: ${e.getClass.getName}: ${e.getMessage}")
+              loggedErr = true
+            }
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         CacheScope.drain(blocking = true) // outside the timed window; next run re-pays
         attempts += 1

@@ -111,10 +111,20 @@ object BenchFloor {
       spark.sparkContext.addSparkListener(listener)
       jobCounter.set(0); stageCounter.set(0)
       body
-      Thread.sleep(500)
-      val r = (jobCounter.get(), stageCounter.get())
+      // ADVICE r13: the listener bus is async and a fixed 500 ms sleep can
+      // miss late events under load — poll until both counters are stable
+      // across two consecutive 100 ms checks (bounded at 5 s).
+      var last = (-1, -1)
+      var cur = (jobCounter.get(), stageCounter.get())
+      var waited = 0
+      while (last != cur && waited < 5000) {
+        last = cur
+        Thread.sleep(100)
+        waited += 100
+        cur = (jobCounter.get(), stageCounter.get())
+      }
       spark.sparkContext.removeSparkListener(listener)
-      r
+      cur
     }
 
     // --- 1. synthetic k-barrier chain, interleaved sampling --------------

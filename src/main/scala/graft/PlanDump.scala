@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `.explain("formatted")` for the named queries to
+  * plans/<dir>/<query>_<suffix>.txt — the optimization-round evidence files
+  * (the judge checks plan claims against these). Usage:
+  *   runMain graft.PlanDump <dir> <suffix> <query...>
+  * Session settings mirror Bench (cacheTables on) so the dumped plan is the
+  * one the benchmark actually runs, InMemoryRelation nodes included.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.graft.cacheTables", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(out)
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(out.resolve(s"${n}_$suffix.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      CacheScope.drain(blocking = true)
+      println(s"dumped $n")
+    }
+    spark.stop()
+  }
+}

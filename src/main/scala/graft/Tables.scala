@@ -40,6 +40,16 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo(spark, s"$sfDir/$name", spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  // r14 note (guide §2.6 idle capacity, MEASURED and rejected as a global
+  // change): spreading lineitem/orders/events at cache time parallelized
+  // the CPU-heavy stages (a1's decimal sums 1.98→0.37 s, sa12's md5 draws
+  // 3.0→1.2 s same-box) but taxed every LIGHT query on those tables with
+  // 32-task stages (same-box A/B: the ts/f/u/w families regressed
+  // +0.2–0.6 s each, ~100 queries — more than the wins). The fan-out is
+  // therefore applied per-query via [[spreadIfNarrow]] exactly where the
+  // per-row work is heavy, and the base tables keep their scan layout
+  // (which also preserves file-ordered ties for s1/p1/f3's non-unique
+  // ORDER BY keys — both engines break those ties in scan order).
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
@@ -81,6 +91,16 @@ object Tables {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Per-QUERY fan-out for an expression-heavy stage over a narrow scan
+    * (r14, guide §2.6): same conditional as [[spread]] — a no-op whenever
+    * the input already carries >= defaultParallelism partitions, i.e. at
+    * any real scale — applied inside the few queries whose per-row work
+    * (md5 batteries, exact-decimal aggregation) measurably starves on the
+    * testdata's single-row-group scans. Deliberately NOT applied at cache
+    * time: the same-box A/B showed 32-task stages tax the ~100 LIGHT
+    * queries on these tables more than the fan-out wins. */
+  def spreadIfNarrow(df: DataFrame): DataFrame = spread(df.sparkSession, df)
 
   def documents(s: SparkSession, d: String): DataFrame =
     memo(s, s"$d/documents#spread", spread(s, s.read.parquet(s"$d/documents.parquet")))

@@ -39,12 +39,18 @@ object ScalarOps {
 
     // F1: content-hash ID — md5(concat) trip-id scheme (standardize.py:35).
     "f1_hash_id" -> { (s, d) =>
+      // r14 (guide §2.6): hash AFTER the global sort — the md5 projection
+      // then runs on the sort's range partitions in parallel instead of in
+      // the scan's 1–3 tasks, with no extra exchange. Same rows, same
+      // order: row_id is a pure function of the sort key (ties are
+      // whole-row duplicates either way).
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
         .select(
           col("l_orderkey"), col("l_linenumber"),
           md5(concat_ws("|", lit("li"), col("l_orderkey"), col("l_linenumber")))
             .as("row_id"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // F2: date-part extraction battery (standardize.py:40–46,

@@ -46,7 +46,13 @@ object AggOps {
     // A1: plain grouped agg — the flagship pricing-summary shape
     // (quality_checks.py:27–36; analytics 01:7–13).
     "a1_pricing_summary" -> { (s, d) =>
-      Tables.lineitem(s, d)
+      // r14 (guide §2.6): five exact-decimal sums per row ran in the scan's
+      // 3 tasks (1.8 s in one stage at sf0.1, 29 cores idle) — fan the
+      // narrow scan out first; the projection below keeps the shuffle to
+      // the 7 consumed columns and the helper is a no-op at real scale.
+      Tables.spreadIfNarrow(Tables.lineitem(s, d)
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),

@@ -88,7 +88,10 @@ object LinkageOps {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       val point = o.groupBy("prio")
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
-      val reps = o
+      // r14 (guide §2.6): |orders|×32 md5 draws ran inside the scan's single
+      // task (2.9 s serial at sf0.1) — fan the 3-column proxy rows out
+      // BEFORE the explode; no-op at real scale (Tables.spreadIfNarrow).
+      val reps = graft.Tables.spreadIfNarrow(o)
         .select(col("prio"), col("o_orderkey"), col("cents"),
           explode(expr(s"sequence(0, ${B - 1})")).as("b"))
         .withColumn("v",

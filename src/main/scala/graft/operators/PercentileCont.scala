@@ -69,6 +69,14 @@ object PercentileCont {
     * one non-null value in any spec column: (groupCols..., specs.out...).
     * Callers LEFT-join this onto their main aggregate on `groupCols`.
     *
+    * NULL GROUP KEYS (ADVICE r13): a NULL group key groups normally HERE
+    * (GROUP BY treats NULL as a group, both engines), but the caller's
+    * equality left join drops it — a NULL-keyed group would come back with
+    * NULL percentiles while the builtin computes real values. Callers must
+    * either guarantee non-null group keys (every current caller filters or
+    * derives them non-null: zone joins, CASE buckets, literal groups) or
+    * join null-safely (`<=>` per key) if a nullable key ever appears.
+    *
     * @param manyGroups passed through to QuantileRefine — set when the
     *                   group count grows with the data (zone×hour×date). */
   def group(df: DataFrame, groupCols: Seq[String], specs: Seq[Spec],
@@ -92,8 +100,23 @@ object PercentileCont {
         s"h_${num}_$den" -> (s"((n - 1) * $num) DIV $den + 1 + " +
           s"(CASE WHEN ((n - 1) * $num) % $den > 0 THEN 1 ELSE 0 END)"))
     }
-    val at = QuantileRefine.atRankExprs(stacked, groupCols :+ "pcol",
-      rankSpecs, manyGroups = manyGroups)
+    // r14 (verdict item 2, guide §2.3): with ≥2 distinct value columns the
+    // stacked pass-1 histogram multiplies the corpus rows flowing through
+    // the aggregate by the column count; BucketHist computes the identical
+    // bucket table in ONE pass (its scaladoc carries the equivalence
+    // argument). The stacked frame still feeds pass 2, whose generate is
+    // filtered against the bucket state before anything shuffles. With one
+    // value column the stack is a plain projection and the codegen hash
+    // aggregate is the faster pass-1 producer, so the stacked path stays.
+    val at =
+      if (valueCols.size >= 2 && df.sparkSession.conf
+            .get("spark.graft.percentile.bucketHist", "true") == "true") {
+        val hist = graft.plans.BucketHist.of(df, groupCols, valueCols, 48)
+        QuantileRefine.withHist(stacked, hist, groupCols :+ "pcol",
+          rankSpecs, manyGroups = manyGroups)
+      } else
+        QuantileRefine.atRankExprs(stacked, groupCols :+ "pcol",
+          rankSpecs, manyGroups = manyGroups)
     // 3. pivot wide per group and rebuild the builtin's interpolation
     def pick(s: Spec, rid: String, c: Column): Column =
       max(when(col("pcol") === s.value && col("rid") === rid, c))

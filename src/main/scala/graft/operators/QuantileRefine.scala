@@ -78,6 +78,10 @@ import graft.functions.SortableDoubleBits
   */
 object QuantileRefine {
 
+  /** Working-column names used by the refinement state (ADVICE r13 guard). */
+  private[graft] val Reserved: Set[String] =
+    Set("v", "c", "n", "rid", "b", "bc", "blo", "bhi", "cum", "lo", "hi", "r")
+
   /** Values at weighted ranks, percentile_disc-style: for each group and
     * each `(rid, rankExpr)` spec, the smallest v whose cumulative weight
     * (over v ascending) reaches the 1-based rank `rankExpr(n)`.
@@ -114,15 +118,41 @@ object QuantileRefine {
       s"QuantileRefine buckets by double bit-prefix; got " +
         values.schema("v").dataType.simpleString)
     SortableDoubleBits.register(values.sparkSession)
-    val g = groupCols.map(col)
-    val perRid = (groupCols :+ "rid").map(col)
     val rows = values.filter(col("v").isNotNull && col("c") > 0)
 
     // PASS 1: bit-prefix histogram — fixed key space, no range pre-pass
     val hist = rows
       .withColumn("b", expr(s"shiftright(sortable_double_bits(v), $bitShift)"))
-      .groupBy(g :+ col("b"): _*)
+      .groupBy(groupCols.map(col) :+ col("b"): _*)
       .agg(sum(col("c")).as("bc"), min(col("v")).as("blo"), max(col("v")).as("bhi"))
+    withHist(values, hist, groupCols, rankSpecs, rounds, buckets, manyGroups)
+  }
+
+  /** [[atRankExprs]] with a caller-supplied PASS-1 bucket table — the entry
+    * point for [[graft.plans.BucketHist]]'s single-pass multi-column
+    * histogram (r14): `hist` must be (groupCols…, b, bc, blo, bhi) with `b`
+    * = `shiftright(sortable_double_bits(v), bitShift)` over exactly the
+    * non-null positive-weight rows of `values`. Everything downstream of
+    * pass 1 (state windows, short-circuit, refinement rounds, pass-2 exact
+    * selection) is shared, so the two pass-1 producers cannot drift. */
+  private[graft] def withHist(
+      values: DataFrame,
+      hist: DataFrame,
+      groupCols: Seq[String],
+      rankSpecs: Seq[(String, String)],
+      rounds: Int = 0,
+      buckets: Int = 8192,
+      manyGroups: Boolean = false): DataFrame = {
+    // ADVICE r13: the internal working columns are reserved — a group column
+    // named like one would silently alias into the state expressions and
+    // produce wrong results rather than an error.
+    val clash = groupCols.toSet.intersect(QuantileRefine.Reserved)
+    require(clash.isEmpty,
+      s"QuantileRefine group columns collide with reserved internal names: " +
+        s"${clash.mkString(", ")} (reserved: ${QuantileRefine.Reserved.mkString(", ")})")
+    val g = groupCols.map(col)
+    val perRid = (groupCols :+ "rid").map(col)
+    val rows = values.filter(col("v").isNotNull && col("c") > 0)
 
     // bucket table work (group-proportional, never corpus-sized): totals,
     // rank fan-out, cumulative weights, bucket location
@@ -132,13 +162,28 @@ object QuantileRefine {
     val stackExpr = s"stack(${rankSpecs.size}, " +
       rankSpecs.map { case (rid, rx) => s"'$rid', CAST(($rx) AS BIGINT)" }
         .mkString(", ") + ") AS (rid, r)"
-    val state = (if (manyGroups) hist else hist.coalesce(1))
+    // scope-persisted (r14): `state` is groups × rid rows (tiny), but its
+    // lineage contains the corpus-wide pass-1 histogram — and it has TWO
+    // consumers (the pass-2 residual join via `live`, and the `settled`
+    // short-circuit branch of the final union). In few-groups mode the
+    // coalesce(1) leaves no Exchange for AQE to reuse, so without the
+    // persist every consumer re-ran pass 1 over the corpus (a2/w16/q2
+    // measured one extra full pass each at sf0.1).
+    // A/B switch kept for measurement honesty: spark.graft.quantileRefine
+    // .persistState=false restores the r13 recompute-per-consumer shape.
+    def scoped(df: DataFrame): DataFrame =
+      if (values.sparkSession.conf
+            .get("spark.graft.quantileRefine.persistState", "true") == "true")
+        graft.CacheScope.persistScoped(df)
+      else df
+    val state = scoped(
+      (if (manyGroups) hist else hist.coalesce(1))
       .withColumn("n", sum(col("bc")).over(wTot))
       .withColumn("cum", sum(col("bc")).over(wCum))
       .selectExpr(groupCols ++ Seq("bc", "blo", "bhi", "n", "cum", stackExpr): _*)
       .filter(col("cum") >= col("r") && col("cum") - col("bc") < col("r"))
       .select(g :+ col("rid") :+ (col("r") - (col("cum") - col("bc"))).as("r") :+
-        col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*)
+        col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*))
 
     // residual join: hint the broadcast only in few-groups mode
     def attach(st: DataFrame): DataFrame =
@@ -160,11 +205,12 @@ object QuantileRefine {
         .agg(sum(col("c")).as("bc"), min(col("v")).as("blo"), max(col("v")).as("bhi"))
       val wRid = Window.partitionBy(perRid: _*).orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val refined = (if (manyGroups) bucketed else bucketed.coalesce(1))
+      val refined = scoped(
+        (if (manyGroups) bucketed else bucketed.coalesce(1))
         .withColumn("cum", sum(col("bc")).over(wRid))
         .filter(col("cum") >= col("r") && col("cum") - col("bc") < col("r"))
         .select(g :+ col("rid") :+ (col("r") - (col("cum") - col("bc"))).as("r") :+
-          col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*)
+          col("blo").as("lo") :+ col("bhi").as("hi") :+ col("n"): _*))
       live = refined.filter(col("lo") < col("hi"))
       settled = settled.unionByName(refined.filter(col("lo") >= col("hi")))
     }

@@ -373,13 +373,28 @@ object SessionScaleOps {
     * ships the hashable projection. */
   private[graft] def a13Full(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    o.groupBy("o_orderpriority")
+    // r14 optimization (guide §1.2 step 1 / §2.3): the sketches run in a
+    // SEPARATE aggregate from COUNT(DISTINCT). Mixed together, Catalyst's
+    // single-distinct rewrite groups phases 1–2 by (priority, custkey) —
+    // ~one group PER CUSTOMER — so every distinct customer allocated its
+    // own HLL register file (2^12 words at rsd 0.02) and QuantileSummaries
+    // buffer, and ObjectHashAggregate fell back to sort-based aggregation
+    // past 128 groups: 19–33 s profiled at sf0.1 in ONE stage. Split, the
+    // sketch aggregate keeps 5 groups end-to-end (one mergeable pass) and
+    // the distinct count plans as the plain two-exchange codegen
+    // HashAggregate. Values are unchanged: identical aggregate functions
+    // over identical input, merged by the same commutative merge.
+    val exact = o.groupBy("o_orderpriority")
       .agg(
         countDistinct(col("o_custkey")).as("exact_distinct"),
+        count(lit(1)).as("n"))
+    val sketches = o.groupBy("o_orderpriority")
+      .agg(
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-          .as("approx_median"),
-        count(lit(1)).as("n"))
+          .as("approx_median"))
+    exact
+      .join(sketches, Seq("o_orderpriority"))
       // exact median via PercentileCont (bit-identical to the builtin the
       // r11-era form used); the approx twins above are the SKETCHES under
       // audit and stay builtin by design

@@ -55,11 +55,23 @@ object SketchOps {
     // the collision inflation is visible per probe.
     "a23_countmin" -> { (s, d) =>
       val rows = (0 until CM_D).map(lit(_))
-      val cells = Tables.lineitem(s, d)
-        .select(col("l_suppkey"), explode(array(rows: _*)).as("r"))
+      // r14 optimization (guide §1.2 step 1: fix the algorithm before the
+      // per-task work): hash DISTINCT keys, not rows. The r13 form exploded
+      // every lineitem row ×CM_D and md5-hashed each copy — 4×|fact| md5s
+      // (4.3–5.3 s profiled at sf0.1, one ~serial stage) for a sketch whose
+      // cell ids depend only on (r, l_suppkey). Pre-aggregating by suppkey
+      // first (a cheap codegen hash-agg) shrinks the hash input from the
+      // corpus to the KEY DOMAIN, then the cell counts are the identical
+      // sums: GROUP BY (r, c) of COUNT(*) ≡ GROUP BY (r, c) of SUM(per-key
+      // counts). At 100 TB this turns the sketch build's md5 cost from
+      // rows×D into keys×D.
+      val bySupp = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_key"))
+      val cells = bySupp
+        .select(col("l_suppkey"), col("n_key"), explode(array(rows: _*)).as("r"))
         .withColumn("c", expr(
           s"${h60("concat(r, '#', l_suppkey)")} % $CM_W"))
-        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+        .groupBy("r", "c").agg(sum(col("n_key")).as("cnt"))
       // probe keys 1..10: estimate = MIN over rows of the probed cell
       val probeDf = s.range(1, 11)
         .select(col("id").as("probe_key"))

@@ -257,13 +257,35 @@ object Aggregations {
     * handful of dates — truncate-rebuild (aggregations.py:19,77,129,178)
     * would rescan the whole fact. `build` is any of the agg builders above;
     * its input is pre-filtered so the scan itself partition-prunes. */
+  /** Restrict `df` to the affected pickup_dates (r13 verdict item 6 / r14).
+    * Month-grain increments stay an `isin` literal list — on the
+    * pickup_date-partitioned fact that is STATIC partition pruning, the
+    * cheapest possible scan scope. A multi-month backfill (thousands of
+    * dates) would instead pay analyzer cost + plan-cache misses per literal
+    * chain, so past [[IsinDateLimit]] the filter becomes a broadcast
+    * LEFT SEMI join on the affected-dates frame, which prunes partitions at
+    * runtime via dynamic partition pruning instead. */
+  private[tlc] val IsinDateLimit = 256
+  private[tlc] def filterDates(df: DataFrame, dates: Seq[java.sql.Date]): DataFrame =
+    if (dates.size <= IsinDateLimit) df.filter(col("pickup_date").isin(dates: _*))
+    else {
+      val spark = df.sparkSession
+      val dd = spark.createDataFrame(
+        spark.sparkContext.parallelize(dates.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pickup_date",
+            org.apache.spark.sql.types.DateType, nullable = false))))
+      df.join(org.apache.spark.sql.functions.broadcast(dd),
+        Seq("pickup_date"), "left_semi")
+    }
+
   def rebuildDates(fact: DataFrame, build: DataFrame => DataFrame,
                    dates: Seq[java.sql.Date], path: String): Unit = {
     val spark = fact.sparkSession
     val previous = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      build(fact.filter(col("pickup_date").isin(dates: _*)))
+      build(filterDates(fact, dates))
         .write.mode("overwrite").partitionBy("trip_date").parquet(path)
     } finally previous match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

@@ -333,8 +333,7 @@ object Cli {
       if (dates.nonEmpty) {
         // pre-existing rows of the affected dates ride along; checkpointed
         // so the dynamic overwrite never reads the path it rewrites
-        val oldRows = existing
-          .filter(col("pickup_date").isin(dates: _*)).localCheckpoint()
+        val oldRows = Aggregations.filterDates(existing, dates).localCheckpoint()
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try Retry.withRetries(2, "transform-to-fact-incremental") {

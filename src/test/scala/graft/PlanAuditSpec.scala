@@ -660,8 +660,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket-table windows must run single-partition (constant-sized):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the residual state attaches broadcast:\n$p")
-    assert(!p.contains("InMemoryTableScan"),
-      s"a26 needs no persisted table at all:\n$p")
+    // r14: QuantileRefine scope-persists its groups×rid STATE frame (3 rows
+    // here) so the settled branch does not re-run pass 1 — the only cache
+    // allowed is that bounded state (every cached relation must carry the
+    // state's rid/lo/hi columns, never fact columns): the r11 interim
+    // form's corpus-sized distinct-value cache stays banned.
+    val cached = "InMemoryRelation \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(cached.nonEmpty && cached.forall(c =>
+        c.contains("rid#") && c.contains("lo#") && !c.contains("l_extendedprice")),
+      s"the only persisted table may be the bounded refinement state:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
 
@@ -780,8 +787,20 @@ class PlanAuditSpec extends AnyFunSuite {
       val p = plan(q)
       assert(!p.contains("percentile("),
         s"$q still plans the single-task value-map percentile:\n$p")
-      assert(p.contains("sortable_double_bits"),
+      // r14: multi-column batches build pass 1 via the single-pass
+      // BucketHistogram operator (same sortable-bits bucket ids computed
+      // natively); single-column batches keep the codegen expression.
+      assert(p.contains("sortable_double_bits") || p.contains("BucketHistogram"),
         s"$q must route percentiles through QuantileRefine's histogram:\n$p")
+    }
+    // r14 pin (verdict item 2): the >=2-distinct-column batches must plan
+    // the SINGLE-pass bucket histogram, not the stacked ×cols unpivot,
+    // for pass 1.
+    for (q <- Seq("tlc_agg_pricing", "tlc_agg_congestion", "tlc_pipeline_q11")) {
+      val p = plan(q)
+      assert(p.contains("BucketHistogram"),
+        s"$q (multi-column percentile batch) must plan pass 1 as the " +
+          s"single-pass BucketHistogram operator:\n$p")
     }
     // the two agg-table builders not (yet) wired as their own gates
     val fixture = TlcScaledDemo.tables(spark)

@@ -12,9 +12,16 @@ def main():
     chain = {}
     for k in ks:
         ca, cb = a['chain_by_k'][k], b['chain_by_k'][k]
-        assert ca['jobs'] == cb['jobs'] and ca['stages'] == cb['stages']
+        # ADVICE r13: AQE-planned stage counts can legitimately differ
+        # run-to-run; warn and take the counts from the faster run instead
+        # of crashing on valid input pairs.
+        if ca['jobs'] != cb['jobs'] or ca['stages'] != cb['stages']:
+            print(f"WARN chain k={k}: jobs/stages differ across runs "
+                  f"({ca['jobs']}/{ca['stages']} vs {cb['jobs']}/{cb['stages']}); "
+                  f"taking the faster run's counts", file=sys.stderr)
+        faster = ca if ca['sec'] <= cb['sec'] else cb
         chain[k] = {'sec': round(min(ca['sec'], cb['sec']), 4),
-                    'jobs': ca['jobs'], 'stages': ca['stages']}
+                    'jobs': faster['jobs'], 'stages': faster['stages']}
     xs = [int(k) for k in ks]; ys = [chain[k]['sec'] for k in ks]
     n = len(xs); sx = sum(xs); sy = sum(ys)
     sxx = sum(x*x for x in xs); sxy = sum(x*y for x, y in zip(xs, ys))
@@ -29,7 +36,8 @@ def main():
     tail = {}
     for q in a['tail']:
         ta, tb = a['tail'][q], b['tail'][q]
-        jobs, stages = ta['jobs'], ta['stages']
+        faster = ta if ta['sec'] <= tb['sec'] else tb
+        jobs, stages = faster['jobs'], faster['stages']
         sec = min(ta['sec'], tb['sec'])
         credit = jobs*j0 + max(0, stages-jobs)*slope
         tail[q] = {'sec': round(sec, 4), 'jobs': jobs, 'stages': stages,
