@@ -20,7 +20,16 @@ import org.apache.spark.sql.DataFrame
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** `df.persist()` + register for [[drain]]. */
+  /** `df.persist()` + register for [[drain]]. LAZY by design: an r15
+    * experiment made this eager (persist + count()) to close the
+    * concurrent-stage race on a cold cache, and it measured ~2× WORSE on
+    * every persistScoped consumer (tlc_agg_pricing 2.8 → 7.6 s at 32c) —
+    * the forcing count() executes the frame's full lineage as a separate
+    * query with no AQE stage reuse against the main query, so the "saved"
+    * duplicate work is paid twice up front instead. Spark 4's AQE plans
+    * cached relations as TableCacheQueryStages inside the consuming query
+    * and reuses them across consumers, which is strictly better than a
+    * manual barrier. */
   def persistScoped(df: DataFrame): DataFrame = {
     val p = df.persist()
     live.add(p)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.CosineSimilarity
-import graft.plans.{RewriteTopKWindow, TopKStrategy}
+import graft.plans.{BucketHistogramStrategy, RewritePercentileAgg, RewriteTopKWindow, TopKStrategy}
 
 /** Production registration point for every custom Catalyst piece in this
   * library, via the public extension mechanism:
@@ -33,7 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => BucketHistogramStrategy)
     ext.injectOptimizerRule(_ => RewriteTopKWindow)
+    // SQL-path percentile rewrite (r14 verdict item 3): PERCENTILE_CONT
+    // aggregates onto the PercentileCont mergeable reconstruction.
+    // BucketHistogramStrategy must be injected alongside — the rewrite's
+    // multi-column batches plan the single-pass histogram operator.
+    ext.injectOptimizerRule(_ => RewritePercentileAgg)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.longDotPrefixDescriptor)
   }

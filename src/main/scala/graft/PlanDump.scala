@@ -25,6 +25,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same local-A/B hook as Bench: dump plan variants (e.g. the r15
+    // before-plans with spark.graft.sqlPercentileRewrite=false)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val out = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(out)
     for (n <- names) {

@@ -29,9 +29,15 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("ERROR")
 
     @volatile var jobs = 0
+    val jobInfo = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs += 1
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        jobInfo.add((js.jobId, js.time, js.stageInfos.size, site))
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
@@ -50,7 +56,7 @@ object ProfileQuery {
       catch { case e: Throwable => println(s"$n WARM FAIL: $e") }
       CacheScope.drain(blocking = true)
       System.gc()
-      jobs = 0; stages.clear()
+      jobs = 0; stages.clear(); jobInfo.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).collect()
@@ -68,6 +74,10 @@ object ProfileQuery {
       println(f"===== $n%-28s total $dt%7.3f s  jobs $jobs%3d  stages ${ss.length}%3d  stage-sum $stageSum%7.3f s")
       for ((id, dur, tasks, name) <- ss)
         println(f"  stage $id%4d ${dur / 1e3}%7.3f s  tasks $tasks%4d  $name")
+      val js = jobInfo.toArray(Array.empty[(Int, Long, Int, String)]).sortBy(_._1)
+      val tBase = js.headOption.map(_._2).getOrElse(0L)
+      for ((id, t, nst, site) <- js)
+        println(f"  job $id%4d +${(t - tBase) / 1e3}%7.3f s  stages $nst%3d  $site")
     }
     spark.stop()
   }

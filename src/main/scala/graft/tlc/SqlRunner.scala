@@ -96,6 +96,11 @@ object SqlRunner {
     * statements may CREATE TEMP VIEW / SET, the final SELECT is the
     * answer). Throws on an empty script. */
   def runScript(spark: SparkSession, script: String): DataFrame = {
+    // the SQL entry point is exactly where a reference user's
+    // PERCENTILE_CONT lands on the builtin single-task aggregate — give
+    // the session the scale-safe rewrite (production sessions get it via
+    // spark.sql.extensions=graft.GraftExtensions)
+    graft.plans.RewritePercentileAgg.register(spark)
     val stmts = splitStatements(script)
     require(stmts.nonEmpty, "SQL script contains no statements")
     stmts.map(spark.sql).last

@@ -14,4 +14,13 @@ object GraftSqlAccess {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  def optimizedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan
+
+  /** Wrap a (resolved or unresolved) Catalyst expression as a Column —
+    * the Spark 4 Column is ColumnNode-backed, so raw expressions go
+    * through the classic bridge. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

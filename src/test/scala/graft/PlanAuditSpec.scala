@@ -776,13 +776,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // service groups or q04's 2 companies over near-unique double fares,
     // that buffer grows linearly with the corpus. Every TLC DataFrame
     // pipeline and agg-table builder must route through PercentileCont
-    // (QuantileRefine) instead. The tlc_sql_* twins are EXEMPT by design:
-    // they exist to prove a reference user's PERCENTILE_CONT SQL runs
-    // unchanged through Catalyst.
+    // (QuantileRefine) instead. r15 (r14 verdict item 3): the tlc_sql_*
+    // twins lost their EXEMPT carve-out — RewritePercentileAgg now rewrites
+    // the user's PERCENTILE_CONT SQL onto the same reconstruction at
+    // optimization time, so the SQL entry point carries the same scale
+    // posture as the DataFrame one (the SQL text itself stays unchanged,
+    // which is what the twins exist to prove).
     val gates = Seq(
       "tlc_pipeline_q04", "tlc_pipeline_q05", "tlc_pipeline_q11",
       "tlc_pipeline_q12", "tlc_pipeline_q13", "tlc_pipeline_q14",
-      "tlc_agg_congestion", "tlc_agg_pricing", "a2_percentiles")
+      "tlc_agg_congestion", "tlc_agg_pricing", "a2_percentiles",
+      "tlc_sql_q04", "tlc_sql_q05", "tlc_sql_q11",
+      "tlc_sql_q12", "tlc_sql_q13", "tlc_sql_q14")
     for (q <- gates) {
       val p = plan(q)
       assert(!p.contains("percentile("),
