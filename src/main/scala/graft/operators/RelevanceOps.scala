@@ -439,10 +439,28 @@ object RelevanceOps {
     // baseline, same contract as sim10 (sim2/sim3 are the corpus-scale
     // paths).
     "emb5_matryoshka_eval" -> { (s, d) =>
-      val full = top5(s, d, "d64")
+      // r15 (§2.3/§2.4): ONE pass over the memoized n²-row dot table ranks
+      // ALL FOUR prefixes — the stack unpivot feeds a single
+      // (prefix, src)-keyed bounded-heap TopKPerGroup, where the previous
+      // form ran one TopK scan per ranking PLUS re-evaluated the full-dot
+      // ranking once per recall join (profiled: 4 concurrent full scans of
+      // the checkpoint at 32c, stage-sum 14.8 s vs 4.2 s wall). Rankings
+      // are identical per (src, prefix): same dots, same
+      // (dot desc, dst asc) tie-break, same k — only the number of scans
+      // changes. The ranked table is ≤ 4·n·5 rows, scope-persisted for the
+      // three recall joins.
+      val topAll = graft.CacheScope.persistScoped(graft.plans.TopK.perGroup(
+          directedDots(s, d).selectExpr("src", "dst",
+            "stack(4, 8L, d8, 16L, d16, 32L, d32, 64L, d64) AS (prefix_dims, dot)"),
+          k = 5,
+          groupCols = Seq("prefix_dims", "src"),
+          orderBy = Seq("dot" -> false, "dst" -> true))
+        .select("prefix_dims", "src", "dst"))
+      val full = topAll.filter(col("prefix_dims") === 64L).select("src", "dst")
       val nNodes = Tables.embeddings(s, d).agg(count(lit(1)).as("n_nodes"))
       Seq(8, 16, 32).map { p =>
-        top5(s, d, s"d$p").join(full, Seq("src", "dst"))
+        topAll.filter(col("prefix_dims") === p.toLong).select("src", "dst")
+          .join(full, Seq("src", "dst"))
           .agg(count(lit(1)).as("n_kept"))
           .select(lit(p.toLong).as("prefix_dims"), col("n_kept"))
       }.reduce(_ unionAll _)

@@ -491,7 +491,13 @@ object DedupOps {
     // one shingle-stream equi-join for intersections (candidate-bounded),
     // per-doc counts as plain joins (AQE-sized — see dd4's note).
     "dd27_minhash_estimate" -> { (s, d) =>
-      val est = queries("dd2_minhash_lsh")(s, d)
+      // r15 (§5 caching): `est` has TWO consumers (the intersection join's
+      // pair filter and the final audit join), and its lineage is dd2's
+      // whole signature + band-join pipeline — unpersisted, both consumers
+      // re-ran it (profiled: 8 concurrent 32-task signature stages at 32c,
+      // stage-sum 17.2 s vs 4.6 s wall). The pair table itself is
+      // candidate-bounded (LSH survivors), so the scoped persist is tiny.
+      val est = graft.CacheScope.persistScoped(queries("dd2_minhash_lsh")(s, d))
       val sh = shingles(s, d)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = est.select("doc_a", "doc_b")

@@ -233,9 +233,18 @@ object RewritePercentileAgg extends Rule[LogicalPlan] {
       }
     }
 
-    val mainAgg = Aggregate(
-      agg.groupingExpressions, (keep ++ extraAggs).toSeq, child)
-    val mainDf = GraftSqlAccess.ofRows(spark, mainAgg)
+    val mainDf =
+      if (agg.groupingExpressions.isEmpty && keep.isEmpty && extraAggs.isEmpty)
+        // all-percentile GLOBAL aggregate (q14's quartile CTE shape): the
+        // main side exists only to supply the one-row-even-on-empty-input
+        // contract — a global Aggregate over the child would re-evaluate
+        // the whole corpus-side subtree to produce a constant row (one
+        // full extra pass measured on tlc_sql_q14). A 1-row range supplies
+        // the row for free; the left join still yields NULL percentiles
+        // when the pct side is empty.
+        spark.range(1).toDF()
+      else GraftSqlAccess.ofRows(spark,
+        Aggregate(agg.groupingExpressions, (keep ++ extraAggs).toSeq, child))
     val cond: Column =
       if (groupKeyAttrs.isEmpty) GraftSqlAccess.column(Literal(true))
       else GraftSqlAccess.column(
