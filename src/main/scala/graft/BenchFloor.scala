@@ -236,6 +236,52 @@ object BenchFloor {
     val (flsFirst, flsMin) = firstAndMin(5)(fileEpisode(stateful = false))
     val (flfFirst, flfMin) = firstAndMin(5)(fileEpisode(stateful = true))
 
+    // r15 (verdict item 5): two more terms so the st gates decompose.
+    // (a) DATA term — the same stateful sum-agg episode over the real
+    //     events file (the st1/st6 input), so the delta vs the 5-row
+    //     stateful probe prices the per-batch data work at gate scale.
+    val eventsPath = s"$sfDir/events.parquet"
+    val eventsSchema = spark.read.parquet(eventsPath).schema
+    val evDir = java.nio.file.Files.createTempDirectory("graft_floor_ev_")
+    java.nio.file.Files.createSymbolicLink(
+      evDir.resolve("events_1.parquet"), java.nio.file.Paths.get(eventsPath))
+    def eventsEpisode(): Unit =
+      streaming.StreamingOps.withStatePartitions(spark) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val src = graft.Tables.normalizeTs(
+          spark.readStream.schema(eventsSchema).parquet(evDir.toString), "ts")
+        val out = src.groupBy(col("user_id"))
+          .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+        val q = out.writeStream.outputMode("complete").format("memory")
+          .queryName(s"floor_events_${probeId.incrementAndGet()}").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    // (b) STATE-PROCESSING term — a trivial flatMapGroupsWithState over the
+    //     5-row probe (st3's operator): deserialization into case classes,
+    //     per-group state round-trip, append-mode emission. Delta vs the
+    //     stateful sum-agg probe prices the custom-state machinery itself.
+    def fmgwsEpisode(): Unit =
+      streaming.StreamingOps.withStatePartitions(spark) {
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+        val src = spark.readStream.schema(probeSchema).parquet(srcDir.toString)
+        val out = src.as[(Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OM.Append, GroupStateTimeout.NoTimeout) {
+            (k: Long, it: Iterator[(Long, Double)],
+             st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              val n = st.getOption.getOrElse(0L) + it.size
+              st.update(n)
+              Iterator.single((k, n))
+          }
+        val q = out.toDF("k", "n").writeStream.outputMode("append")
+          .format("memory")
+          .queryName(s"floor_fmgws_${probeId.incrementAndGet()}").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    val (fevFirst, fevMin) = firstAndMin(5)(eventsEpisode())
+    val (fmgFirst, fmgMin) = firstAndMin(5)(fmgwsEpisode())
+
     // --- 4. the adjudicated tail: measured quanta + residual --------------
     val tail = sys.env.get("SPARK_GRAFT_FLOOR_QUERIES")
       .map(_.split(",").toSeq)
@@ -275,9 +321,9 @@ object BenchFloor {
  "one_pass_full_table_agg_sec":${f(onePass)},
  "min_job_floor_sec":${f(j0)},
  "one_shuffle_action_floor_sec":${f(j1)},
- "streaming_episode_floor_sec":{"memstream_empty_first":${f(memFirst)},"memstream_empty_min":${f(memMin)},"file_stateless_5row_first":${f(flsFirst)},"file_stateless_5row_min":${f(flsMin)},"file_stateful_5row_first":${f(flfFirst)},"file_stateful_5row_min":${f(flfMin)}},
+ "streaming_episode_floor_sec":{"memstream_empty_first":${f(memFirst)},"memstream_empty_min":${f(memMin)},"file_stateless_5row_first":${f(flsFirst)},"file_stateless_5row_min":${f(flsMin)},"file_stateful_5row_first":${f(flfFirst)},"file_stateful_5row_min":${f(flfMin)},"file_stateful_events_first":${f(fevFirst)},"file_stateful_events_min":${f(fevMin)},"file_fmgws_5row_first":${f(fmgFirst)},"file_fmgws_5row_min":${f(fmgMin)}},
  "tail":$tailJson,
- "methodology":"chain: k dependent re-keyed hash-aggs over the session-cached lineitem; two full warm passes over every k, then 4 interleaved rounds (alternating k order) of single timed runs, min per k — a monotonic warm-up/drift biases every k equally instead of tilting the slope; floor = least-squares slope of t(k), k=1..8; t(1) = one full-table mergeable agg pass; consumption is agg(max(v)).collect() so no level can be pruned or collapsed (count() collapsed the v1 chain to 3 stages at any k). probes: J0 = min-of-20 no-shuffle count on a cached 1000-row frame, J1 = min-of-20 one-shuffle groupBy/sum collect. streaming: first + min-of-5 of start->processAllAvailable->stop episodes — empty MemoryStream, then 5-row parquet file-source stateless/stateful under withStatePartitions (4 state partitions, tmpfs checkpoint - the exact st-gate drain shape); Bench warms each gate untimed so min is the honest per-gate comparator. tail: jobs+stages counted by SparkListener on a warmed untimed run (includes independent stages, so the credit OVERSTATES the floor and the residual is conservative); floor_credit = jobs*J0 + max(0,stages-jobs)*slope; one_pass_equivalents = sec / t(1)."}"""
+ "methodology":"chain: k dependent re-keyed hash-aggs over the session-cached lineitem; two full warm passes over every k, then 4 interleaved rounds (alternating k order) of single timed runs, min per k — a monotonic warm-up/drift biases every k equally instead of tilting the slope; floor = least-squares slope of t(k), k=1..8; t(1) = one full-table mergeable agg pass; consumption is agg(max(v)).collect() so no level can be pruned or collapsed (count() collapsed the v1 chain to 3 stages at any k). probes: J0 = min-of-20 no-shuffle count on a cached 1000-row frame, J1 = min-of-20 one-shuffle groupBy/sum collect. streaming: first + min-of-5 of start->processAllAvailable->stop episodes — empty MemoryStream, then 5-row parquet file-source stateless/stateful under withStatePartitions (4 state partitions, tmpfs checkpoint - the exact st-gate drain shape); Bench warms each gate untimed so min is the honest per-gate comparator. r15 adds two decomposition terms (verdict item 5): file_stateful_events = the same stateful agg episode over the real sf events file (delta vs 5-row stateful = per-batch DATA work at gate scale), file_fmgws_5row = trivial flatMapGroupsWithState over the 5-row probe (delta vs stateful agg = custom-state machinery, the st3 operator). tail: jobs+stages counted by SparkListener on a warmed untimed run (includes independent stages, so the credit OVERSTATES the floor and the residual is conservative); floor_credit = jobs*J0 + max(0,stages-jobs)*slope; one_pass_equivalents = sec / t(1)."}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json.linesIterator.mkString(" "))

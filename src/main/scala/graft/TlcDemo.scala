@@ -104,42 +104,42 @@ object TlcDemo {
   val queries: Map[String, Q] = Map(
     // Full TLC pipeline on fixture rows → q01 top zones by revenue.
     "tlc_pipeline_q01" -> { (s, _) =>
-      round4(result(s).analytics("01_top_zones_by_revenue"))
+      round4(result(s).analytics("01_top_zones_by_revenue")())
         .orderBy(col("total_revenue").desc, col("pickup_zone"))
     },
     // Same pipeline → data-quality summary (exercises restored dropoff cols).
     "tlc_pipeline_q10" -> { (s, _) =>
-      round4(result(s).analytics("10_data_quality_summary"))
+      round4(result(s).analytics("10_data_quality_summary")())
         .orderBy(col("total_records").desc, col("service_type"))
     },
     // q02 hourly demand (dim_time join: hour labels + rush-hour flag).
     "tlc_pipeline_q02" -> { (s, _) =>
-      round4(result(s).analytics("02_hourly_demand_patterns"))
+      round4(result(s).analytics("02_hourly_demand_patterns")())
         .orderBy("hour")
     },
     // q05 pricing comparison (quality-band filters + exact medians).
     "tlc_pipeline_q05" -> { (s, _) =>
-      round4(result(s).analytics("05_pricing_comparison"))
+      round4(result(s).analytics("05_pricing_comparison")())
         .orderBy(col("trip_count").desc, col("service_type"))
     },
     // q09 borough comparison (zone dim join + share pct).
     "tlc_pipeline_q09" -> { (s, _) =>
-      round4(result(s).analytics("09_borough_comparison"))
+      round4(result(s).analytics("09_borough_comparison")())
         .orderBy(col("total_trips").desc, col("borough"))
     },
     // q04 HVFHV platform economics (company dim + take-rate percentiles).
     "tlc_pipeline_q04" -> { (s, _) =>
-      round4(result(s).analytics("04_hvfhv_platform_economics"))
+      round4(result(s).analytics("04_hvfhv_platform_economics")())
         .orderBy(col("total_trips").desc, col("company_name"))
     },
     // q07 weekend vs weekday (dim_date is_weekend).
     "tlc_pipeline_q07" -> { (s, _) =>
-      round4(result(s).analytics("07_weekend_vs_weekday"))
+      round4(result(s).analytics("07_weekend_vs_weekday")())
         .orderBy(col("is_weekend"), col("trip_count").desc, col("service_type"))
     },
     // q08 shared rides (restored is_shared_match + pct-of-total window).
     "tlc_pipeline_q08" -> { (s, _) =>
-      round4(result(s).analytics("08_shared_rides_analysis"))
+      round4(result(s).analytics("08_shared_rides_analysis")())
         .orderBy(col("trip_count").desc, col("shared_status"))
     },
     // File-driven SQL gates (reference cli.py:279–297 `run-analytics

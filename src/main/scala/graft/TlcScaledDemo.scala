@@ -173,7 +173,7 @@ object TlcScaledDemo {
   private val tcache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, TlcTables]()
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, () => DataFrame]]()
 
   /** The scaled fixture's RAW service frames + zones, pre-standardize — the
     * e2e Cli test writes these to disk and drives the full load → fact →
@@ -206,11 +206,11 @@ object TlcScaledDemo {
         aggMarketShare = Aggregations.marketShare(fact))
     })
 
-  private def analytics(s: SparkSession): Map[String, DataFrame] =
+  private def analytics(s: SparkSession): Map[String, () => DataFrame] =
     cache.computeIfAbsent(s, { _ =>
       val t = tables(s)
       Analytics.all(t) +
-        ("agg_congestion_fee_impact" -> Aggregations.congestionFeeImpact(t.fact))
+        ("agg_congestion_fee_impact" -> (() => Aggregations.congestionFeeImpact(t.fact)))
     })
 
   /** Gate-only canonicalization — TlcDemo.round4's contract, tie-stabilized:
@@ -227,32 +227,32 @@ object TlcScaledDemo {
 
   val queries: Map[String, Q] = Map(
     "tlc_pipeline_q03" -> { (s, _) =>
-      round4(analytics(s)("03_market_share_trends")).orderBy("date")
+      round4(analytics(s)("03_market_share_trends")()).orderBy("date")
     },
     "tlc_pipeline_q06" -> { (s, _) =>
-      round4(analytics(s)("06_airport_trips_analysis"))
+      round4(analytics(s)("06_airport_trips_analysis")())
         .orderBy(col("trip_count").desc, col("trip_type"), col("service_type"))
     },
     "tlc_pipeline_q11" -> { (s, _) =>
-      round4(analytics(s)("11_uber_lyft_vs_taxi_pricing"))
+      round4(analytics(s)("11_uber_lyft_vs_taxi_pricing")())
         .orderBy("pickup_zone", "hour")
     },
     "tlc_pipeline_q12" -> { (s, _) =>
-      round4(analytics(s)("12_cbd_congestion_fee_impact")).orderBy("service_type")
+      round4(analytics(s)("12_cbd_congestion_fee_impact")()).orderBy("service_type")
     },
     "tlc_pipeline_q13" -> { (s, _) =>
-      round4(analytics(s)("13_hvfhv_take_rate_variance"))
+      round4(analytics(s)("13_hvfhv_take_rate_variance")())
         .orderBy("year", "month", "company_name")
     },
     "tlc_pipeline_q14" -> { (s, _) =>
-      round4(analytics(s)("14_market_share_shift_vs_pricing"))
+      round4(analytics(s)("14_market_share_shift_vs_pricing")())
         .orderBy("zone", "service_type")
     },
     // agg_congestion_fee_impact schema-parity table (04_aggregate_tables
     // .sql:152–182 — declared in the reference DDL, populated by no
     // reference code; see Aggregations.congestionFeeImpact).
     "tlc_agg_congestion" -> { (s, _) =>
-      round4(analytics(s)("agg_congestion_fee_impact"))
+      round4(analytics(s)("agg_congestion_fee_impact")())
         .orderBy("service_type", "pickup_zone_id", "time_period")
     },
     // agg_pricing_by_zone_hour (aggregations.py:21–62) — the headline

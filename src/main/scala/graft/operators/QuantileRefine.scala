@@ -169,6 +169,15 @@ object QuantileRefine {
     // coalesce(1) leaves no Exchange for AQE to reuse, so without the
     // persist every consumer re-ran pass 1 over the corpus (a2/w16/q2
     // measured one extra full pass each at sf0.1).
+    // r15 re-measured the EAGER alternative (localCheckpoint here, the fix
+    // that took tlc_pipeline_q14 3.97 → 0.67 s for its own plain-aggregate
+    // frames): a13_exact 0.96 → 2.86 s, q2 0.87 → 1.41, tlc_agg_pricing
+    // 2.84 → 3.55 at 32c — WORSE for the state frame, because pass 1's
+    // lineage shares stages with the main query through AQE's
+    // TableCacheQueryStage and an eager checkpoint re-executes it as a
+    // separate job (the same failure as CacheScope's persist+count()
+    // experiment). Lazy persist stays; the q14-style checkpoint is right
+    // only for frames whose lineage the main query does NOT otherwise need.
     // A/B switch kept for measurement honesty: spark.graft.quantileRefine
     // .persistState=false restores the r13 recompute-per-consumer shape.
     def scoped(df: DataFrame): DataFrame =

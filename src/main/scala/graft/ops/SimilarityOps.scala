@@ -273,13 +273,25 @@ object SimilarityOps {
         .withColumn("sim",
           graft.functions.Exact.stableRound(expr("cosine_sim(av, v)"), 6))
         .select("anchor_id", "cand_id", "sim")
-      def best(in: DataFrame, prefix: String): DataFrame = in
-        .groupBy("anchor_id")
-        .agg(max(struct(col("sim"), (-col("cand_id")).as("nid"))).as("b"))
-        .select(col("anchor_id"), (-col("b.nid")).as(s"${prefix}_id"),
-          col("b.sim").as(s"${prefix}_sim"))
-      best(sims.filter(col("sim") >= 0.35), "positive")
-        .join(best(sims.filter(col("sim") < 0.2), "negative"), Seq("anchor_id"))
+      // r15 (§1.2/§2.4): both argmaxes in ONE aggregate over ONE pair-
+      // stream evaluation. The previous two best() branches each re-ran
+      // the Σ|cell|² cosine pass and met in an extra equi-join (profiled
+      // 32c: two concurrent ~0.55 s pair stages + join stages); a
+      // conditional max(when(...)) per band computes the same two argmaxes
+      // in the same hash-agg, and the inner join's both-sides-present
+      // contract becomes a both-non-null filter. max ignores NULLs, the
+      // (sim, -cand_id) struct ordering is unchanged, so the triple set is
+      // identical.
+      sims.groupBy("anchor_id")
+        .agg(
+          max(when(col("sim") >= 0.35,
+            struct(col("sim"), (-col("cand_id")).as("nid")))).as("bp"),
+          max(when(col("sim") < 0.2,
+            struct(col("sim"), (-col("cand_id")).as("nid")))).as("bn"))
+        .filter(col("bp").isNotNull && col("bn").isNotNull)
+        .select(col("anchor_id"),
+          (-col("bp.nid")).as("positive_id"), col("bp.sim").as("positive_sim"),
+          (-col("bn.nid")).as("negative_id"), col("bn.sim").as("negative_sim"))
         .orderBy("anchor_id")
     },
 
@@ -302,12 +314,19 @@ object SimilarityOps {
           graft.operators.StatOps.intGrid(s, d),
           graft.operators.StatOps.trainedCentroids(s, d))
         .select(col("vec_id").as("doc_id"), col("cell"))
-      val tf = Tables.documents(s, d)
+      // r15 (§5 caching): tf has THREE consumers (cdf's re-agg, the n_cells
+      // count, the final score join) and its lineage is the k-means train +
+      // assign + corpus token explode — unpersisted, each consumer re-ran
+      // that chain (profiled 32c: three concurrent ~0.4 s corpus stages,
+      // stage-sum 4.1 s vs 2.5 s wall). The persisted frame is
+      // (cell, term, ctf) — bounded by K cells × vocabulary, never corpus
+      // rows; drained by Bench between timed repeats.
+      val tf = graft.CacheScope.persistScoped(Tables.documents(s, d)
         .join(cells, Seq("doc_id"))
         .select(col("cell"),
           explode(split(lower(col("text")), "[^a-z]+")).as("term"))
         .filter(length(col("term")) >= 3)
-        .groupBy("cell", "term").agg(count(lit(1)).as("ctf"))
+        .groupBy("cell", "term").agg(count(lit(1)).as("ctf")))
       val cdf = tf.groupBy("term").agg(count(lit(1)).as("cdf"))
       val nc = tf.select(col("cell")).distinct()
         .agg(count(lit(1)).as("n_cells"))

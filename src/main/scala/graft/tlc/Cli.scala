@@ -219,8 +219,8 @@ object Cli {
         }
     }
     timed("analytics") {
-      analytics.foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$out/analytics/$name")
+      analytics.foreach { case (name, mk) =>
+        mk().write.mode("overwrite").parquet(s"$out/analytics/$name")
       }
     }
     timed("finalize") {
@@ -394,7 +394,7 @@ object Cli {
         Seq("04_hvfhv_platform_economics", "11_uber_lyft_vs_taxi_pricing",
           "13_hvfhv_take_rate_variance").foreach { name =>
           val t0 = System.nanoTime()
-          analytics(name).write.mode("overwrite").parquet(s"$out/analytics/$name")
+          analytics(name)().write.mode("overwrite").parquet(s"$out/analytics/$name")
           timings(s"analytics_$name") = (System.nanoTime() - t0) / 1e9
           System.err.println(
             f"[timing] stage=analytics_$name seconds=${timings(s"analytics_$name")}%.3f")

@@ -25,7 +25,7 @@ object Pipeline {
     tables: TlcTables,
     aggregates: Map[String, DataFrame],
     qualityMetrics: DataFrame,
-    analytics: Map[String, DataFrame])
+    analytics: Map[String, () => DataFrame])
 
   /** Run the full pipeline on pre-loaded raw frames (no I/O here — pass the
     * outputs of RawLoader.load, or fixture frames in tests). */
@@ -56,7 +56,7 @@ object Pipeline {
     * load → standardize from the raw files, a 19× repetition of the most
     * expensive pass at warehouse scale. */
   def derive(spark: SparkSession, fact: DataFrame, rawTaxiZones: DataFrame)
-      : (TlcTables, Map[String, DataFrame], Map[String, DataFrame]) = {
+      : (TlcTables, Map[String, DataFrame], Map[String, () => DataFrame]) = {
     val tables = TlcTables(
       fact = fact,
       dimZones = Dimensions.dimZones(rawTaxiZones),

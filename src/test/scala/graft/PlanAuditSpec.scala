@@ -788,7 +788,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "tlc_agg_congestion", "tlc_agg_pricing", "a2_percentiles",
       "tlc_sql_q04", "tlc_sql_q05", "tlc_sql_q11",
       "tlc_sql_q12", "tlc_sql_q13", "tlc_sql_q14")
-    for (q <- gates) {
+    // r15: q12/q14 eagerly checkpoint their bounded frames, which truncates
+    // the percentile lineage out of the shipped physical plan — audit the
+    // FULL lineage via the r14 lazy-persist shape (the A/B switch), so this
+    // pin keeps seeing what those plans actually compute underneath.
+    spark.conf.set("spark.graft.tlc.eagerCheckpoint", "false")
+    try for (q <- gates) {
       val p = plan(q)
       assert(!p.contains("percentile("),
         s"$q still plans the single-task value-map percentile:\n$p")
@@ -797,7 +802,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // natively); single-column batches keep the codegen expression.
       assert(p.contains("sortable_double_bits") || p.contains("BucketHistogram"),
         s"$q must route percentiles through QuantileRefine's histogram:\n$p")
-    }
+    } finally spark.conf.unset("spark.graft.tlc.eagerCheckpoint")
     // r14 pin (verdict item 2): the >=2-distinct-column batches must plan
     // the SINGLE-pass bucket histogram, not the stacked ×cols unpivot,
     // for pass 1.
@@ -909,12 +914,22 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheScope.drain(blocking = true)
   }
 
-  test("q14: the calendar-bounded dailyZone/withShare frames are scope-" +
-    "persisted (InMemoryTableScan) so the corpus-scale scan runs once, " +
-    "not once per consumer") {
+  test("q14: the calendar-bounded dailyZone/withShare frames are " +
+    "materialized once, not once per consumer — eagerly checkpointed by " +
+    "default (r15), scope-persisted under the A/B switch (r14 shape)") {
+    // shipped default: every consumer reads the checkpointed RDD scan
     val p = plan("tlc_pipeline_q14")
-    assert(p.contains("InMemoryTableScan"),
-      s"q14's bounded aggregates must be scope-persisted:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q14's bounded aggregates must be eagerly checkpointed:\n$p")
+    // A/B switch restores the r14 lazy persist (and gives the percentile
+    // audit above its un-truncated lineage)
+    spark.conf.set("spark.graft.tlc.eagerCheckpoint", "false")
+    try {
+      val lazyP = plan("tlc_pipeline_q14")
+      assert(lazyP.contains("InMemoryTableScan"),
+        s"q14's bounded aggregates must be scope-persisted under the A/B " +
+          s"switch:\n$lazyP")
+    } finally spark.conf.unset("spark.graft.tlc.eagerCheckpoint")
     graft.CacheScope.drain(blocking = true)
   }
 }

@@ -25,21 +25,22 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("all 14 analytics queries execute") {
-    result.analytics.foreach { case (name, df) =>
+    result.analytics.foreach { case (name, mk) =>
+      val df = mk()
       val n = df.count() // forces full execution
       assert(n >= 0, s"$name failed")
     }
   }
 
   test("q01 top zones: Midtown Center revenue = yellow 16.3 + hvfhv 23.09") {
-    val q = result.analytics("01_top_zones_by_revenue")
+    val q = result.analytics("01_top_zones_by_revenue")()
     val midtown = q.filter(col("pickup_zone") === "Midtown Center").head()
     assert(midtown.getAs[Long]("total_trips") == 2)
     assert(math.abs(midtown.getAs[Double]("total_revenue") - (16.3 + 23.09)) < 1e-9)
   }
 
   test("q02 hourly demand: hour 10 has 3 trips (one per service)") {
-    val q = result.analytics("02_hourly_demand_patterns")
+    val q = result.analytics("02_hourly_demand_patterns")()
     val h10 = q.filter(col("hour") === 10).head()
     assert(h10.getAs[Long]("yellow_trips") == 1)
     assert(h10.getAs[Long]("green_trips") == 1)
@@ -47,26 +48,26 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("q05 pricing comparison covers all 3 services within bands") {
-    val q = result.analytics("05_pricing_comparison")
+    val q = result.analytics("05_pricing_comparison")()
     assert(q.select("service_type").collect().map(_.getString(0)).toSet ==
       Set("yellow", "green", "hvfhv"))
   }
 
   test("q08 shared rides: fixture has 1 'Requested but Not Matched' of 3 (33.33%)") {
-    val q = result.analytics("08_shared_rides_analysis")
+    val q = result.analytics("08_shared_rides_analysis")()
     val req = q.filter(col("shared_status") === "Requested but Not Matched").head()
     assert(req.getAs[Long]("trip_count") == 1)
     assert(math.abs(req.getAs[Double]("percentage") - 33.33) < 1e-9)
   }
 
   test("q10 data quality: every service 100% valid on fixtures") {
-    val q = result.analytics("10_data_quality_summary")
+    val q = result.analytics("10_data_quality_summary")()
     assert(q.count() == 3)
     assert(q.filter(col("data_quality_pct") === 100.0).count() == 3)
   }
 
   test("q13 take-rate variance: June 2024 rows for Uber and Lyft") {
-    val q = result.analytics("13_hvfhv_take_rate_variance")
+    val q = result.analytics("13_hvfhv_take_rate_variance")()
     val companies = q.select("company_name").collect().map(_.getString(0)).toSet
     assert(companies == Set("Uber", "Lyft"))
     val uber = q.filter(col("company_name") === "Uber").head()
@@ -102,7 +103,7 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("q04 platform economics: Uber take-rate math on fixture rows") {
-    val q = result.analytics("04_hvfhv_platform_economics")
+    val q = result.analytics("04_hvfhv_platform_economics")()
     val uber = q.filter(col("company_name") === "Uber").head()
     assert(uber.getAs[Long]("total_trips") == 2)
     // trip totals: 23.09 and 30.88; commissions: 23.09-12.5, 30.88-16.0

@@ -29,7 +29,7 @@ class LoaderPipelineSpec extends AnyFunSuite {
     // and it standardizes + runs analytics end-to-end
     val result = Pipeline.run(spark, df, Fixtures.green(spark),
       Fixtures.hvfhv(spark), Fixtures.zones(spark))
-    assert(result.analytics("01_top_zones_by_revenue").count() > 0)
+    assert(result.analytics("01_top_zones_by_revenue")().count() > 0)
   }
 
   test("incompatible type drift (e.g. string vs timestamp) raises for manual intervention") {

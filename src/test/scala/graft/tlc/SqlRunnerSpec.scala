@@ -64,7 +64,7 @@ class SqlRunnerSpec extends AnyFunSuite {
       val t = graft.TlcScaledDemo.tables(spark)
       SqlRunner.registerViews(t)
       val sqlResult = SqlRunner.runFile(spark, s"sql/analytics/$file")
-      val dfResult = Analytics.all(t)(key)
+      val dfResult = Analytics.all(t)(key)()
       assert(sqlResult.columns.toSeq == dfResult.columns.toSeq)
       assert(collectSorted(sqlResult) == collectSorted(dfResult))
     }
