@@ -38,6 +38,14 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same LOCAL A/B hook as Bench/PlanDump (r15): extra session confs for
+    // plan-variant measurement runs (e.g. the BENCH_E2E percentile-shape
+    // A/B); nothing sets it in production or driver runs.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     val views = SqlRunner.registerWarehouse(spark, opts("warehouse"))
     System.err.println(s"[graft] registered views: ${views.mkString(", ")}")
@@ -89,6 +97,14 @@ object Cli {
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+    // same LOCAL A/B hook as Bench/PlanDump (r15): extra session confs for
+    // plan-variant measurement runs (e.g. the BENCH_E2E percentile-shape
+    // A/B); nothing sets it in production or driver runs.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
       runIncremental(spark, opts)
       spark.stop()
       return
@@ -106,6 +122,14 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same LOCAL A/B hook as Bench/PlanDump (r15): extra session confs for
+    // plan-variant measurement runs (e.g. the BENCH_E2E percentile-shape
+    // A/B); nothing sets it in production or driver runs.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     runPipeline(spark, opts)
     spark.stop()
   }
